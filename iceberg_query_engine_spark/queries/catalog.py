@@ -1,0 +1,43 @@
+"""Master registry of every query the engine exposes to the driver.
+
+Each module contributes (queries, oracles); keys must line up. Queries
+without an oracle get the driver's weaker rows-only check (reserved
+for genuinely non-SQL-expressible ops, e.g. streaming).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import tpch
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    out.update(tpch.QUERIES)
+    for mod in _extension_modules():
+        out.update(mod.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    out.update(tpch.ORACLE)
+    for mod in _extension_modules():
+        out.update(mod.ORACLE)
+    return out
+
+
+def _extension_modules():
+    mods = []
+    for name in ("functions_suite", "subqueries", "setops", "windows", "dedup_suite",
+                 "similarity_suite", "text_suite", "events_suite"):
+        try:
+            mods.append(__import__(f"{__package__}.{name}", fromlist=[name]))
+        except ImportError:
+            continue
+    return mods

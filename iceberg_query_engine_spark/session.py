@@ -1,0 +1,72 @@
+"""SparkSession factory tuned for this engine.
+
+Mirrors the reference's ExecutionContext setup
+(/root/reference/src/execution/context.rs:159-214): one long-lived
+context, memory-safe defaults, parallel execution. Here that means a
+single SparkSession with AQE, CBO, Arrow transfer, and shuffle
+partitioning sized for the deployment.
+
+Scale notes (100 TB deployment):
+- AQE handles runtime coalescing of shuffle partitions and skew-join
+  splitting, so ``spark.sql.shuffle.partitions`` is set high-ish and
+  AQE coalesces down; on a real cluster raise it to ~2-4x total cores.
+- ``spark.sql.files.maxPartitionBytes`` at the 128 MB default keeps
+  scan tasks executor-memory-friendly at any input size.
+- Broadcast threshold left at default 10 MB; dimension tables
+  (region/nation/supplier/part at most SFs) broadcast automatically,
+  and AQE converts shuffle joins to broadcast when runtime stats allow.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "iceberg-query-engine-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local mode for tests/bench; identical configs apply on a cluster —
+    nothing here assumes single-node except the master URL default.
+    """
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # Adaptive execution: runtime re-plan, partition coalescing,
+        # skew-join handling — core to the 100TB story.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # CBO so join reordering uses stats when tables are ANALYZEd
+        # (reference JoinReorder rule, src/optimizer/rules/join_reorder.rs).
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Arrow for any pandas-UDF path (the reference is Arrow-native).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Lenient (Trino-like) coercion; the reference is non-ANSI
+        # (float money columns, silent casts).
+        .config("spark.sql.ansi.enabled", "false")
+        # Nanosecond parquet timestamps (events.ts) are not a Spark SQL
+        # type; read the physical INT64 as LONG and convert to
+        # timestamp in the registration layer (sources/registry.py).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
