@@ -1,0 +1,324 @@
+"""Deduplication suite for training-data pipelines (north-star scope).
+
+Five dedup strategies over the `documents` / `embeddings` tables:
+exact (hash groupBy), n-gram Jaccard (bucketed self-join), MinHash+LSH
+(shingle → minhash → band → bucket-join), SimHash (bitwise), and
+embedding-cosine near-dup. All built from native Spark array/hash
+functions — no Python UDFs — so they distribute and codegen.
+
+Scale notes (100 TB): exact dedup is one shuffle on the content hash.
+MinHash/LSH is the scale path for fuzzy dedup: per-doc signatures are
+map-only; candidate generation shuffles on *band key* (small), and
+only candidate pairs get the exact-Jaccard verify — never the O(n²)
+cross join. The Jaccard/cosine self-joins here are bucketed by a join
+key (source / label) for the same reason; at 100 TB you'd LSH-bucket
+first (as dedup_minhash_lsh does). AQE skew-join handles hot buckets.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tpch import tables
+
+N_HASHES = 8  # minhash permutations
+BAND_SIZE = 4  # rows per LSH band → 2 bands
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash; report group sizes + survivors."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    groups = (
+        documents.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("keep_doc"))
+    )
+    return groups.groupBy().agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.col("n") - 1).cast("bigint").alias("n_removed"),
+        F.max("n").alias("max_group"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(SUM(n - 1) AS BIGINT) AS n_removed,
+       CAST(MAX(n) AS BIGINT) AS max_group
+FROM (
+  SELECT md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS keep_doc
+  FROM documents GROUP BY md5(text)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard within source buckets."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    d = documents.select(
+        "doc_id", "source", F.array_distinct(_tokens()).alias("toks")
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.6)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_NGRAM_JACCARD_SQL = """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / length(list_distinct(a.toks || b.toks)), 6) AS jaccard
+FROM (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents) a
+JOIN (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents) b
+  ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+def _minhash_sig(toks):
+    """MinHash signature: min over md5(token ⊕ permutation-salt).
+
+    md5 is the shared hash both engines implement bit-identically; the
+    i-th permutation is salted concatenation (public MinHash trick).
+    """
+    def salted(i):
+        return lambda t: F.md5(F.concat(t, F.lit(f"#{i}")).cast("binary"))
+
+    return [F.array_min(F.transform(toks, salted(i))) for i in range(N_HASHES)]
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: signature → band keys → bucket join →
+    exact-Jaccard verification of candidates only (the 100 TB path)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    sig = _minhash_sig(toks)
+    d = documents.select(
+        "doc_id", toks.alias("toks"), *[s.alias(f"h{i}") for i, s in enumerate(sig)]
+    )
+    bands = d.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        F.lit(str(bi)),
+                        *[F.col(f"h{bi * BAND_SIZE + j}") for j in range(BAND_SIZE)],
+                    )
+                    for bi in range(N_HASHES // BAND_SIZE)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("jaccard") >= 0.7).orderBy("doc_a", "doc_b")
+
+
+def _minhash_oracle() -> str:
+    sig_exprs = ", ".join(
+        "list_min(list_transform(toks, t -> md5(t || '#{0}'))) AS h{0}".format(i)
+        for i in range(N_HASHES)
+    )
+    band_exprs = ", ".join(
+        "'{0}' || '|' || {1}".format(
+            bi, " || '|' || ".join(f"h{bi * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        )
+        for bi in range(N_HASHES // BAND_SIZE)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), sigs AS (
+  SELECT doc_id, toks, {sig_exprs} FROM docs
+), bands AS (
+  SELECT doc_id, toks, unnest([{band_exprs}]) AS band FROM sigs
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / length(list_distinct(a.toks || b.toks)), 6) AS jaccard
+FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / length(list_distinct(a.toks || b.toks)), 6) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+SIMHASH_BITS = 16
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token md5-derived 32-bit hash; signed bit-vote sum
+    per bit position → 16-bit signature; near-dups = hamming ≤ 3
+    within source buckets."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("bigint")  # noqa: E731
+    def vote(j):
+        mask = 1 << j
+        return lambda acc, t: (
+            acc + (tok_hash(t).bitwiseAND(F.lit(mask)) != 0).cast("int") * 2 - 1
+        )
+
+    bit_votes = [F.aggregate(toks, F.lit(0), vote(j)) for j in range(SIMHASH_BITS)]
+    sim = None
+    for j, v in enumerate(bit_votes):
+        term = (v > 0).cast("bigint") * (1 << j)
+        sim = term if sim is None else sim + term
+    d = documents.select("doc_id", "source", sim.alias("simhash"))
+    a, b = d.alias("a"), d.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        "list_aggregate(list_transform(toks, t -> CASE WHEN "
+        "(CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) & {m}) <> 0 "
+        "THEN 1 ELSE -1 END), 'sum') AS v{j}".format(m=1 << j, j=j)
+        for j in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), votes AS (
+  SELECT doc_id, source, {votes} FROM docs
+), sigs AS (
+  SELECT doc_id, source, CAST({sim} AS BIGINT) AS simhash FROM votes
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: cosine ≥ threshold within label buckets."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x))  # noqa: E731
+    cos = dot / (norm(F.col("a.v")) * norm(F.col("b.v")))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.3)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(
+    list_aggregate(list_transform(generate_series(1, length(a.v)),
+                                  i -> a.v[i] * b.v[i]), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6) AS cosine
+FROM vecs a JOIN vecs b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(
+        list_aggregate(list_transform(generate_series(1, length(a.v)),
+                                      i -> a.v[i] * b.v[i]), 'sum')
+        / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+           * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6) >= 0.3
+ORDER BY vec_a, vec_b
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+}
+
+ORACLE: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
+}

@@ -1,0 +1,300 @@
+"""Event-stream analytics suite over the `events` table (batch side).
+
+The reference has no stream processing (SURVEY.md §2.9) — these are
+the windowed/sessionized event ops a training-data/telemetry pipeline
+needs, expressed as batch DataFrame plans; `streaming/` runs the same
+logic incrementally via Structured Streaming (stream_* entries share
+oracles with their batch twins here).
+
+Scale notes: tumbling/sliding windows are groupBy on a derived window
+key → one shuffle, partial+final agg. Sessionization shuffles once on
+user_id then sorts within partition (Spark window fn) — at 100 TB
+user_id partitioning distributes; no global sort.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tpch import tables
+
+SESSION_GAP_MIN = 30
+
+
+# --------------------------------------------------------------------------
+def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows: count + sum(value) per event_type."""
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").getField("start").alias("wstart"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("wstart", "event_type")
+    )
+
+
+EV_TUMBLING_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  round(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY wstart, event_type
+"""
+
+
+# --------------------------------------------------------------------------
+def ev_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour (each event in 2 windows)."""
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").getField("start").alias("wstart"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("users"),
+        )
+        .orderBy("wstart")
+    )
+
+
+EV_SLIDING_SQL = """
+SELECT wstart, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+FROM (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, user_id FROM events
+  UNION ALL
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wstart, user_id
+  FROM events
+)
+GROUP BY wstart
+ORDER BY wstart
+"""
+
+
+# --------------------------------------------------------------------------
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): per-user session
+    count, mean session length (events), mean duration seconds."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.coalesce(
+                (F.unix_timestamp(F.col("ts").cast("timestamp"))
+                 - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")))
+                > SESSION_GAP_MIN * 60,
+                F.lit(True),
+            )
+        )
+        .cast("int")
+        .alias("new_sess"),
+    )
+    sess = with_gap.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts").cast("timestamp"))
+            - F.unix_timestamp(F.min("ts").cast("timestamp"))
+        ).alias("dur_s"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 6).alias("mean_events"),
+            F.round(F.avg("dur_s"), 6).alias("mean_dur_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EV_SESSIONIZE_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+         WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+            - CAST(floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)) AS BIGINT)
+            > {SESSION_GAP_MIN * 60} THEN 1
+         ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sessed AS (
+  SELECT user_id, t, new_sess,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM ordered
+), per_sess AS (
+  SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(floor(epoch(MAX(t))) AS BIGINT) - CAST(floor(epoch(MIN(t))) AS BIGINT) AS dur_s
+  FROM sessed GROUP BY user_id, sess_id
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  round(avg(n_events), 6) AS mean_events,
+  round(avg(dur_s), 6) AS mean_dur_s
+FROM per_sess
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users whose first 'signup' is followed by a
+    'purchase' within 24h; conversion stats per signup day."""
+    (events,) = tables(spark, sf_dir, "events")
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts")
+    )
+    conv = (
+        signups.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("signup_ts"))
+            & (
+                F.unix_timestamp(F.col("purchase_ts").cast("timestamp"))
+                - F.unix_timestamp(F.col("signup_ts").cast("timestamp"))
+                <= 86400
+            ),
+            "left_semi",
+        )
+        .select("user_id", "signup_ts")
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        signups.join(conv.select("user_id", "converted"), "user_id", "left")
+        .groupBy(F.col("signup_ts").cast("date").alias("signup_day"))
+        .agg(
+            F.count(F.lit(1)).alias("signups"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0))).cast("bigint").alias("conversions"),
+        )
+        .orderBy("signup_day")
+    )
+
+
+EV_FUNNEL_SQL = """
+WITH signups AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT DISTINCT s.user_id
+  FROM signups s JOIN events e
+    ON e.user_id = s.user_id AND e.event_type = 'purchase'
+   AND CAST(e.ts AS TIMESTAMP) > s.signup_ts
+   AND CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
+     - CAST(floor(epoch(s.signup_ts)) AS BIGINT) <= 86400
+)
+SELECT CAST(s.signup_ts AS DATE) AS signup_day,
+  CAST(COUNT(*) AS BIGINT) AS signups,
+  CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conversions
+FROM signups s LEFT JOIN conv c ON s.user_id = c.user_id
+GROUP BY 1
+ORDER BY signup_day
+"""
+
+
+# --------------------------------------------------------------------------
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-0 cohort retention: of users first seen on day d, how many
+    return 1..3 days later."""
+    (events,) = tables(spark, sf_dir, "events")
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    active = events.select(
+        F.col("user_id").alias("a_user"), F.col("ts").cast("date").alias("day")
+    ).distinct()
+    j = first_day.join(active, F.col("user_id") == F.col("a_user"))
+    day_n = F.datediff(F.col("day"), F.col("d0"))
+    return (
+        j.groupBy("d0")
+        .agg(
+            F.countDistinct("user_id").alias("cohort"),
+            F.countDistinct(F.when(day_n == 1, F.col("user_id"))).alias("d1"),
+            F.countDistinct(F.when(day_n == 2, F.col("user_id"))).alias("d2"),
+            F.countDistinct(F.when(day_n == 3, F.col("user_id"))).alias("d3"),
+        )
+        .orderBy("d0")
+    )
+
+
+EV_RETENTION_SQL = """
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id AS a_user, CAST(ts AS DATE) AS day FROM events
+)
+SELECT d0,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort,
+  CAST(COUNT(DISTINCT CASE WHEN datediff('day', d0, day) = 1 THEN user_id END) AS BIGINT) AS d1,
+  CAST(COUNT(DISTINCT CASE WHEN datediff('day', d0, day) = 2 THEN user_id END) AS BIGINT) AS d2,
+  CAST(COUNT(DISTINCT CASE WHEN datediff('day', d0, day) = 3 THEN user_id END) AS BIGINT) AS d3
+FROM first_day JOIN active ON user_id = a_user
+GROUP BY d0
+ORDER BY d0
+"""
+
+
+# --------------------------------------------------------------------------
+def ev_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top spenders with per-type breakdown via pivot-style conditional agg."""
+    (events,) = tables(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+                4,
+            ).alias("purchase_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.col("total_value").desc(), "user_id")
+        .limit(10)
+    )
+
+
+EV_TOPK_USERS_SQL = """
+SELECT user_id, round(SUM(value), 4) AS total_value,
+  round(SUM(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 4) AS purchase_value,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY total_value DESC, user_id
+LIMIT 10
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_tumbling": ev_tumbling,
+    "ev_sliding": ev_sliding,
+    "ev_sessionize": ev_sessionize,
+    "ev_funnel": ev_funnel,
+    "ev_retention": ev_retention,
+    "ev_topk_users": ev_topk_users,
+}
+
+ORACLE: dict[str, str] = {
+    "ev_tumbling": EV_TUMBLING_SQL,
+    "ev_sliding": EV_SLIDING_SQL,
+    "ev_sessionize": EV_SESSIONIZE_SQL,
+    "ev_funnel": EV_FUNNEL_SQL,
+    "ev_retention": EV_RETENTION_SQL,
+    "ev_topk_users": EV_TOPK_USERS_SQL,
+}

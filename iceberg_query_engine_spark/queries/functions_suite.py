@@ -1,0 +1,784 @@
+"""Scalar + aggregate function coverage suite (SURVEY.md §2.7 / §2.4).
+
+The reference implements ~200 scalar functions as an interpreted enum
+(/root/reference/src/planner/logical_expr.rs:270-536, impls
+/root/reference/src/physical/operators/filter.rs:652-5880) and ~30
+aggregates (/root/reference/src/physical/operators/hash_agg.rs). Here
+every function is a native `pyspark.sql.functions` call — JVM-side,
+whole-stage-codegen, no Python in the hot path — grouped into one
+query per family so the driver's oracle gate exercises each family
+column-by-column.
+
+Oracle strategy: DuckDB-native twin where DuckDB has the function;
+otherwise the expected values are precomputed in Python (hashlib/zlib/
+base64/urllib — same public algorithms both engines implement) and
+embedded as literal VALUES keyed on the stable 5-row `region` table.
+Transcendentals are rounded to 9 decimals on both sides: Spark (JVM
+StrictMath-adjacent libm) and DuckDB (C libm) agree within 1 ulp, so
+the rounded values are identical.
+
+Scale notes: every query here is a narrow projection over a scan —
+fully pushed down, codegen'd, shuffle-free (or a single partial+final
+agg). At 100 TB these run at scan speed.
+"""
+
+from __future__ import annotations
+
+import base64 as b64
+import hashlib
+import urllib.parse
+import zlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tpch import tables
+
+R9 = 9  # rounding for transcendental functions
+
+REGION_NAMES = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+
+# Spark-specific hash outputs on the stable region names, captured from
+# the engine itself (xxhash64 seed 42, murmur3 seed 42, soundex) —
+# public algorithms; values constant across scale factors because
+# region is the same 5 rows at every SF.
+SPARK_XXHASH64 = {
+    "AFRICA": 5725486109973355489,
+    "AMERICA": -4157638607041038132,
+    "ASIA": -1574007566074333807,
+    "EUROPE": 7378977719125113014,
+    "MIDDLE EAST": 8048878549592645346,
+}
+SPARK_MURMUR3 = {
+    "AFRICA": 1974905347,
+    "AMERICA": 364153739,
+    "ASIA": -677835177,
+    "EUROPE": 1752960320,
+    "MIDDLE EAST": -1396081436,
+}
+SPARK_SOUNDEX = {
+    "AFRICA": "A162",
+    "AMERICA": "A562",
+    "ASIA": "A200",
+    "EUROPE": "E610",
+    "MIDDLE EAST": "M342",
+}
+
+
+# --------------------------------------------------------------------------
+# f_math — math function family over part (small deterministic subset)
+def f_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    x = F.col("p_retailprice")
+    n = F.col("p_size")
+    return part.filter(F.col("p_partkey") < 10).select(
+        "p_partkey",
+        F.abs(-x).alias("abs_x"),
+        F.ceil(x / 7).cast("bigint").alias("ceil_x"),
+        F.floor(x / 7).cast("bigint").alias("floor_x"),
+        F.round(x / 7, 3).alias("round_x"),
+        F.pow(n, 2).alias("pow_n"),
+        F.round(F.sqrt(x), R9).alias("sqrt_x"),
+        F.round(F.cbrt(x), R9).alias("cbrt_x"),
+        F.round(F.exp(F.lit(1.0) + n / 100), R9).alias("exp_n"),
+        F.round(F.log(x), R9).alias("ln_x"),
+        F.round(F.log10(x), R9).alias("log10_x"),
+        F.round(F.log2(x), R9).alias("log2_x"),
+        F.signum(x - 900.5).cast("int").alias("sign_x"),
+        (n % 7).alias("mod_n"),
+        F.pmod(-n, F.lit(7)).alias("pmod_n"),
+        F.round(F.degrees(x / 1000), R9).alias("deg_x"),
+        F.round(F.radians(n), R9).alias("rad_n"),
+        F.round(F.lit(3.141592653589793), R9).alias("pi_v"),
+        F.factorial(n % 10).alias("fact_n"),
+        F.conv(n.cast("string"), 10, 16).alias("hex_n"),
+    )
+
+
+F_MATH_SQL = """
+SELECT p_partkey,
+  abs(-p_retailprice) AS abs_x,
+  CAST(ceil(p_retailprice / 7) AS BIGINT) AS ceil_x,
+  CAST(floor(p_retailprice / 7) AS BIGINT) AS floor_x,
+  round(p_retailprice / 7, 3) AS round_x,
+  pow(p_size, 2) AS pow_n,
+  round(sqrt(p_retailprice), 9) AS sqrt_x,
+  round(cbrt(p_retailprice), 9) AS cbrt_x,
+  round(exp(1.0 + p_size / 100.0), 9) AS exp_n,
+  round(ln(p_retailprice), 9) AS ln_x,
+  round(log10(p_retailprice), 9) AS log10_x,
+  round(log2(p_retailprice), 9) AS log2_x,
+  CAST(sign(p_retailprice - 900.5) AS INT) AS sign_x,
+  p_size % 7 AS mod_n,
+  ((-p_size % 7) + 7) % 7 AS pmod_n,
+  round(degrees(p_retailprice / 1000), 9) AS deg_x,
+  round(radians(p_size), 9) AS rad_n,
+  round(pi(), 9) AS pi_v,
+  CAST(factorial(p_size % 10) AS BIGINT) AS fact_n,
+  to_base(p_size, 16) AS hex_n
+FROM part WHERE p_partkey < 10
+"""
+
+
+# --------------------------------------------------------------------------
+# f_trig — trigonometric/hyperbolic family
+def f_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    t = (F.col("p_size") % 7) * 0.2
+    return part.filter(F.col("p_partkey") < 10).select(
+        "p_partkey",
+        F.round(F.sin(t), R9).alias("sin_t"),
+        F.round(F.cos(t), R9).alias("cos_t"),
+        F.round(F.tan(t), R9).alias("tan_t"),
+        F.round(F.asin(t / 2), R9).alias("asin_t"),
+        F.round(F.acos(t / 2), R9).alias("acos_t"),
+        F.round(F.atan(t), R9).alias("atan_t"),
+        F.round(F.atan2(t, F.lit(1.0)), R9).alias("atan2_t"),
+        F.round(F.sinh(t), 7).alias("sinh_t"),
+        F.round(F.cosh(t), 7).alias("cosh_t"),
+        F.round(F.tanh(t), 7).alias("tanh_t"),
+        F.round(F.cot(t + 0.1), R9).alias("cot_t"),
+    )
+
+
+F_TRIG_SQL = """
+SELECT p_partkey,
+  round(sin(t), 9) AS sin_t, round(cos(t), 9) AS cos_t,
+  round(tan(t), 9) AS tan_t, round(asin(t/2), 9) AS asin_t,
+  round(acos(t/2), 9) AS acos_t, round(atan(t), 9) AS atan_t,
+  round(atan2(t, 1.0), 9) AS atan2_t,
+  round((exp(t) - exp(-t)) / 2, 7) AS sinh_t,
+  round((exp(t) + exp(-t)) / 2, 7) AS cosh_t,
+  round((exp(2*t) - 1) / (exp(2*t) + 1), 7) AS tanh_t,
+  round(cot(t + 0.1), 9) AS cot_t
+FROM (SELECT p_partkey, (p_size % 7) * 0.2 AS t FROM part WHERE p_partkey < 10)
+"""
+
+
+# --------------------------------------------------------------------------
+# f_string — core string family over nation
+def f_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nation,) = tables(spark, sf_dir, "nation")
+    s = F.col("n_name")
+    return nation.select(
+        "n_nationkey",
+        F.upper(s).alias("up"),
+        F.lower(s).alias("lo"),
+        F.length(s).cast("bigint").alias("len"),
+        F.substring(s, 1, 6).alias("sub"),
+        F.concat(s, F.lit("!")).alias("cat"),
+        F.concat_ws("-", s, F.lit("x"), s).alias("catws"),
+        F.regexp_replace(s, "NATION", "N").alias("repl"),
+        F.instr(s, "_").cast("bigint").alias("pos"),
+        F.reverse(s).alias("rev"),
+        F.lpad(s, 12, "*").alias("lp"),
+        F.rpad(s, 12, "*").alias("rp"),
+        F.substring(s, 1, 4).alias("left4"),
+        F.expr("right(n_name, 3)").alias("right3"),
+        F.repeat(s, 2).alias("rep2"),
+        F.ascii(s).alias("asc"),
+        F.chr(F.lit(65) + F.col("n_nationkey") % 26).alias("chr_c"),
+        F.translate(s, "NAT", "XYZ").alias("tr"),
+        F.levenshtein(s, F.lit("NATION_1")).alias("lev"),
+        F.trim(F.concat(F.lit("  "), s, F.lit("  "))).alias("trm"),
+        F.ltrim(F.concat(F.lit("  "), s)).alias("ltrm"),
+        F.rtrim(F.concat(s, F.lit("  "))).alias("rtrm"),
+        F.split_part(s, F.lit("_"), F.lit(2)).alias("sp2"),
+        F.startswith(s, F.lit("NAT")).alias("sw"),
+        F.endswith(s, F.lit("1")).alias("ew"),
+        F.initcap(F.lower(s)).alias("ic"),
+    )
+
+
+F_STRING_SQL = """
+SELECT n_nationkey,
+  upper(n_name) AS up, lower(n_name) AS lo,
+  CAST(length(n_name) AS BIGINT) AS len,
+  substring(n_name, 1, 6) AS sub,
+  n_name || '!' AS cat,
+  concat_ws('-', n_name, 'x', n_name) AS catws,
+  regexp_replace(n_name, 'NATION', 'N', 'g') AS repl,
+  CAST(strpos(n_name, '_') AS BIGINT) AS pos,
+  reverse(n_name) AS rev,
+  lpad(n_name, 12, '*') AS lp,
+  rpad(n_name, 12, '*') AS rp,
+  left(n_name, 4) AS left4,
+  right(n_name, 3) AS right3,
+  repeat(n_name, 2) AS rep2,
+  ascii(n_name) AS asc,
+  chr(65 + n_nationkey % 26) AS chr_c,
+  translate(n_name, 'NAT', 'XYZ') AS tr,
+  levenshtein(n_name, 'NATION_1') AS lev,
+  trim('  ' || n_name || '  ') AS trm,
+  ltrim('  ' || n_name) AS ltrm,
+  rtrim(n_name || '  ') AS rtrm,
+  split_part(n_name, '_', 2) AS sp2,
+  starts_with(n_name, 'NAT') AS sw,
+  ends_with(n_name, '1') AS ew,
+  upper(substring(lower(n_name),1,1)) || substring(lower(n_name),2) AS ic
+FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
+# f_date — date extraction/arithmetic over orders
+def f_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.filter(F.col("o_orderkey") < 30).select(
+        "o_orderkey",
+        F.year(d).cast("int").alias("yr"),
+        F.quarter(d).cast("int").alias("qtr"),
+        F.month(d).cast("int").alias("mon"),
+        F.dayofmonth(d).cast("int").alias("dom"),
+        F.dayofweek(d).cast("int").alias("dow"),
+        F.dayofyear(d).cast("int").alias("doy"),
+        F.weekofyear(d).cast("int").alias("woy"),
+        F.last_day(d).alias("ld"),
+        F.date_add(d, 30).alias("dadd"),
+        F.date_sub(d, 30).alias("dsub"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias("dd"),
+        F.date_trunc("month", d).cast("date").alias("dtrunc"),
+        F.add_months(d, 2).alias("addm"),
+        F.date_format(d, "yyyy-MM").alias("fmt"),
+        F.date_format(d, "EEEE").alias("dname"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("mkdate"),
+        F.extract(F.lit("year"), d).cast("bigint").alias("ext_yr"),
+    )
+
+
+F_DATE_SQL = """
+SELECT o_orderkey,
+  CAST(year(d) AS INT) AS yr,
+  CAST(quarter(d) AS INT) AS qtr,
+  CAST(month(d) AS INT) AS mon,
+  CAST(day(d) AS INT) AS dom,
+  CAST(dayofweek(d) + 1 AS INT) AS dow,
+  CAST(dayofyear(d) AS INT) AS doy,
+  CAST(weekofyear(d) AS INT) AS woy,
+  last_day(d) AS ld,
+  d + 30 AS dadd,
+  d - 30 AS dsub,
+  CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS dd,
+  CAST(date_trunc('month', d) AS DATE) AS dtrunc,
+  CAST(d + INTERVAL 2 MONTH AS DATE) AS addm,
+  strftime(d, '%Y-%m') AS fmt,
+  dayname(d) AS dname,
+  make_date(year(d), month(d), 1) AS mkdate,
+  CAST(extract(year FROM d) AS BIGINT) AS ext_yr
+FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+      FROM orders WHERE o_orderkey < 30)
+"""
+
+
+# --------------------------------------------------------------------------
+# f_datetime — timestamp family over events (ns-parquet → µs normalize)
+def f_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    ts = F.col("ts")
+    return events.filter(F.col("event_id") < 20).select(
+        "event_id",
+        F.hour(ts).cast("int").alias("hh"),
+        F.minute(ts).cast("int").alias("mi"),
+        F.second(ts).cast("int").alias("ss"),
+        F.date_trunc("hour", ts).alias("thour"),
+        F.date_trunc("minute", ts).alias("tmin"),
+        ts.cast("date").alias("tdate"),
+        F.unix_timestamp(ts.cast("timestamp")).cast("bigint").alias("unix_s"),
+        F.date_format(ts, "yyyy-MM-dd HH:mm").alias("tfmt"),
+        F.timestamp_micros(F.unix_timestamp(ts.cast("timestamp")) * 1000000).alias(
+            "roundtrip"
+        ),
+    )
+
+
+F_DATETIME_SQL = """
+SELECT event_id,
+  CAST(hour(t) AS INT) AS hh, CAST(minute(t) AS INT) AS mi,
+  CAST(second(t) AS INT) AS ss,
+  date_trunc('hour', t) AS thour, date_trunc('minute', t) AS tmin,
+  CAST(t AS DATE) AS tdate,
+  CAST(floor(epoch(t)) AS BIGINT) AS unix_s,
+  strftime(t, '%Y-%m-%d %H:%M') AS tfmt,
+  to_timestamp(CAST(floor(epoch(t)) AS BIGINT))::TIMESTAMP AS roundtrip
+FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_id < 20)
+"""
+
+
+# --------------------------------------------------------------------------
+# f_regex — regex family over part names
+def f_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    s = F.col("p_name")
+    return part.filter(F.col("p_partkey") < 25).select(
+        "p_partkey",
+        s.rlike("^[a-z]+ ").alias("rl"),
+        F.regexp_extract(s, "([a-z]+) ([a-z]+)", 2).alias("rext"),
+        F.regexp_replace(s, "[aeiou]", "#").alias("rrepl"),
+        F.regexp_count(s, F.lit("[aeiou]")).cast("bigint").alias("rcnt"),
+        F.split(s, " ").getItem(0).alias("rsplit0"),
+        F.regexp_substr(s, F.lit("w[a-z]+")).alias("rsub"),
+    )
+
+
+F_REGEX_SQL = """
+SELECT p_partkey,
+  regexp_matches(p_name, '^[a-z]+ ') AS rl,
+  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS rext,
+  regexp_replace(p_name, '[aeiou]', '#', 'g') AS rrepl,
+  CAST(length(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS rcnt,
+  string_split_regex(p_name, ' ')[1] AS rsplit0,
+  CASE WHEN regexp_extract(p_name, 'w[a-z]+') = '' THEN NULL
+       ELSE regexp_extract(p_name, 'w[a-z]+') END AS rsub
+FROM part WHERE p_partkey < 25
+"""
+
+
+# --------------------------------------------------------------------------
+# f_json — JSON family over events.props ('{"k": <int>}')
+def f_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (events,) = tables(spark, sf_dir, "events")
+    p = F.col("props")
+    return events.filter(F.col("event_id") < 20).select(
+        "event_id",
+        F.get_json_object(p, "$.k").alias("jext"),
+        F.get_json_object(p, "$.k").cast("bigint").alias("jint"),
+        F.get_json_object(p, "$.missing").alias("jmiss"),
+        F.json_array_length(F.concat(F.lit("[1,2,"), F.get_json_object(p, "$.k"), F.lit("]")))
+        .cast("bigint")
+        .alias("jalen"),
+        F.schema_of_json(F.lit('{"k": 1}')).alias("jschema"),
+        F.to_json(F.struct(F.col("event_id").alias("id"))).alias("jmake"),
+    )
+
+
+F_JSON_SQL = """
+SELECT event_id,
+  json_extract_string(props, '$.k') AS jext,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS jint,
+  json_extract_string(props, '$.missing') AS jmiss,
+  CAST(json_array_length('[1,2,' || json_extract_string(props, '$.k') || ']') AS BIGINT) AS jalen,
+  'STRUCT<k: BIGINT>' AS jschema,
+  '{"id":' || event_id || '}' AS jmake
+FROM events WHERE event_id < 20
+"""
+
+
+# --------------------------------------------------------------------------
+# f_array — array family (built via split/sequence; higher-order funcs)
+def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nation,) = tables(spark, sf_dir, "nation")
+    nums = F.sequence(F.lit(1), (F.col("n_nationkey") % 5) + 2)
+    words = F.split(F.col("n_name"), "_")
+    return nation.select(
+        "n_nationkey",
+        F.size(nums).cast("bigint").alias("card"),
+        F.element_at(nums, 1).alias("el1"),
+        F.array_contains(nums, 3).alias("has3"),
+        F.array_position(nums, 2).cast("bigint").alias("pos2"),
+        F.array_max(nums).alias("amax"),
+        F.array_min(nums).alias("amin"),
+        F.sort_array(F.array_distinct(F.concat(nums, nums))).alias("adist"),
+        F.sort_array(F.array_union(nums, F.array(F.lit(9)))).alias("aunion"),
+        F.sort_array(F.array_intersect(nums, F.sequence(F.lit(2), F.lit(4)))).alias("aint"),
+        F.sort_array(F.array_except(nums, F.sequence(F.lit(1), F.lit(2)))).alias("aexc"),
+        F.slice(nums, 1, 2).alias("aslice"),
+        F.array_join(words, "/").alias("ajoin"),
+        F.arrays_overlap(nums, F.sequence(F.lit(4), F.lit(6))).alias("aover"),
+        F.flatten(F.array(nums, nums)).alias("aflat"),
+        F.reverse(nums).alias("arev"),
+        F.sort_array(nums, asc=False).alias("asortd"),
+        F.aggregate(nums, F.lit(0), lambda acc, x: acc + x).cast("bigint").alias("asum"),
+        F.transform(nums, lambda x: x * 10).alias("axform"),
+        F.filter(nums, lambda x: x % 2 == 0).alias("afilt"),
+        F.exists(nums, lambda x: x > 4).alias("aexists"),
+        F.zip_with(nums, nums, lambda a, b: a + b).alias("azip"),
+        F.array_remove(F.concat(nums, nums), 1).alias("arem"),
+        F.array_repeat(F.col("n_nationkey"), 2).alias("arep"),
+    )
+
+
+F_ARRAY_SQL = """
+SELECT n_nationkey,
+  CAST(length(nums) AS BIGINT) AS card,
+  nums[1] AS el1,
+  list_contains(nums, 3) AS has3,
+  CAST(list_position(nums, 2) AS BIGINT) AS pos2,
+  list_max(nums) AS amax,
+  list_min(nums) AS amin,
+  list_sort(list_distinct(nums || nums)) AS adist,
+  list_sort(list_distinct(nums || [9])) AS aunion,
+  list_sort(list_intersect(nums, [2,3,4])) AS aint,
+  list_sort(list_filter(list_distinct(nums), x -> x NOT IN (1,2))) AS aexc,
+  array_slice(nums, 1, 2) AS aslice,
+  array_to_string(string_split(n_name, '_'), '/') AS ajoin,
+  length(list_intersect(nums, [4,5,6])) > 0 AS aover,
+  nums || nums AS aflat,
+  list_reverse(nums) AS arev,
+  list_sort(nums, 'DESC') AS asortd,
+  CAST(list_aggregate(nums, 'sum') AS BIGINT) AS asum,
+  list_transform(nums, x -> x * 10) AS axform,
+  list_filter(nums, x -> x % 2 = 0) AS afilt,
+  length(list_filter(nums, x -> x > 4)) > 0 AS aexists,
+  list_transform(nums, x -> x + x) AS azip,
+  list_filter(nums || nums, x -> x <> 1) AS arem,
+  [n_nationkey, n_nationkey] AS arep
+FROM (SELECT n_nationkey, n_name,
+             generate_series(1, (n_nationkey % 5) + 2) AS nums
+      FROM nation)
+"""
+
+
+# --------------------------------------------------------------------------
+# f_hash — hash/encoding family; Spark-only algorithms via literal oracle
+def f_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (region,) = tables(spark, sf_dir, "region")
+    s = F.col("r_name")
+    return region.select(
+        "r_name",
+        F.md5(s.cast("binary")).alias("h_md5"),
+        F.sha2(s.cast("binary"), 256).alias("h_sha256"),
+        F.sha1(s.cast("binary")).alias("h_sha1"),
+        F.crc32(s.cast("binary")).alias("h_crc32"),
+        F.xxhash64(s).alias("h_xx64"),
+        F.hash(s).alias("h_murmur3"),
+        F.soundex(s).alias("h_sdx"),
+        F.base64(s.cast("binary")).alias("e_b64"),
+        F.unbase64(F.base64(s.cast("binary"))).cast("string").alias("e_b64rt"),
+        F.hex(s.cast("binary")).alias("e_hex"),
+        F.unhex(F.hex(s.cast("binary"))).cast("string").alias("e_hexrt"),
+    )
+
+
+def _f_hash_oracle() -> str:
+    rows = []
+    for name in REGION_NAMES:
+        b = name.encode()
+        rows.append(
+            "('{0}', '{1}', '{2}', '{3}', {4}, {5}, {6}, '{7}', '{8}', '{9}', '{10}', '{11}')".format(
+                name,
+                hashlib.md5(b).hexdigest(),
+                hashlib.sha256(b).hexdigest(),
+                hashlib.sha1(b).hexdigest(),
+                zlib.crc32(b),
+                SPARK_XXHASH64[name],
+                SPARK_MURMUR3[name],
+                SPARK_SOUNDEX[name],
+                b64.b64encode(b).decode(),
+                name,
+                b.hex().upper(),
+                name,
+            )
+        )
+    return (
+        "SELECT * FROM (VALUES {0}) AS t(r_name, h_md5, h_sha256, h_sha1, h_crc32, "
+        "h_xx64, h_murmur3, h_sdx, e_b64, e_b64rt, e_hex, e_hexrt)".format(",".join(rows))
+    )
+
+
+# --------------------------------------------------------------------------
+# f_url — URL family (no DuckDB equivalent → literal oracle)
+URL_TEMPLATE = "https://example.com:8080/path/{0}?q={1}&lang=en#frag{2}"
+
+
+def f_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (region,) = tables(spark, sf_dir, "region")
+    low = F.regexp_replace(F.lower(F.col("r_name")), " ", "-")
+    key = F.col("r_regionkey").cast("string")
+    url = F.concat(
+        F.lit("https://example.com:8080/path/"), low,
+        F.lit("?q="), low, F.lit("&lang=en#frag"), key,
+    )
+    return region.select(
+        "r_name",
+        F.parse_url(url, F.lit("HOST")).alias("u_host"),
+        F.parse_url(url, F.lit("PATH")).alias("u_path"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("u_proto"),
+        F.parse_url(url, F.lit("QUERY")).alias("u_query"),
+        F.parse_url(url, F.lit("REF")).alias("u_frag"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("q")).alias("u_param"),
+        F.url_encode(F.concat(F.col("r_name"), F.lit(" & co/1"))).alias("u_enc"),
+        F.url_decode(F.url_encode(F.col("r_name"))).alias("u_dec"),
+    )
+
+
+def _f_url_oracle() -> str:
+    rows = []
+    for i, name in enumerate(REGION_NAMES):
+        low = name.lower().replace(" ", "-")
+        enc = urllib.parse.quote_plus(f"{name} & co/1")
+        rows.append(
+            f"('{name}', 'example.com', '/path/{low}', 'https', "
+            f"'q={low}&lang=en', 'frag{i}', '{low}', '{enc}', '{name}')"
+        )
+    return (
+        "SELECT * FROM (VALUES {0}) AS t(r_name, u_host, u_path, u_proto, u_query, "
+        "u_frag, u_param, u_enc, u_dec)".format(",".join(rows))
+    )
+
+
+# --------------------------------------------------------------------------
+# f_conditional — CASE/IF/COALESCE/NULLIF/GREATEST/LEAST/TRY over supplier
+def f_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (supplier,) = tables(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    k = F.col("s_suppkey")
+    return supplier.filter(k < 25).select(
+        "s_suppkey",
+        F.when(bal > 5000, "high").when(bal > 1000, "mid").otherwise("low").alias("c_case"),
+        F.coalesce(F.nullif(F.col("s_name"), F.col("s_name")), F.lit("fallback")).alias(
+            "c_coalesce"
+        ),
+        F.nullif((k % 3).cast("bigint"), F.lit(0)).alias("c_nullif"),
+        F.greatest(bal, F.lit(100.0), (k * 1000).cast("double")).alias("c_greatest"),
+        F.least(bal, F.lit(100.0), (k * 1000).cast("double")).alias("c_least"),
+        F.expr("if(s_acctbal < 0, 'neg', 'pos')").alias("c_if"),
+        F.try_divide(bal, (k % 2).cast("double")).alias("c_trydiv"),
+        F.expr("try_cast(s_name AS DOUBLE)").alias("c_trycast"),
+        bal.isNull().alias("c_isnull"),
+        bal.isNotNull().alias("c_isnotnull"),
+        F.isnan(F.lit(float("nan"))).alias("c_isnan"),
+        (F.lit(float("inf")) > F.lit(1.0e308)).alias("c_isinf"),
+    )
+
+
+F_CONDITIONAL_SQL = """
+SELECT s_suppkey,
+  CASE WHEN s_acctbal > 5000 THEN 'high' WHEN s_acctbal > 1000 THEN 'mid'
+       ELSE 'low' END AS c_case,
+  coalesce(nullif(s_name, s_name), 'fallback') AS c_coalesce,
+  nullif(CAST(s_suppkey % 3 AS BIGINT), 0) AS c_nullif,
+  greatest(s_acctbal, 100.0, CAST(s_suppkey * 1000 AS DOUBLE)) AS c_greatest,
+  least(s_acctbal, 100.0, CAST(s_suppkey * 1000 AS DOUBLE)) AS c_least,
+  CASE WHEN s_acctbal < 0 THEN 'neg' ELSE 'pos' END AS c_if,
+  CASE WHEN s_suppkey % 2 = 0 THEN NULL
+       ELSE s_acctbal / (s_suppkey % 2) END AS c_trydiv,
+  try_cast(s_name AS DOUBLE) AS c_trycast,
+  s_acctbal IS NULL AS c_isnull,
+  s_acctbal IS NOT NULL AS c_isnotnull,
+  isnan('nan'::DOUBLE) AS c_isnan,
+  isinf('inf'::DOUBLE) AS c_isinf
+FROM supplier WHERE s_suppkey < 25
+"""
+
+
+# --------------------------------------------------------------------------
+# f_bitwise — bitwise family
+def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nation,) = tables(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    return nation.select(
+        "n_nationkey",
+        k.bitwiseAND(F.lit(3)).alias("b_and"),
+        k.bitwiseOR(F.lit(8)).alias("b_or"),
+        k.bitwiseXOR(F.lit(5)).alias("b_xor"),
+        F.bitwise_not(k.cast("long")).alias("b_not"),
+        F.shiftleft(k, 2).cast("bigint").alias("b_shl"),
+        F.shiftright(k, 1).cast("bigint").alias("b_shr"),
+        F.bit_count(k).cast("int").alias("b_cnt"),
+        F.expr("getbit(n_nationkey, 0)").cast("int").alias("b_get"),
+    )
+
+
+F_BITWISE_SQL = """
+SELECT n_nationkey,
+  n_nationkey & 3 AS b_and,
+  n_nationkey | 8 AS b_or,
+  xor(n_nationkey, 5) AS b_xor,
+  CAST(~n_nationkey AS BIGINT) AS b_not,
+  CAST(n_nationkey << 2 AS BIGINT) AS b_shl,
+  CAST(n_nationkey >> 1 AS BIGINT) AS b_shr,
+  CAST(bit_count(n_nationkey) AS INT) AS b_cnt,
+  CAST(n_nationkey & 1 AS INT) AS b_get
+FROM nation
+"""
+
+
+# --------------------------------------------------------------------------
+# f_agg_stats — statistical aggregates; oracle uses explicit moment
+# formulas where DuckDB's bias-correction differs from Spark's
+# population formulas (skewness/kurtosis).
+def f_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    li = lineitem.filter(F.col("l_orderkey") < 1000)
+    x = F.col("l_extendedprice")
+    q = F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp(x), 4).alias("sd_samp"),
+            F.round(F.stddev_pop(x), 4).alias("sd_pop"),
+            F.round(F.var_samp(x), 2).alias("v_samp"),
+            F.round(F.var_pop(x), 2).alias("v_pop"),
+            F.round(F.corr(x, q), 6).alias("corr_xq"),
+            F.round(F.covar_pop(x, q), 4).alias("cv_pop"),
+            F.round(F.covar_samp(x, q), 4).alias("cv_samp"),
+            F.round(F.skewness(x), 6).alias("skew_x"),
+            F.round(F.kurtosis(x), 6).alias("kurt_x"),
+            F.round(F.expr("regr_slope(l_extendedprice, l_quantity)"), 4).alias("r_slope"),
+            F.round(F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4).alias("r_icept"),
+            F.expr("regr_count(l_extendedprice, l_quantity)").cast("bigint").alias("r_count"),
+            F.round(F.expr("regr_avgx(l_extendedprice, l_quantity)"), 6).alias("r_avgx"),
+            F.round(F.expr("regr_avgy(l_extendedprice, l_quantity)"), 6).alias("r_avgy"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+F_AGG_STATS_SQL = """
+SELECT l_returnflag,
+  round(stddev_samp(x), 4) AS sd_samp,
+  round(stddev_pop(x), 4) AS sd_pop,
+  round(var_samp(x), 2) AS v_samp,
+  round(var_pop(x), 2) AS v_pop,
+  round(corr(x, q), 6) AS corr_xq,
+  round(covar_pop(x, q), 4) AS cv_pop,
+  round(covar_samp(x, q), 4) AS cv_samp,
+  round(avg((x - mx)*(x - mx)*(x - mx)) / pow(stddev_pop(x), 3), 6) AS skew_x,
+  round(avg((x - mx)*(x - mx)*(x - mx)*(x - mx)) / pow(var_pop(x), 2) - 3, 6) AS kurt_x,
+  round(regr_slope(x, q), 4) AS r_slope,
+  round(regr_intercept(x, q), 4) AS r_icept,
+  CAST(regr_count(x, q) AS BIGINT) AS r_count,
+  round(regr_avgx(x, q), 6) AS r_avgx,
+  round(regr_avgy(x, q), 6) AS r_avgy
+FROM (
+  SELECT l_returnflag, l_extendedprice AS x, l_quantity AS q,
+         avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mx
+  FROM lineitem WHERE l_orderkey < 1000
+)
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# f_agg_misc — bool/positional/conditional aggregates + listagg
+def f_agg_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation, supplier = tables(spark, sf_dir, "nation", "supplier")
+    j = supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    return (
+        j.groupBy("n_regionkey")
+        .agg(
+            F.count_if(F.col("s_acctbal") > 5000).cast("bigint").alias("cnt_if"),
+            F.bool_and(F.col("s_acctbal") > -2000).alias("ball"),
+            F.bool_or(F.col("s_acctbal") > 9000).alias("bany"),
+            F.any_value(F.col("n_regionkey")).cast("bigint").alias("anyv"),
+            F.min_by(F.col("s_name"), F.col("s_suppkey")).alias("minby"),
+            F.max_by(F.col("s_name"), F.col("s_suppkey")).alias("maxby"),
+            F.array_join(F.sort_array(F.collect_list(F.col("n_name"))), ",").alias("lagg"),
+            F.round(F.exp(F.avg(F.log(F.col("s_acctbal") + 20000))), 6).alias("geomean"),
+            F.bit_and(F.col("s_suppkey")).cast("bigint").alias("bw_and"),
+            F.bit_or(F.col("s_suppkey")).cast("bigint").alias("bw_or"),
+            F.bit_xor(F.col("s_suppkey")).cast("bigint").alias("bw_xor"),
+            F.countDistinct(F.col("n_name")).alias("cntd"),
+            F.first(F.col("n_regionkey"), ignorenulls=True).cast("bigint").alias("arb"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+F_AGG_MISC_SQL = """
+SELECT n_regionkey,
+  CAST(count_if(s_acctbal > 5000) AS BIGINT) AS cnt_if,
+  bool_and(s_acctbal > -2000) AS ball,
+  bool_or(s_acctbal > 9000) AS bany,
+  CAST(any_value(n_regionkey) AS BIGINT) AS anyv,
+  min_by(s_name, s_suppkey) AS minby,
+  max_by(s_name, s_suppkey) AS maxby,
+  string_agg(n_name, ',' ORDER BY n_name) AS lagg,
+  round(exp(avg(ln(s_acctbal + 20000))), 6) AS geomean,
+  CAST(bit_and(s_suppkey) AS BIGINT) AS bw_and,
+  CAST(bit_or(s_suppkey) AS BIGINT) AS bw_or,
+  CAST(bit_xor(s_suppkey) AS BIGINT) AS bw_xor,
+  CAST(count(DISTINCT n_name) AS BIGINT) AS cntd,
+  CAST(any_value(n_regionkey) AS BIGINT) AS arb
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+"""
+
+
+# --------------------------------------------------------------------------
+# f_percentiles — exact percentile/median (approx variants are in
+# f_approx with a rows-only check: approximation differs by engine)
+def f_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_linestatus")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+            F.round(F.median(F.col("l_quantity")), 6).alias("med"),
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+F_PERCENTILES_SQL = """
+SELECT l_linestatus,
+  round(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS p50,
+  round(CAST(quantile_cont(l_quantity, 0.9) AS DOUBLE), 6) AS p90,
+  round(CAST(median(l_quantity) AS DOUBLE), 6) AS med,
+  round(CAST(quantile_cont(l_extendedprice, 0.25) AS DOUBLE), 4) AS p25_price
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# f_approx — approximate aggregates. Engine-specific sketches (HLL++ vs
+# DuckDB's HLL; GK vs t-digest) produce different estimates by design,
+# so these get the rows-only check; exactness is bounded by the
+# f_percentiles / f_agg_misc exact twins.
+def f_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_nd"),
+            F.percentile_approx("l_quantity", 0.5, 10000).alias("approx_p50"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "f_math": f_math,
+    "f_trig": f_trig,
+    "f_string": f_string,
+    "f_date": f_date,
+    "f_datetime": f_datetime,
+    "f_regex": f_regex,
+    "f_json": f_json,
+    "f_array": f_array,
+    "f_hash": f_hash,
+    "f_url": f_url,
+    "f_conditional": f_conditional,
+    "f_bitwise": f_bitwise,
+    "f_agg_stats": f_agg_stats,
+    "f_agg_misc": f_agg_misc,
+    "f_percentiles": f_percentiles,
+    "f_approx": f_approx,
+}
+
+ORACLE: dict[str, str] = {
+    "f_math": F_MATH_SQL,
+    "f_trig": F_TRIG_SQL,
+    "f_string": F_STRING_SQL,
+    "f_date": F_DATE_SQL,
+    "f_datetime": F_DATETIME_SQL,
+    "f_regex": F_REGEX_SQL,
+    "f_json": F_JSON_SQL,
+    "f_array": F_ARRAY_SQL,
+    "f_hash": _f_hash_oracle(),
+    "f_url": _f_url_oracle(),
+    "f_conditional": F_CONDITIONAL_SQL,
+    "f_bitwise": F_BITWISE_SQL,
+    "f_agg_stats": F_AGG_STATS_SQL,
+    "f_agg_misc": F_AGG_MISC_SQL,
+    "f_percentiles": F_PERCENTILES_SQL,
+    # f_approx: intentionally no oracle (engine-specific sketches)
+}

@@ -1,0 +1,230 @@
+"""Similarity-search suite: ANN over the embeddings table.
+
+Extension scope (north star): brute-force cosine top-k as the exact
+baseline, and an IVF-style bucketed variant as the scale path. Built
+on the reference's COSINE_SIMILARITY / COSINE_DISTANCE surface
+(/root/reference/src/planner/logical_expr.rs:327-328) generalized to
+top-k retrieval.
+
+Scale notes (100 TB): the query set is tiny → broadcast; brute-force
+is then a map-only scan over the corpus with a TakeOrderedAndProject
+top-k — no O(n²) shuffle. The IVF variant prunes the scan to the
+query's centroid bucket: corpus partitioned/bucketed by centroid id
+at write time means candidate fetch touches one bucket per query —
+the classic IVF index expressed as Spark partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tpch import tables
+
+TOP_K = 5
+N_QUERIES = 3  # vec_id < 3 are the query vectors
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# --------------------------------------------------------------------------
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan → windowed top-k."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(e.filter(F.col("vec_id") >= N_QUERIES))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("q_id", "rk")
+    )
+
+
+_COS_SQL = """
+    round(
+      list_aggregate(list_transform(generate_series(1, length(q.qv)),
+                                    i -> q.qv[i] * e.v[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(q.qv, x -> x*x), 'sum'))
+         * sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))), 6)
+"""
+
+SIM_BRUTE_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
+  FROM queries q CROSS JOIN vecs e
+  WHERE e.vec_id >= {N_QUERIES}
+)
+SELECT q_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
+N_CENTROIDS_MOD = 127  # vec_id % 127 == 0 → deterministic "centroids"
+
+
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: assign every vector to its nearest centroid
+    (argmin cosine distance), then answer queries only within the
+    query's bucket. Deterministic centroid choice = reproducible
+    approximate results, oracle-checkable."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    centroids = e.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    )
+    # assignment: argmax cosine over centroids (broadcast), tie → c_id
+    assigned = (
+        e.join(F.broadcast(centroids))
+        .select(
+            "vec_id",
+            "v",
+            "c_id",
+            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "v", F.col("c_id").alias("bucket"))
+    )
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(assigned, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") >= N_QUERIES))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("q_id", "rk")
+    )
+
+
+SIM_IVF_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id % {N_CENTROIDS_MOD} = 0
+), assigned AS (
+  SELECT vec_id, v, bucket FROM (
+    SELECT e.vec_id, e.v, c.c_id AS bucket,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round(
+          list_aggregate(list_transform(generate_series(1, length(e.v)),
+                                        i -> e.v[i] * c.cv[i]), 'sum')
+          / (sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))
+             * sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))), 6) DESC,
+          c.c_id) AS rk
+    FROM vecs e CROSS JOIN centroids c
+  ) WHERE rk = 1
+), queries AS (
+  SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM assigned WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL.replace("q.qv", "q.qv").replace("e.v", "e.v")} AS cosine
+  FROM queries q JOIN assigned e ON e.bucket = q.qb AND e.vec_id >= {N_QUERIES}
+)
+SELECT q_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
+def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-similarity distribution over sampled pairs — corpus
+    diagnostics (embedding collapse / duplication detection)."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    s = e.filter(F.col("vec_id") < 80)
+    a, b = s.alias("a"), s.alias("b")
+    cos = _cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.floor(F.round(cos, 6) * 10).cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+SIM_PAIR_HISTOGRAM_SQL = """
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 80
+)
+SELECT CAST(floor(round(
+    list_aggregate(list_transform(generate_series(1, length(a.v)),
+                                  i -> a.v[i] * b.v[i]), 'sum')
+    / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+       * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6) * 10)
+  AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+GROUP BY 1 ORDER BY 1
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sim_brute_topk": sim_brute_topk,
+    "sim_ivf_topk": sim_ivf_topk,
+    "sim_pair_histogram": sim_pair_histogram,
+}
+
+ORACLE: dict[str, str] = {
+    "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
+    "sim_ivf_topk": SIM_IVF_TOPK_SQL,
+    "sim_pair_histogram": SIM_PAIR_HISTOGRAM_SQL,
+}

@@ -1,0 +1,296 @@
+"""Text-analysis suite for training-data pipelines.
+
+Extension operators beyond the reference (north-star scope): token
+counting, quality scoring, language-ID heuristics, document
+fingerprinting, token frequency. The reference's closest surface is
+its WORD_STEM / NGRAMS / string functions
+(/root/reference/src/planner/logical_expr.rs:329-364, 506-535); here
+each op is a whole-document transform built from native Spark
+higher-order/array/regex functions — JVM-side, no Python UDFs — so
+the hot path stays in whole-stage codegen.
+
+Scale notes: all per-document computations are map-only (no shuffle);
+the only shuffles are the final small aggregations. At 100 TB these
+run at parquet-scan speed with full column pruning (only `text` +
+keys are read).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .tpch import tables
+
+# Fixed per-language marker-token lists for the heuristic classifier.
+# (Deterministic scoring function — the point is the operator shape;
+# the synthetic corpus shares one vocabulary across langs.)
+LANG_MARKERS = {
+    "en": ["the", "a", "fast", "value"],
+    "es": ["el", "la", "data", "sort"],
+    "fr": ["le", "la", "query", "merge"],
+    "de": ["der", "die", "hash", "batch"],
+    "zh": ["zh", "spark", "join", "window"],
+}
+
+
+def _tokens():
+    return F.split(F.col("text"), " ")
+
+
+# --------------------------------------------------------------------------
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts + quality-score components per document."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    return (
+        documents.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+            F.length("text").cast("bigint").alias("n_chars_m"),
+            F.round(
+                F.length(F.regexp_replace(F.col("text"), " ", "")) / F.size(toks), 6
+            ).alias("avg_tok_len"),
+            F.array_max(F.transform(toks, lambda t: F.length(t)))
+            .cast("bigint")
+            .alias("max_tok_len"),
+            F.round(
+                F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+            ).alias("ttr"),
+            F.regexp_count(F.col("text"), F.lit("[aeiou]")).cast("bigint").alias("n_vowels"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT doc_id,
+  CAST(length(toks) AS BIGINT) AS n_tokens,
+  CAST(length(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  CAST(length(text) AS BIGINT) AS n_chars_m,
+  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / length(toks), 6) AS avg_tok_len,
+  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_tok_len,
+  round(CAST(length(list_distinct(toks)) AS DOUBLE) / length(toks), 6) AS ttr,
+  CAST(length(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels
+FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 100)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality scoring: per-source aggregate quality gates
+    (mean token count, stopword ratio, short-doc rate) — the shape of a
+    pretraining quality filter."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    per_doc = documents.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        (stop_hits / F.size(toks)).alias("stop_ratio"),
+        (F.size(toks) < 12).cast("int").alias("is_short"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tok"), 6).alias("mean_tokens"),
+            F.round(F.avg("stop_ratio"), 6).alias("mean_stop_ratio"),
+            F.sum("is_short").cast("bigint").alias("n_short"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_QUALITY_SQL = """
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  round(avg(n_tok), 6) AS mean_tokens,
+  round(avg(stop_ratio), 6) AS mean_stop_ratio,
+  CAST(SUM(is_short) AS BIGINT) AS n_short
+FROM (
+  SELECT source, length(toks) AS n_tok,
+    CAST(length(list_filter(toks, t -> t IN ('the','a','of','and'))) AS DOUBLE)
+      / length(toks) AS stop_ratio,
+    CAST(length(toks) < 12 AS INT) AS is_short
+  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+)
+GROUP BY source
+ORDER BY source
+"""
+
+
+# --------------------------------------------------------------------------
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID: score each language by marker hits,
+    pick argmax (ties broken by language code), report the confusion
+    counts vs the labeled lang column."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    def marker_hits(ws):
+        # closure factory: a default-arg lambda would change the arity
+        # and make Spark pass the element index into the captured slot
+        return lambda t: t.isin(*ws)
+
+    scores = [
+        F.size(F.filter(toks, marker_hits(tuple(ws)))).alias(f"s_{lang}")
+        for lang, ws in LANG_MARKERS.items()
+    ]
+    scored = documents.select("doc_id", "lang", *scores)
+    # argmax over (score, lang) pairs — greatest-by-struct, deterministic
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"s_{lang}").alias("score"), F.lit(lang).alias("lang"))
+            for lang in LANG_MARKERS
+        ]
+    )
+    # max over (score asc, lang desc) — array_max picks highest score,
+    # ties → lexicographically LAST lang; mirror exactly in SQL
+    predicted = scored.select(
+        "doc_id", "lang", F.array_max(pairs).getField("lang").alias("predicted")
+    )
+    return (
+        predicted.groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _langid_oracle() -> str:
+    score_exprs = ", ".join(
+        "length(list_filter(toks, t -> t IN ({0}))) AS s_{1}".format(
+            ",".join(f"'{w}'" for w in ws), lang
+        )
+        for lang, ws in LANG_MARKERS.items()
+    )
+    structs = ", ".join(
+        f"{{'score': s_{lang}, 'lang': '{lang}'}}" for lang in LANG_MARKERS
+    )
+    return f"""
+SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT doc_id, lang, list_max([{structs}]).lang AS predicted
+  FROM (
+    SELECT doc_id, lang, {score_exprs}
+    FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents)
+  )
+)
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+"""
+
+
+# --------------------------------------------------------------------------
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 content hash of normalized text +
+    64-bit numeric fingerprint (first 16 hex digits), with duplicate
+    grouping — the exact-dedup primitive."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), "\\s+", " "))
+    fp = F.md5(norm.cast("binary"))
+    return (
+        documents.select(
+            "doc_id",
+            fp.alias("fingerprint"),
+            F.conv(F.substring(fp, 1, 15), 16, 10).cast("bigint").alias("fp_num"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id, fingerprint,
+  CAST(('0x' || substr(fingerprint, 1, 15)) AS BIGINT) AS fp_num
+FROM (
+  SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+)
+ORDER BY doc_id
+LIMIT 200
+"""
+
+
+# --------------------------------------------------------------------------
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token frequency top-20 (explode → count → top-k)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    return (
+        documents.select(F.explode(_tokens()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(20)
+    )
+
+
+TEXT_TOKEN_FREQ_SQL = """
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigram extraction + distinct-ngram counts per doc
+    (reference NGRAMS, logical_expr.rs:533)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    bigrams = F.transform(
+        F.slice(toks, 1, F.size(toks) - 1),
+        lambda t, i: F.concat_ws(" ", t, F.element_at(toks, i + 2)),
+    )
+    return (
+        documents.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(bigrams).cast("bigint").alias("n_bigrams"),
+            F.size(F.array_distinct(bigrams)).cast("bigint").alias("n_distinct_bigrams"),
+            F.element_at(F.sort_array(F.array_distinct(bigrams)), 1).alias("first_bigram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_NGRAMS_SQL = """
+SELECT doc_id,
+  CAST(length(bigrams) AS BIGINT) AS n_bigrams,
+  CAST(length(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+  list_sort(list_distinct(bigrams))[1] AS first_bigram
+FROM (
+  SELECT doc_id,
+    list_transform(generate_series(1, length(toks) - 1),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        FROM documents WHERE doc_id < 100)
+)
+ORDER BY doc_id
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_stats": text_stats,
+    "text_quality": text_quality,
+    "text_langid": text_langid,
+    "text_fingerprint": text_fingerprint,
+    "text_token_freq": text_token_freq,
+    "text_ngrams": text_ngrams,
+}
+
+ORACLE: dict[str, str] = {
+    "text_stats": TEXT_STATS_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_langid": _langid_oracle(),
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_token_freq": TEXT_TOKEN_FREQ_SQL,
+    "text_ngrams": TEXT_NGRAMS_SQL,
+}

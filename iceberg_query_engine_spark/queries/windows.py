@@ -1,0 +1,231 @@
+"""Window-function suite — surplus surface the reference lacks.
+
+The reference has NO window functions (SURVEY.md "What it is NOT";
+its roadmap lists them at /root/reference/README.md:277-281). Spark
+gives them natively; we expose ranking, offset, framed-aggregate and
+distribution functions over deterministic (unique) orderings so the
+DuckDB oracle compares exactly.
+
+Scale notes: each window here partitions by a bounded-cardinality key
+before sorting, so at 100 TB every partition sorts locally after a
+hash shuffle — no global sort. Frames are bounded (rowsBetween) so
+state stays O(frame).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tpch import tables
+
+
+def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (supplier,) = tables(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("s_suppkey"))
+    return (
+        supplier.select(
+            "s_suppkey",
+            F.col("s_nationkey").cast("bigint").alias("nk"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rk"),
+            F.dense_rank().over(w).cast("bigint").alias("drk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+WIN_RANKING_SQL = """
+SELECT s_suppkey, CAST(s_nationkey AS BIGINT) AS nk,
+  CAST(row_number() OVER w AS BIGINT) AS rn,
+  CAST(rank() OVER w AS BIGINT) AS rk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drk,
+  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey)
+ORDER BY s_suppkey
+"""
+
+
+def win_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+            F.lead("o_totalprice", 1).over(w).alias("next_price"),
+            F.lag("o_totalprice", 2, -1.0).over(w).alias("prev2_price"),
+            F.first("o_totalprice").over(w).alias("first_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+WIN_OFFSET_SQL = """
+SELECT o_orderkey,
+  lag(o_totalprice, 1) OVER w AS prev_price,
+  lead(o_totalprice, 1) OVER w AS next_price,
+  lag(o_totalprice, 2, -1.0) OVER w AS prev2_price,
+  first_value(o_totalprice) OVER w AS first_price
+FROM orders WHERE o_custkey < 50
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def win_framed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running + moving aggregates with explicit ROWS frames."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    o = orders.filter(F.col("o_custkey") < 50)
+    run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mov = Window.partitionBy("o_custkey").orderBy("o_orderkey").rowsBetween(-2, 0)
+    return (
+        o.select(
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(run), 4).alias("run_sum"),
+            F.count(F.lit(1)).over(run).cast("bigint").alias("run_cnt"),
+            F.round(F.avg("o_totalprice").over(mov), 4).alias("mov_avg3"),
+            F.max("o_totalprice").over(mov).alias("mov_max3"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+WIN_FRAMED_AGG_SQL = """
+SELECT o_orderkey,
+  round(sum(o_totalprice) OVER run, 4) AS run_sum,
+  CAST(count(*) OVER run AS BIGINT) AS run_cnt,
+  round(avg(o_totalprice) OVER mov, 4) AS mov_avg3,
+  max(o_totalprice) OVER mov AS mov_max3
+FROM orders WHERE o_custkey < 50
+WINDOW
+  run AS (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  mov AS (PARTITION BY o_custkey ORDER BY o_orderkey
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (nation,) = tables(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    return (
+        nation.select(
+            "n_nationkey",
+            F.round(F.percent_rank().over(w), 9).alias("prk"),
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+WIN_DISTRIBUTION_SQL = """
+SELECT n_nationkey,
+  round(percent_rank() OVER w, 9) AS prk,
+  round(cume_dist() OVER w, 9) AS cd
+FROM nation
+WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey)
+ORDER BY n_nationkey
+"""
+
+
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic top-k-per-group pattern (row_number + filter)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 2) & (F.col("o_custkey") < 30))
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+WIN_TOPK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 2 AND o_custkey < 30
+ORDER BY o_custkey, rn
+"""
+
+
+def win_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP — GROUPING SETS family (reference roadmap gap)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.grouping_id().cast("bigint").alias("gid"),
+        )
+        .orderBy(
+            F.col("gid"),
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+WIN_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def win_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    return (
+        lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+WIN_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "win_ranking": win_ranking,
+    "win_offset": win_offset,
+    "win_framed_agg": win_framed_agg,
+    "win_distribution": win_distribution,
+    "win_topk_per_group": win_topk_per_group,
+    "win_rollup": win_grouping_sets,
+    "win_cube": win_cube,
+}
+
+ORACLE: dict[str, str] = {
+    "win_ranking": WIN_RANKING_SQL,
+    "win_offset": WIN_OFFSET_SQL,
+    "win_framed_agg": WIN_FRAMED_AGG_SQL,
+    "win_distribution": WIN_DISTRIBUTION_SQL,
+    "win_topk_per_group": WIN_TOPK_SQL,
+    "win_rollup": WIN_GROUPING_SETS_SQL,
+    "win_cube": WIN_CUBE_SQL,
+}

@@ -44,13 +44,20 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             if math.isnan(v):
                 return "<null>"
             return repr(v)  # full precision
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(norm(x) for x in v) + "]"
         try:
             if pd.isna(v):
                 return "<null>"
         except (TypeError, ValueError):
             pass
         if hasattr(v, "isoformat"):
-            return v.isoformat()
+            # pandas has no date dtype: DuckDB DATE arrives as midnight
+            # datetime64 while Spark yields datetime.date. Canonicalize
+            # exact-midnight datetimes to the date form (applied to both
+            # sides identically).
+            iso = v.isoformat()
+            return iso[:10] if iso.endswith("T00:00:00") else iso
         if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
             return "[" + ",".join(norm(x) for x in v) + "]"
         return str(v)
