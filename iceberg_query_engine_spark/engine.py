@@ -1,0 +1,179 @@
+"""Engine shell: the user-facing entry point, mirroring the reference's
+ExecutionContext + CLI.
+
+Reference parity:
+- ``Engine.register_parquet`` ↔ ExecutionContext::register_parquet
+  (/root/reference/src/execution/context.rs:206-214)
+- ``Engine.sql`` → QueryResult{rows, schema, row_count, metrics} ↔
+  ExecutionContext::sql (/root/reference/src/execution/context.rs:217-317)
+- CLI subcommands ↔ /root/reference/src/main.rs:24-120 (`sql`,
+  `query --num N [--plan]`, `benchmark`, `repl`)
+
+SQL accepts Trino-flavored spellings (functions/dialect.py) and the
+compat UDF pack is pre-registered, so the reference's documented
+function list resolves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions import compat, dialect
+from .session import get_spark
+from .sources import registry
+
+
+@dataclass
+class QueryMetrics:
+    plan_ms: float = 0.0
+    execute_ms: float = 0.0
+    total_ms: float = 0.0
+
+
+@dataclass
+class QueryResult:
+    rows: list
+    schema: list[tuple[str, str]]
+    row_count: int
+    metrics: QueryMetrics = field(default_factory=QueryMetrics)
+
+
+class Engine:
+    """One long-lived session; tables registered by name; SQL in,
+    results + metrics out."""
+
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or get_spark()
+        compat.register_all(self.spark)
+
+    # -- catalog ---------------------------------------------------------
+    def register_parquet(self, name: str, path: str) -> DataFrame:
+        return registry.register_parquet(self.spark, name, path)
+
+    def register_sf_dir(self, sf_dir: str) -> dict[str, DataFrame]:
+        return registry.register_sf_dir(self.spark, sf_dir)
+
+    def tables(self) -> list[str]:
+        return sorted(t.name for t in self.spark.catalog.listTables())
+
+    def schema(self, table: str) -> list[tuple[str, str]]:
+        df = self.spark.table(table)
+        return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    # -- queries ---------------------------------------------------------
+    def dataframe(self, query: str) -> DataFrame:
+        return self.spark.sql(dialect.translate(query))
+
+    def sql(self, query: str) -> QueryResult:
+        t0 = time.perf_counter()
+        df = self.dataframe(query)
+        t1 = time.perf_counter()
+        rows = df.collect()
+        t2 = time.perf_counter()
+        return QueryResult(
+            rows=rows,
+            schema=[(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+            row_count=len(rows),
+            metrics=QueryMetrics(
+                plan_ms=(t1 - t0) * 1000,
+                execute_ms=(t2 - t1) * 1000,
+                total_ms=(t2 - t0) * 1000,
+            ),
+        )
+
+    def explain(self, query: str) -> str:
+        df = self.dataframe(query)
+        return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            df._jdf.queryExecution(), "formatted"
+        )
+
+
+def _fmt_table(res: QueryResult, max_rows: int = 50) -> str:
+    names = [c for c, _ in res.schema]
+    shown = res.rows[:max_rows]
+    cells = [[("" if v is None else str(v)) for v in row] for row in shown]
+    widths = [
+        max(len(n), *(len(r[i]) for r in cells)) if cells else len(n)
+        for i, n in enumerate(names)
+    ]
+    line = "+" + "+".join("-" * (w + 2) for w in widths) + "+"
+    out = [line, "|" + "|".join(f" {n:<{w}} " for n, w in zip(names, widths)) + "|", line]
+    for r in cells:
+        out.append("|" + "|".join(f" {v:<{w}} " for v, w in zip(r, widths)) + "|")
+    out.append(line)
+    out.append(f"{res.row_count} rows ({res.metrics.total_ms:.1f} ms)")
+    return "\n".join(out)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="iceberg-query-engine-spark")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    sql_p = sub.add_parser("sql", help="run one SQL statement")
+    sql_p.add_argument("query")
+    sql_p.add_argument("--plan", action="store_true")
+    q_p = sub.add_parser("query", help="run TPC-H query N")
+    q_p.add_argument("--num", type=int, required=True)
+    q_p.add_argument("--plan", action="store_true")
+    sub.add_parser("tables", help="list registered tables")
+    sub.add_parser("repl", help="interactive SQL loop")
+    args = p.parse_args(argv)
+
+    eng = Engine()
+    eng.register_sf_dir(args.sf_dir)
+
+    if args.cmd == "sql":
+        if args.plan:
+            print(eng.explain(args.query))
+        print(_fmt_table(eng.sql(args.query)))
+    elif args.cmd == "query":
+        from .queries import tpch
+
+        fn = tpch.QUERIES[f"q{args.num}"]
+        df = fn(eng.spark, args.sf_dir)
+        if args.plan:
+            df.explain(mode="formatted")
+        t0 = time.perf_counter()
+        rows = df.collect()
+        ms = (time.perf_counter() - t0) * 1000
+        res = QueryResult(
+            rows=rows,
+            schema=[(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+            row_count=len(rows),
+            metrics=QueryMetrics(total_ms=ms, execute_ms=ms),
+        )
+        print(_fmt_table(res))
+    elif args.cmd == "tables":
+        for t in eng.tables():
+            print(t)
+    elif args.cmd == "repl":
+        while True:
+            try:
+                line = input("sql> ").strip()
+            except EOFError:
+                break
+            if line in {".quit", ".exit", "exit", "quit"}:
+                break
+            if line == ".tables":
+                print("\n".join(eng.tables()))
+                continue
+            if line.startswith(".schema"):
+                for n, t in eng.schema(line.split()[1]):
+                    print(f"  {n}  {t}")
+                continue
+            if not line:
+                continue
+            try:
+                print(_fmt_table(eng.sql(line)))
+            except Exception as exc:  # noqa: BLE001 — REPL keeps going
+                print(f"error: {exc}", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,309 @@
+"""Compat pack: reference functions with no Spark builtin (SURVEY §2.7).
+
+The reference implements these natively (statistical distributions via
+statrs — /root/reference/src/planner/logical_expr.rs:317-326; WORD_STEM,
+HMAC_*, base32, IEEE754, PARSE_DATA_SIZE —
+/root/reference/src/planner/logical_expr.rs:329-505). Spark has no
+builtins, so each is a vectorized pandas UDF over Arrow batches (the
+fast Python path — never row-at-a-time). All math is from public
+algorithms: erf-based normal CDF, Acklam's inverse-normal rational
+approximation, Lentz continued-fraction incomplete beta, Porter
+stemming, RFC 4648 base32, RFC 2104 HMAC.
+
+`register_all(spark)` exposes every function to SQL under its
+reference name, so Trino-flavored SQL text resolves verbatim.
+"""
+
+from __future__ import annotations
+
+import base64 as _b64
+import hmac as _hmac
+import math
+import re
+import struct
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+# --------------------------------------------------------------------------
+# pure-python math (shared by the UDFs and the oracle literal generator)
+def normal_cdf(mean: float, sd: float, x: float) -> float:
+    return 0.5 * (1.0 + math.erf((x - mean) / (sd * math.sqrt(2.0))))
+
+
+def inverse_normal_cdf(mean: float, sd: float, p: float) -> float:
+    """Acklam's rational approximation + one Halley refinement step."""
+    if not 0.0 < p < 1.0:
+        return float("nan")
+    a = [-3.969683028665376e01, 2.209460984245205e02, -2.759285104469687e02,
+         1.383577518672690e02, -3.066479806614716e01, 2.506628277459239e00]
+    b = [-5.447609879822406e01, 1.615858368580409e02, -1.556989798598866e02,
+         6.680131188771972e01, -1.328068155288572e01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e00,
+         -2.549732539343734e00, 4.374664141464968e00, 2.938163982698783e00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e00,
+         3.754408661907416e00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        z = (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    elif p <= phigh:
+        q = p - 0.5
+        r = q * q
+        z = (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / (
+            ((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1
+        )
+    else:
+        q = math.sqrt(-2 * math.log(1 - p))
+        z = -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / (
+            (((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1
+        )
+    # Halley refinement against erf-based CDF
+    e = 0.5 * math.erfc(-z / math.sqrt(2)) - p
+    u = e * math.sqrt(2 * math.pi) * math.exp(z * z / 2)
+    z = z - u / (1 + z * u / 2)
+    return mean + sd * z
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Lentz continued fraction for the incomplete beta function."""
+    MAXIT, EPS, FPMIN = 200, 3.0e-16, 1.0e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < EPS:
+            break
+    return h
+
+
+def beta_cdf(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def inverse_beta_cdf(a: float, b: float, p: float) -> float:
+    """Bisection + Newton on beta_cdf."""
+    if p <= 0.0:
+        return 0.0
+    if p >= 1.0:
+        return 1.0
+    lo, hi = 0.0, 1.0
+    x = 0.5
+    for _ in range(100):
+        fx = beta_cdf(a, b, x) - p
+        if abs(fx) < 1e-14:
+            break
+        if fx > 0:
+            hi = x
+        else:
+            lo = x
+        x = (lo + hi) / 2
+    return x
+
+
+def t_cdf(df: float, x: float) -> float:
+    """Student-t CDF via the incomplete beta relation."""
+    if df <= 0:
+        return float("nan")
+    ib = beta_cdf(df / 2.0, 0.5, df / (df + x * x))
+    return 1.0 - 0.5 * ib if x > 0 else 0.5 * ib
+
+
+def t_pdf(df: float, x: float) -> float:
+    if df <= 0:
+        return float("nan")
+    return math.exp(
+        math.lgamma((df + 1) / 2.0)
+        - math.lgamma(df / 2.0)
+        - 0.5 * math.log(df * math.pi)
+        - ((df + 1) / 2.0) * math.log(1.0 + x * x / df)
+    )
+
+
+def wilson_interval_lower(successes: int, trials: int, z: float) -> float:
+    p = successes / trials
+    denom = 1 + z * z / trials
+    center = p + z * z / (2 * trials)
+    margin = z * math.sqrt(p * (1 - p) / trials + z * z / (4 * trials * trials))
+    return (center - margin) / denom
+
+
+def wilson_interval_upper(successes: int, trials: int, z: float) -> float:
+    p = successes / trials
+    denom = 1 + z * z / trials
+    center = p + z * z / (2 * trials)
+    margin = z * math.sqrt(p * (1 - p) / trials + z * z / (4 * trials * trials))
+    return (center + margin) / denom
+
+
+# --------------------------------------------------------------------------
+_VOWELS = "aeiou"
+
+
+def _porter_light(word: str) -> str:
+    """Compact Porter-style suffix stripper (step-1 rules), matching the
+    common stemmer behavior on regular English inflections."""
+    w = word.lower()
+    if len(w) <= 3:
+        return w
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s") and any(ch in _VOWELS for ch in w[:-1]):
+        w = w[:-1]
+    if w.endswith("eed"):
+        if len(w) > 4:
+            w = w[:-1]
+    elif w.endswith("ed") and any(ch in _VOWELS for ch in w[:-2]):
+        w = w[:-2]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+    elif w.endswith("ing") and any(ch in _VOWELS for ch in w[:-3]):
+        w = w[:-3]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+    if w.endswith("y") and any(ch in _VOWELS for ch in w[:-1]):
+        w = w[:-1] + "i"
+    return w
+
+
+_SIZE_RE = re.compile(r"^\s*([0-9.]+)\s*([kKmMgGtTpP]?)[bB]?\s*$")
+_SIZE_MULT = {"": 1, "k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4, "p": 1024**5}
+
+
+def parse_data_size(s: str) -> int | None:
+    m = _SIZE_RE.match(s or "")
+    if not m:
+        return None
+    return int(float(m.group(1)) * _SIZE_MULT[m.group(2).lower()])
+
+
+def hmac_sha256(key: str, msg: str) -> str:
+    return _hmac.new(key.encode(), msg.encode(), "sha256").hexdigest()
+
+
+def to_base32(s: str) -> str:
+    return _b64.b32encode(s.encode()).decode()
+
+
+def from_base32(s: str) -> str:
+    return _b64.b32decode(s).decode()
+
+
+def to_ieee754_64(x: float) -> int:
+    """Big-endian IEEE-754 bit pattern of a double, as int64."""
+    return struct.unpack(">q", struct.pack(">d", x))[0]
+
+
+def from_ieee754_64(bits: int) -> float:
+    return struct.unpack(">d", struct.pack(">q", bits))[0]
+
+
+# --------------------------------------------------------------------------
+# vectorized pandas UDF wrappers
+def _wrap1(fn, out="double"):
+    @pandas_udf(out)
+    def udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else fn(v))
+
+    return udf
+
+
+def _wrap3(fn):
+    # float() coercion: Spark numeric literals can arrive as Decimal
+    @pandas_udf("double")
+    def udf(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fn(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
+            dtype="float64",
+        )
+
+    return udf
+
+
+def _wrap2_str(fn, out="string"):
+    @pandas_udf(out)
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([fn(x, y) for x, y in zip(a, b)])
+
+    return udf
+
+
+def _wrap2_num(fn):
+    @pandas_udf("double")
+    def udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [fn(float(x), float(y)) for x, y in zip(a, b)], dtype="float64"
+        )
+
+    return udf
+
+
+REGISTRY: dict[str, tuple] = {}
+
+
+def register_all(spark: SparkSession) -> None:
+    """Register every compat function for SQL + DataFrame use."""
+    reg = spark.udf.register
+    reg("normal_cdf", _wrap3(normal_cdf))
+    reg("inverse_normal_cdf", _wrap3(inverse_normal_cdf))
+    reg("beta_cdf", _wrap3(beta_cdf))
+    reg("inverse_beta_cdf", _wrap3(inverse_beta_cdf))
+    reg("t_cdf", _wrap2_num(t_cdf))
+    reg("t_pdf", _wrap2_num(t_pdf))
+    reg("wilson_interval_lower", _wrap3(wilson_interval_lower))
+    reg("wilson_interval_upper", _wrap3(wilson_interval_upper))
+    reg("word_stem", _wrap1(_porter_light, "string"))
+    reg("parse_data_size", _wrap1(parse_data_size, "long"))
+    reg("hmac_sha256", _wrap2_str(hmac_sha256))
+    reg("to_base32", _wrap1(to_base32, "string"))
+    reg("from_base32", _wrap1(from_base32, "string"))
+    reg("to_ieee754_64", _wrap1(to_ieee754_64, "long"))
+    reg("from_ieee754_64", _wrap1(from_ieee754_64, "double"))

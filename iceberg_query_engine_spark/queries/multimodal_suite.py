@@ -1,0 +1,98 @@
+"""Oracle suite for multimodal binary-column operators.
+
+The synthetic payload is md5(text)×4 (64 bytes) so DuckDB can mirror
+the byte math on hex text (checksums hash the lowercase hex form — DuckDB
+1.0 md5 is VARCHAR-only): header ints via '0x'-prefixed hex slices,
+frame hashes via md5 of the reassembled hex — an exact oracle for the
+mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal
+from .tpch import tables
+
+
+def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (documents,) = tables(spark, sf_dir, "documents")
+    return documents.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        multimodal.synthetic_payload(F.col("doc_id"), F.col("text")).alias("payload"),
+    )
+
+
+def mm_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_metadata(_payload_df(spark, sf_dir)).orderBy("doc_id")
+
+
+MM_METADATA_SQL = """
+SELECT doc_id,
+  CAST(('0x' || substr(h4, 1, 8)) AS BIGINT) % 512 AS width,
+  CAST(('0x' || substr(h4, 9, 8)) AS BIGINT) % 512 AS height,
+  CAST(4 AS BIGINT) AS n_frames,
+  CAST(64 AS BIGINT) AS payload_len,
+  md5(h4) AS checksum
+FROM (
+  SELECT doc_id, md5(text) || md5(text) || md5(text) || md5(text) AS h4
+  FROM documents WHERE doc_id < 100
+)
+ORDER BY doc_id
+"""
+
+
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        multimodal.sample_frames(_payload_df(spark, sf_dir), every=2)
+        .select("doc_id", "frame_idx", "frame_hash")
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+MM_FRAME_SAMPLE_SQL = """
+SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+  md5(substr(h4, fi * 32 + 1, 32)) AS frame_hash
+FROM (
+  SELECT doc_id, md5(text) || md5(text) || md5(text) || md5(text) AS h4,
+         unnest([0, 2]) AS fi
+  FROM documents WHERE doc_id < 100
+)
+ORDER BY doc_id, frame_idx
+"""
+
+
+def mm_dedup_by_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup: exact payload dedup on checksum — metadata-only
+    aggregation, payload bytes never shuffle."""
+    meta = multimodal.extract_metadata(_payload_df(spark, sf_dir))
+    return meta.groupBy().agg(
+        F.countDistinct("checksum").alias("n_unique"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("payload_len").cast("bigint").alias("total_bytes"),
+    )
+
+
+MM_DEDUP_SQL = """
+SELECT CAST(COUNT(DISTINCT md5(md5(text) || md5(text) || md5(text) || md5(text))) AS BIGINT) AS n_unique,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) * 64 AS BIGINT) AS total_bytes
+FROM documents WHERE doc_id < 100
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mm_metadata": mm_metadata,
+    "mm_frame_sample": mm_frame_sample,
+    "mm_dedup_by_checksum": mm_dedup_by_checksum,
+}
+
+ORACLE: dict[str, str] = {
+    "mm_metadata": MM_METADATA_SQL,
+    "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
+    "mm_dedup_by_checksum": MM_DEDUP_SQL,
+}

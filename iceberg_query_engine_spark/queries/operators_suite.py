@@ -1,0 +1,171 @@
+"""Oracle suite for extension operators (operators/joins.py + misc).
+
+- op_asof_join: union-carry-forward as-of join vs DuckDB's native
+  ASOF JOIN — independent implementations, same semantics.
+- op_range_join: bucketed range join vs DuckDB's naive range join.
+- op_hash_sample: deterministic hash sampling (reproducible pipeline
+  sampling — never rand()).
+- op_pivot: pivoted conditional aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import asof_join, range_join_bucketed
+from .tpch import tables
+
+
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's latest prior-or-equal signup."""
+    (events,) = tables(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("p_ts")
+    )
+    signups = events.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("s_user"),
+        F.col("ts").cast("timestamp").alias("s_ts"),
+        F.col("event_id").alias("s_event"),
+    )
+    j = asof_join(
+        purchases.withColumnRenamed("user_id", "u"),
+        signups.withColumnRenamed("s_user", "u"),
+        key="u",
+        left_ts="p_ts",
+        right_ts="s_ts",
+        right_cols=["s_ts", "s_event"],
+    )
+    return (
+        j.select(
+            "event_id",
+            F.col("u").alias("user_id"),
+            (
+                F.unix_timestamp("p_ts") - F.unix_timestamp("asof_s_ts")
+            ).alias("secs_since_signup"),
+            F.col("asof_s_event").alias("signup_event"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+OP_ASOF_JOIN_SQL = """
+SELECT p.event_id, p.user_id,
+  CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(s.ts)) AS BIGINT)
+    AS secs_since_signup,
+  s.event_id AS signup_event
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+                WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+ORDER BY p.event_id
+LIMIT 500
+"""
+
+
+def op_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders priced into deterministic price bands via bucketed range
+    join (equi-join on bucket + residual filter)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [(i, float(i * 50000), float((i + 1) * 50000)) for i in range(12)],
+        ["band_id", "lo", "hi"],
+    )
+    j = range_join_bucketed(
+        orders.select("o_orderkey", "o_totalprice"),
+        bands,
+        fact_val="o_totalprice",
+        range_start="lo",
+        range_end="hi",
+        bucket_width=F.lit(50000.0),
+    )
+    return (
+        j.groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("band_id")
+    )
+
+
+OP_RANGE_JOIN_SQL = """
+SELECT b.band_id, CAST(COUNT(*) AS BIGINT) AS n,
+  round(SUM(o.o_totalprice), 2) AS sum_price
+FROM orders o
+JOIN (SELECT i AS band_id, i * 50000.0 AS lo, (i + 1) * 50000.0 AS hi
+      FROM generate_series(0, 11) t(i)) b
+  ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+GROUP BY b.band_id
+ORDER BY b.band_id
+"""
+
+
+def op_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample of lineitem (md5-keyed, engine-
+    reproducible — the seeded-sampling primitive for data pipelines)."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws("|", "l_orderkey", "l_partkey")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10
+    )
+    return lineitem.filter(bucket == 0).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+    )
+
+
+OP_HASH_SAMPLE_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE CAST(('0x' || substr(md5(l_orderkey || '|' || l_partkey), 1, 8)) AS BIGINT) % 10 = 0
+"""
+
+
+def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts: status × priority matrix."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .count()
+        .withColumnsRenamed({p: f"p{i + 1}" for i, p in enumerate(prios)})
+        .orderBy("o_orderstatus")
+    )
+
+
+OP_PIVOT_SQL = """
+SELECT o_orderstatus,
+  CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+  CAST(count_if(o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+  CAST(count_if(o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+  CAST(count_if(o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+  CAST(count_if(o_orderpriority = '5-LOW') AS BIGINT) AS p5
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_asof_join": op_asof_join,
+    "op_range_join": op_range_join,
+    "op_hash_sample": op_hash_sample,
+    "op_pivot": op_pivot,
+}
+
+ORACLE: dict[str, str] = {
+    "op_asof_join": OP_ASOF_JOIN_SQL,
+    "op_range_join": OP_RANGE_JOIN_SQL,
+    "op_hash_sample": OP_HASH_SAMPLE_SQL,
+    "op_pivot": OP_PIVOT_SQL,
+}

@@ -1,0 +1,27 @@
+"""Catalog adapter for the Structured Streaming jobs (streaming/jobs.py).
+
+Each stream is driven to completion (availableNow) and compared to a
+batch-equivalent DuckDB oracle — streaming results are exact, not
+rows-only, because the full replay with complete/append mode is
+deterministic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..streaming import jobs
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "stream_tumbling": jobs.stream_tumbling,
+    "stream_sessionize": jobs.stream_sessionize,
+    "stream_dedup": jobs.stream_dedup,
+}
+
+ORACLE: dict[str, str] = {
+    "stream_tumbling": jobs.STREAM_TUMBLING_SQL,
+    "stream_sessionize": jobs.STREAM_SESSIONIZE_SQL,
+    "stream_dedup": jobs.STREAM_DEDUP_SQL,
+}

@@ -1,0 +1,183 @@
+"""Structured Streaming jobs over the events table.
+
+The reference has NO stream processing ("Streaming Execution" in its
+README means incremental batch streams — SURVEY.md §2.9); its roadmap
+lists streaming as future work (/root/reference/README.md:277-281).
+Here the same event-analytics logic as queries/events_suite.py runs
+incrementally: file-source readStream → watermarked windowed/
+sessionized aggregation → memory sink, driven to completion with an
+availableNow trigger so results are deterministic and oracle-checkable
+against the batch twin's SQL.
+
+Scale notes: in production the source is Kafka/files-on-object-store;
+state lives in the state store keyed by (window, group) — watermarks
+bound it. The availableNow trigger here replays the full file in
+micro-batches, exactly the backfill pattern used on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # ns-as-long (see sources/registry)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream of the events table (ns → µs timestamp)."""
+    raw = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Watermarks require TIMESTAMP (ltz); session TZ is UTC so the
+    # ltz/ntz values coincide with the batch layer's TIMESTAMP_NTZ.
+    return raw.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def _run_to_completion(df: DataFrame, name: str) -> None:
+    """Drive a streaming aggregation over all available data, then stop."""
+    ckpt = os.path.join(tempfile.gettempdir(), "sg_ckpt", f"{name}-{uuid.uuid4().hex}")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_tumbling: watermark + 1h tumbling windows."""
+    events = read_event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    name = "mem_stream_tumbling"
+    _run_to_completion(agg, name)
+    return (
+        spark.table(name)
+        .select(
+            F.col("w").getField("start").alias("wstart"),
+            "event_type",
+            "n",
+            F.round(F.col("sv"), 4).alias("sum_value"),
+        )
+        .orderBy("wstart", "event_type")
+    )
+
+
+def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (30-min gap) — stateful streaming session
+    aggregation; per-user session stats."""
+    events = read_event_stream(spark, sf_dir)
+    sess = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    name = "mem_stream_sessionize"
+    _run_to_completion(sess, name)
+    per_sess = spark.table(name).select(
+        "user_id",
+        "n_events",
+        (
+            F.unix_timestamp(F.col("w").getField("end").cast("timestamp"))
+            - F.unix_timestamp(F.col("w").getField("start").cast("timestamp"))
+        ).alias("span_s"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").cast("bigint").alias("total_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates on a content key while the
+    stream replays — the online-dedup primitive."""
+    events = read_event_stream(spark, sf_dir)
+    deduped = events.withWatermark("ts", "2 hours").dropDuplicates(["user_id", "event_type"])
+    name = "mem_stream_dedup"
+    ckpt = os.path.join(tempfile.gettempdir(), "sg_ckpt", f"{name}-{uuid.uuid4().hex}")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+# Oracles: the batch twins (DuckDB SQL on the same parquet).
+STREAM_TUMBLING_SQL = """
+SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  round(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY wstart, event_type
+"""
+
+# session_window uses half-open [start, end) windows: a gap of exactly
+# 30min starts a NEW session (>=), unlike the batch lag-based variant (>).
+STREAM_SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+         WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+              >= INTERVAL 30 MINUTE THEN 1
+         ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sessed AS (
+  SELECT user_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM ordered
+), per_sess AS (
+  SELECT user_id, sess_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM sessed GROUP BY user_id, sess_id
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(SUM(n_events) AS BIGINT) AS total_events
+FROM per_sess GROUP BY user_id ORDER BY user_id
+"""
+
+STREAM_DEDUP_SQL = """
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

@@ -1,0 +1,65 @@
+"""Engine shell + dialect shim + multimodal stub tests."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_query_engine_spark.functions.dialect import translate
+
+
+def test_dialect_translations():
+    assert translate("SELECT DATE_ADD('day', 3, d)") == "SELECT timestampadd(day, 3, d)"
+    assert translate("SELECT DATE_DIFF('hour', a, b)") == "SELECT timestampdiff(hour, a, b)"
+    assert translate("SELECT APPROX_DISTINCT(x)") == "SELECT approx_count_distinct(x)"
+    assert translate("SELECT ARBITRARY(x), STRPOS(s, 't')") == "SELECT any_value(x), instr(s, 't')"
+    assert translate("SELECT CARDINALITY(a)") == "SELECT size(a)"
+    # spark-native date_add(date, int) spelling is left alone
+    assert translate("SELECT date_add(d, 3)") == "SELECT date_add(d, 3)"
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_oracle):
+    from iceberg_query_engine_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_sf_dir(sf_oracle)
+    return eng
+
+
+def test_engine_sql_roundtrip(engine):
+    res = engine.sql("SELECT COUNT(*) AS n FROM nation")
+    assert res.row_count == 1
+    assert res.rows[0].n == 25
+    assert res.schema == [("n", "bigint")]
+    assert res.metrics.total_ms > 0
+
+
+def test_engine_trino_sql(engine):
+    res = engine.sql(
+        "SELECT APPROX_DISTINCT(n_regionkey) AS d, "
+        "DATE_ADD('day', 1, DATE '2024-01-01') AS t FROM nation"
+    )
+    assert res.rows[0].d == 5
+    assert str(res.rows[0].t).startswith("2024-01-02")
+
+
+def test_engine_compat_udfs(engine):
+    res = engine.sql("SELECT normal_cdf(0.0, 1.0, 0.0) AS p")
+    assert abs(res.rows[0].p - 0.5) < 1e-12
+
+
+def test_engine_tables_and_schema(engine):
+    assert "lineitem" in engine.tables()
+    assert ("l_orderkey", "bigint") in engine.schema("lineitem")
+
+
+def test_engine_explain_shows_pushdown(engine):
+    plan = engine.explain("SELECT l_orderkey FROM lineitem WHERE l_quantity > 10")
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity,10.0)" in plan
+
+
+def test_multimodal_decode_is_stubbed():
+    from iceberg_query_engine_spark.operators.multimodal import decode_image
+
+    with pytest.raises((NotImplementedError, ImportError)):
+        decode_image(b"\x00" * 64)
