@@ -1,0 +1,79 @@
+"""Plan-shape guardrails: the properties that keep queries 100 TB-viable.
+
+Each assertion pins a scale-critical plan property; a regression here
+means a query got structurally slower even if still correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_query_engine_spark.plans import introspect as pi
+from iceberg_query_engine_spark.queries import (
+    dedup_suite,
+    similarity_suite,
+    text_suite,
+    tpch,
+)
+
+
+@pytest.fixture(scope="module")
+def sf(sf_oracle):
+    return sf_oracle
+
+
+def test_q6_pushdown_and_single_shuffle(spark, sf):
+    df = tpch.q6(spark, sf)
+    # range + quantity predicates reach the parquet reader
+    assert pi.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
+    assert pi.has_pushed_filter(df, "LessThan(l_quantity")
+    # global agg = exactly one (single-partition) exchange
+    assert pi.shuffle_count(df) == 1
+    assert not pi.has_cartesian(df)
+
+
+def test_q6_column_pruning(spark, sf):
+    cols = pi.scan_columns(tpch.q6(spark, sf), "lineitem")
+    assert set(cols) == {"l_quantity", "l_extendedprice", "l_discount", "l_shipdate"}
+
+
+def test_q1_two_shuffles_max(spark, sf):
+    df = tpch.q1(spark, sf)
+    # partial+final agg (1 exchange) + orderBy (1 range exchange)
+    assert pi.shuffle_count(df) <= 2
+    assert pi.has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_q3_broadcasts_dimensions(spark, sf):
+    df = tpch.q3(spark, sf)
+    assert pi.broadcast_count(df) >= 1
+    assert not pi.has_cartesian(df)
+
+
+def test_q5_no_cartesian_six_way(spark, sf):
+    df = tpch.q5(spark, sf)
+    assert not pi.has_cartesian(df)
+    assert pi.broadcast_count(df) >= 2  # region/nation/supplier chains broadcast
+
+
+def test_q21_semi_anti_are_joins(spark, sf):
+    plan = pi.formatted_plan(tpch.q21(spark, sf))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_minhash_lsh_no_cartesian(spark, sf):
+    df = dedup_suite.dedup_minhash_lsh(spark, sf)
+    # LSH candidate join is an equi-join on band key, never a cross join
+    assert not pi.has_cartesian(df)
+
+
+def test_text_stats_map_only(spark, sf):
+    df = text_suite.text_stats(spark, sf)
+    # per-document transforms are map-side; only the final sort shuffles
+    assert pi.shuffle_count(df) <= 1
+
+
+def test_brute_topk_broadcasts_queries(spark, sf):
+    df = similarity_suite.sim_brute_topk(spark, sf)
+    assert pi.broadcast_count(df) >= 1  # tiny query set broadcast, corpus streamed
