@@ -36,7 +36,8 @@ def _extension_modules():
     mods = []
     for name in ("functions_suite", "subqueries", "setops", "windows", "dedup_suite",
                  "similarity_suite", "text_suite", "events_suite", "streaming_suite",
-                 "compat_suite", "multimodal_suite", "operators_suite"):
+                 "compat_suite", "multimodal_suite", "operators_suite",
+                 "iceberg_suite", "edge_suite"):
         try:
             mods.append(__import__(f"{__package__}.{name}", fromlist=[name]))
         except ImportError:

@@ -1,0 +1,260 @@
+"""Simplified Iceberg table format: JSON metadata + parquet data files.
+
+Parity with the reference's IcebergScanExec
+(/root/reference/src/physical/operators/iceberg.rs:27-330): the same
+simplified layout — `metadata/v0.metadata.json` (current snapshot id)
+→ `metadata/snap-<id>.snapshot.json` (manifest-list path) → manifest
+JSON (`{"entries": [{"data_file": {...}}]}`) → parquet data files —
+with snapshot (time-travel) selection, partition pruning, and
+file-level min/max stats pruning, plus the reference's pruning
+metrics (`files_pruned_by_partition` / `files_pruned_by_stats`,
+iceberg.rs:128-129). JSON manifests, not Avro, and no delete files —
+exactly the reference's simplifications.
+
+Differences (documented, not accidental): bounds are stored as plain
+JSON values keyed by column NAME (the reference keys by column id
+with raw bytes); partition values are also kept inside the data files
+so reads need no partition-column reconstruction.
+
+Scale notes: file listing/pruning is metadata-only (no data I/O);
+the pruned file list feeds one `spark.read.parquet(*files)` — Spark
+then parallelizes over row groups. In production you'd use the real
+Iceberg connector; this exists for format parity with the reference.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_OPS = {
+    "=": lambda lo, hi, v: not (v < lo or v > hi),
+    ">": lambda lo, hi, v: hi > v,
+    ">=": lambda lo, hi, v: hi >= v,
+    "<": lambda lo, hi, v: lo < v,
+    "<=": lambda lo, hi, v: lo <= v,
+}
+
+
+@dataclass
+class ScanMetrics:
+    files_total: int = 0
+    files_pruned_by_partition: int = 0
+    files_pruned_by_stats: int = 0
+    files_scanned: int = 0
+
+
+@dataclass
+class PartitionFilter:
+    """eq/in match on partition values (reference iceberg.rs:542-560)."""
+
+    column: str
+    values: list
+
+    def matches(self, partition: dict) -> bool:
+        if self.column not in partition:
+            return True  # unpartitioned on this column → conservative keep
+        return partition[self.column] in [str(v) for v in self.values]
+
+
+class IcebergLiteTable:
+    def __init__(self, path: str):
+        self.path = path
+        self.metrics = ScanMetrics()
+
+    # -- metadata ---------------------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "metadata", "v0.metadata.json")
+
+    def metadata(self) -> dict:
+        with open(self._meta_path()) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        meta_dir = os.path.join(self.path, "metadata")
+        out = []
+        for fn in sorted(os.listdir(meta_dir)):
+            if fn.startswith("snap-") and fn.endswith(".snapshot.json"):
+                with open(os.path.join(meta_dir, fn)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda s: s["snapshot_id"])
+
+    def current_snapshot_id(self) -> int | None:
+        return self.metadata().get("current_snapshot_id")
+
+    def _snapshot(self, snapshot_id: int) -> dict:
+        p = os.path.join(self.path, "metadata", f"snap-{snapshot_id}.snapshot.json")
+        with open(p) as f:
+            return json.load(f)
+
+    def data_files(self, snapshot_id: int | None = None) -> list[dict]:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+        snap = self._snapshot(sid)
+        with open(os.path.join(self.path, snap["manifest_list"])) as f:
+            manifests = json.load(f)
+        files = []
+        for m in manifests:
+            with open(os.path.join(self.path, m["manifest_path"])) as f:
+                manifest = json.load(f)
+            for entry in manifest.get("entries", []):
+                files.append(entry["data_file"])
+        return files
+
+    # -- scan -------------------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filters: list[PartitionFilter] | None = None,
+        predicates: list[tuple[str, str, object]] | None = None,
+    ) -> DataFrame:
+        """Scan with snapshot selection + partition/stats file pruning.
+
+        predicates: simple (column, op, value) conjuncts checked
+        against per-file min/max bounds (op ∈ =, <, <=, >, >=),
+        mirroring the reference's conservative stats pruning
+        (iceberg.rs:271-330). Spark re-applies exact filtering; pruning
+        only shrinks the file list.
+        """
+        files = self.data_files(snapshot_id)
+        m = ScanMetrics(files_total=len(files))
+        kept = []
+        for df_entry in files:
+            part = df_entry.get("partition", {})
+            if partition_filters and not all(
+                pf.matches(part) for pf in partition_filters
+            ):
+                m.files_pruned_by_partition += 1
+                continue
+            if predicates and not self._stats_match(df_entry, predicates):
+                m.files_pruned_by_stats += 1
+                continue
+            kept.append(df_entry["file_path"])
+        m.files_scanned = len(kept)
+        self.metrics = m
+        if not kept:
+            # preserve schema from any file; empty result
+            any_file = files[0]["file_path"] if files else None
+            if any_file is None:
+                raise ValueError(f"empty iceberg-lite table at {self.path}")
+            df = spark.read.parquet(os.path.join(self.path, any_file))
+            return df.limit(0)
+        paths = [os.path.join(self.path, p) for p in kept]
+        return spark.read.parquet(*paths)
+
+    @staticmethod
+    def _stats_match(df_entry: dict, predicates) -> bool:
+        lowers = df_entry.get("lower_bounds") or {}
+        uppers = df_entry.get("upper_bounds") or {}
+        for col, op, val in predicates:
+            if col not in lowers or col not in uppers or op not in _OPS:
+                continue  # no stats → conservative keep
+            if not _OPS[op](lowers[col], uppers[col], val):
+                return False
+        return True
+
+
+def write_snapshot(
+    df: DataFrame,
+    path: str,
+    partition_by: str | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """Append a snapshot: one parquet data file per partition value
+    (single file when unpartitioned), a JSON manifest, a snapshot file
+    chained to the previous one, and an updated metadata pointer.
+    Returns the new snapshot id. (Parity: the reference only READS this
+    layout — its test fixtures are hand-built; this writer is the
+    ParquetWriter counterpart, /root/reference/src/physical/operators/
+    parquet.rs:149-244.)
+    """
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    os.makedirs(os.path.join(path, "data"), exist_ok=True)
+    table = IcebergLiteTable(path)
+    prev_id = None
+    prev_manifests = []
+    if os.path.exists(table._meta_path()):
+        prev_id = table.current_snapshot_id()
+        if prev_id is not None:
+            snap = table._snapshot(prev_id)
+            with open(os.path.join(path, snap["manifest_list"])) as f:
+                prev_manifests = json.load(f)
+    snapshot_id = (prev_id or 0) + 1
+
+    if partition_by:
+        parts = [r[0] for r in df.select(partition_by).distinct().collect()]
+        groups = [(str(p), df.filter(F.col(partition_by) == p)) for p in sorted(parts)]
+    else:
+        groups = [("", df)]
+
+    stats_columns = stats_columns or []
+    entries = []
+    for i, (pval, pdf) in enumerate(groups):
+        pdf_local = pdf.toPandas()
+        rel = f"data/snap{snapshot_id}-{i}.parquet"
+        pdf_local.to_parquet(os.path.join(path, rel), index=False)
+        lowers, uppers = {}, {}
+        for c in stats_columns:
+            s = pdf_local[c]
+            if len(s):
+                lo, hi = s.min(), s.max()
+                lowers[c] = lo.item() if hasattr(lo, "item") else lo
+                uppers[c] = hi.item() if hasattr(hi, "item") else hi
+        entries.append(
+            {
+                "data_file": {
+                    "file_path": rel,
+                    "file_format": "PARQUET",
+                    "partition": {partition_by: pval} if partition_by else {},
+                    "record_count": len(pdf_local),
+                    "file_size_in_bytes": os.path.getsize(os.path.join(path, rel)),
+                    "lower_bounds": lowers,
+                    "upper_bounds": uppers,
+                }
+            }
+        )
+
+    manifest_rel = f"metadata/manifest-{snapshot_id}.json"
+    with open(os.path.join(path, manifest_rel), "w") as f:
+        json.dump({"entries": entries}, f)
+    manifests = prev_manifests + [
+        {
+            "manifest_path": manifest_rel,
+            "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
+            "partition_spec_id": 0,
+            "snapshot_id": snapshot_id,
+            "sequence_number": snapshot_id,
+        }
+    ]
+    mlist_rel = f"metadata/manifest-list-{snapshot_id}.json"
+    with open(os.path.join(path, mlist_rel), "w") as f:
+        json.dump(manifests, f)
+    with open(
+        os.path.join(path, "metadata", f"snap-{snapshot_id}.snapshot.json"), "w"
+    ) as f:
+        json.dump(
+            {
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": prev_id,
+                "schema_id": 0,
+                "summary": {"operation": "append"},
+                "manifest_list": mlist_rel,
+                "timestamp_ms": int(time.time() * 1000),
+            },
+            f,
+        )
+    with open(table._meta_path(), "w") as f:
+        json.dump(
+            {
+                "format_version": 1,
+                "uuid": f"lite-{os.path.basename(path)}",
+                "current_snapshot_id": snapshot_id,
+            },
+            f,
+        )
+    return snapshot_id

@@ -1,0 +1,74 @@
+"""Iceberg-lite format: snapshots, time travel, partition/stats pruning."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_query_engine_spark.sources.iceberg_lite import (
+    IcebergLiteTable,
+    PartitionFilter,
+    write_snapshot,
+)
+
+
+@pytest.fixture(scope="module")
+def table(spark, sf_oracle, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("iceberg") / "orders_lite")
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    s1 = write_snapshot(
+        orders.filter(F.col("o_orderkey") < 100),
+        path,
+        partition_by="o_orderstatus",
+        stats_columns=["o_orderkey", "o_totalprice"],
+    )
+    s2 = write_snapshot(
+        orders.filter(F.col("o_orderkey").between(100, 199)),
+        path,
+        partition_by="o_orderstatus",
+        stats_columns=["o_orderkey", "o_totalprice"],
+    )
+    return path, s1, s2
+
+
+def test_snapshot_chain(table):
+    path, s1, s2 = table
+    t = IcebergLiteTable(path)
+    snaps = t.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == [s1, s2]
+    assert snaps[1]["parent_snapshot_id"] == s1
+    assert t.current_snapshot_id() == s2
+
+
+def test_time_travel(spark, table):
+    path, s1, s2 = table
+    t = IcebergLiteTable(path)
+    assert t.read(spark, snapshot_id=s1).count() == 100
+    assert t.read(spark).count() == 200  # current = both snapshots
+
+
+def test_partition_pruning(spark, table):
+    path, _, _ = table
+    t = IcebergLiteTable(path)
+    df = t.read(spark, partition_filters=[PartitionFilter("o_orderstatus", ["F"])])
+    assert df.select("o_orderstatus").distinct().collect()[0][0] == "F"
+    assert t.metrics.files_pruned_by_partition > 0
+    assert t.metrics.files_scanned < t.metrics.files_total
+
+
+def test_stats_pruning(spark, table):
+    path, s1, _ = table
+    t = IcebergLiteTable(path)
+    # snapshot-2 files hold keys 100..199 → pruned entirely for key<50
+    df = t.read(spark, predicates=[("o_orderkey", "<", 50)])
+    assert t.metrics.files_pruned_by_stats > 0
+    # pruning is conservative: Spark still applies the exact filter
+    assert df.filter(F.col("o_orderkey") < 50).count() == 50
+
+
+def test_pruning_is_only_an_optimization(spark, table):
+    path, _, _ = table
+    t = IcebergLiteTable(path)
+    full = t.read(spark).count()
+    pruned = t.read(spark, predicates=[("o_totalprice", ">", -1.0)]).count()
+    assert full == pruned  # no false pruning
