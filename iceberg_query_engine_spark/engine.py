@@ -86,6 +86,18 @@ class Engine:
             ),
         )
 
+    # -- sinks -------------------------------------------------------------
+    # parity: ParquetWriter + CLI output formats (reference
+    # src/physical/operators/parquet.rs:149-244, src/cli/output.rs)
+    def write_parquet(self, query: str, path: str, mode: str = "overwrite") -> None:
+        self.dataframe(query).write.mode(mode).parquet(path)
+
+    def write_csv(self, query: str, path: str, mode: str = "overwrite") -> None:
+        self.dataframe(query).write.mode(mode).option("header", True).csv(path)
+
+    def write_json(self, query: str, path: str, mode: str = "overwrite") -> None:
+        self.dataframe(query).write.mode(mode).json(path)
+
     def explain(self, query: str) -> str:
         df = self.dataframe(query)
         return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001

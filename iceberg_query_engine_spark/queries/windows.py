@@ -210,7 +210,28 @@ ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
 """
 
 
+def win_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not just rollup/cube) via SQL."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+
+
+WIN_GROUPING_SETS_EXPLICIT_SQL = """
+SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "win_grouping_sets": win_grouping_sets_explicit,
     "win_ranking": win_ranking,
     "win_offset": win_offset,
     "win_framed_agg": win_framed_agg,
@@ -221,6 +242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "win_grouping_sets": WIN_GROUPING_SETS_EXPLICIT_SQL,
     "win_ranking": WIN_RANKING_SQL,
     "win_offset": WIN_OFFSET_SQL,
     "win_framed_agg": WIN_FRAMED_AGG_SQL,

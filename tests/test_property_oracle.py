@@ -1,0 +1,85 @@
+"""Property-based oracle testing: randomized queries vs DuckDB.
+
+Generates random (but reproducible) filter/aggregate/join/sort queries
+over the TPC-H-ish corpus and requires Spark and DuckDB to agree —
+broad semantic-drift detection beyond the curated suites (the
+reference has no property testing; SURVEY.md §5 notes the gap).
+
+Determinism: hypothesis derandomized + fixed seed; only
+engine-reproducible aggregates (COUNT, exact-int SUM, MIN/MAX) appear
+so float non-associativity can't produce false alarms.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from iceberg_query_engine_spark.queries.subqueries import _sql
+from iceberg_query_engine_spark.testing import compare
+
+NUM_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+CMP = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def predicates(draw):
+    n = draw(st.integers(1, 3))
+    conjuncts = []
+    for _ in range(n):
+        if draw(st.booleans()):
+            col = draw(st.sampled_from(NUM_COLS))
+            op = draw(st.sampled_from(CMP))
+            val = draw(st.integers(0, 60000))
+            conjuncts.append(f"{col} {op} {val}")
+        else:
+            col = draw(st.sampled_from(STR_COLS))
+            val = draw(st.sampled_from(["A", "N", "R", "F", "O"]))
+            conjuncts.append(f"{col} = '{val}'")
+    joiner = draw(st.sampled_from([" AND ", " OR "]))
+    return joiner.join(conjuncts)
+
+
+@st.composite
+def queries(draw):
+    pred = draw(predicates())
+    group = draw(st.sampled_from(STR_COLS + ["l_returnflag, l_linestatus"]))
+    agg = draw(
+        st.sampled_from(
+            [
+                "CAST(COUNT(*) AS BIGINT) AS a",
+                "CAST(SUM(l_quantity) AS BIGINT) AS a",
+                "CAST(MIN(l_orderkey) AS BIGINT) AS a",
+                "CAST(MAX(l_partkey) AS BIGINT) AS a",
+                "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS a",
+            ]
+        )
+    )
+    shape = draw(st.integers(0, 2))
+    if shape == 0:
+        return f"SELECT {group}, {agg} FROM lineitem WHERE {pred} GROUP BY {group} ORDER BY {group}"
+    if shape == 1:
+        return (
+            f"SELECT o_orderstatus, {agg} FROM lineitem JOIN orders "
+            f"ON l_orderkey = o_orderkey WHERE {pred} "
+            f"GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        )
+    return (
+        f"SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS a FROM lineitem "
+        f"WHERE {pred} GROUP BY l_orderkey ORDER BY a DESC, l_orderkey LIMIT 20"
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=queries())
+def test_random_query_matches_duckdb(spark, sf_oracle, q):
+    res = compare("prop", _sql(spark, sf_oracle, q), q, sf_oracle)
+    assert res.ok, f"divergence on: {q}\n{res.detail}\n" + "\n".join(res.mismatches[:5])

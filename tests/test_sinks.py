@@ -1,0 +1,39 @@
+"""Engine write sinks round-trip (parquet/csv/json)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_oracle):
+    from iceberg_query_engine_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register_sf_dir(sf_oracle)
+    return eng
+
+
+Q = "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+
+
+def test_write_parquet_roundtrip(engine, tmp_path):
+    p = str(tmp_path / "out_parquet")
+    engine.write_parquet(Q, p)
+    back = engine.spark.read.parquet(p)
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name"}
+
+
+def test_write_csv_roundtrip(engine, tmp_path):
+    p = str(tmp_path / "out_csv")
+    engine.write_csv(Q, p)
+    back = engine.spark.read.option("header", True).csv(p)
+    assert back.count() == 25
+
+
+def test_write_json_roundtrip(engine, tmp_path):
+    p = str(tmp_path / "out_json")
+    engine.write_json(Q, p)
+    back = engine.spark.read.json(p)
+    assert back.count() == 25
