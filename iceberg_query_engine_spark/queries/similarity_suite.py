@@ -31,16 +31,12 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-
-
 def _cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Arrow-batched numpy cosine (functions/vector.py) — the
+    interpreted zip_with/aggregate fold is ~100× slower per pair."""
+    from ..functions.vector import cosine_similarity
+
+    return cosine_similarity(a, b)
 
 
 # --------------------------------------------------------------------------
