@@ -37,7 +37,7 @@ def _extension_modules():
     for name in ("functions_suite", "subqueries", "setops", "windows", "dedup_suite",
                  "similarity_suite", "text_suite", "events_suite", "streaming_suite",
                  "compat_suite", "multimodal_suite", "operators_suite",
-                 "iceberg_suite", "edge_suite"):
+                 "iceberg_suite", "edge_suite", "joins_suite"):
         try:
             mods.append(__import__(f"{__package__}.{name}", fromlist=[name]))
         except ImportError:
