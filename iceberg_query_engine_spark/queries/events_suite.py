@@ -179,7 +179,7 @@ def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         signups.join(conv.select("user_id", "converted"), "user_id", "left")
-        .groupBy(F.col("signup_ts").cast("date").alias("signup_day"))
+        .groupBy(F.col("signup_ts").cast("date").cast("string").alias("signup_day"))
         .agg(
             F.count(F.lit(1)).alias("signups"),
             F.sum(F.coalesce(F.col("converted"), F.lit(0))).cast("bigint").alias("conversions"),
@@ -200,7 +200,7 @@ WITH signups AS (
    AND CAST(floor(epoch(CAST(e.ts AS TIMESTAMP))) AS BIGINT)
      - CAST(floor(epoch(s.signup_ts)) AS BIGINT) <= 86400
 )
-SELECT CAST(s.signup_ts AS DATE) AS signup_day,
+SELECT CAST(CAST(s.signup_ts AS DATE) AS VARCHAR) AS signup_day,
   CAST(COUNT(*) AS BIGINT) AS signups,
   CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS conversions
 FROM signups s LEFT JOIN conv c ON s.user_id = c.user_id
@@ -223,7 +223,7 @@ def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = first_day.join(active, F.col("user_id") == F.col("a_user"))
     day_n = F.datediff(F.col("day"), F.col("d0"))
     return (
-        j.groupBy("d0")
+        j.groupBy(F.col("d0").cast("string").alias("d0"))
         .agg(
             F.countDistinct("user_id").alias("cohort"),
             F.countDistinct(F.when(day_n == 1, F.col("user_id"))).alias("d1"),
@@ -240,7 +240,7 @@ WITH first_day AS (
 ), active AS (
   SELECT DISTINCT user_id AS a_user, CAST(ts AS DATE) AS day FROM events
 )
-SELECT d0,
+SELECT CAST(d0 AS VARCHAR) AS d0,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS cohort,
   CAST(COUNT(DISTINCT CASE WHEN datediff('day', d0, day) = 1 THEN user_id END) AS BIGINT) AS d1,
   CAST(COUNT(DISTINCT CASE WHEN datediff('day', d0, day) = 2 THEN user_id END) AS BIGINT) AS d2,

@@ -235,15 +235,15 @@ def f_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dayofweek(d).cast("int").alias("dow"),
         F.dayofyear(d).cast("int").alias("doy"),
         F.weekofyear(d).cast("int").alias("woy"),
-        F.last_day(d).alias("ld"),
-        F.date_add(d, 30).alias("dadd"),
-        F.date_sub(d, 30).alias("dsub"),
+        F.last_day(d).cast("string").alias("ld"),
+        F.date_add(d, 30).cast("string").alias("dadd"),
+        F.date_sub(d, 30).cast("string").alias("dsub"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).cast("bigint").alias("dd"),
-        F.date_trunc("month", d).cast("date").alias("dtrunc"),
-        F.add_months(d, 2).alias("addm"),
+        F.date_trunc("month", d).cast("date").cast("string").alias("dtrunc"),
+        F.add_months(d, 2).cast("string").alias("addm"),
         F.date_format(d, "yyyy-MM").alias("fmt"),
         F.date_format(d, "EEEE").alias("dname"),
-        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("mkdate"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).cast("string").alias("mkdate"),
         F.extract(F.lit("year"), d).cast("bigint").alias("ext_yr"),
     )
 
@@ -257,15 +257,15 @@ SELECT o_orderkey,
   CAST(dayofweek(d) + 1 AS INT) AS dow,
   CAST(dayofyear(d) AS INT) AS doy,
   CAST(weekofyear(d) AS INT) AS woy,
-  last_day(d) AS ld,
-  d + 30 AS dadd,
-  d - 30 AS dsub,
+  CAST(last_day(d) AS VARCHAR) AS ld,
+  CAST(d + 30 AS VARCHAR) AS dadd,
+  CAST(d - 30 AS VARCHAR) AS dsub,
   CAST(datediff('day', DATE '1995-01-01', d) AS BIGINT) AS dd,
-  CAST(date_trunc('month', d) AS DATE) AS dtrunc,
-  CAST(d + INTERVAL 2 MONTH AS DATE) AS addm,
+  CAST(CAST(date_trunc('month', d) AS DATE) AS VARCHAR) AS dtrunc,
+  CAST(CAST(d + INTERVAL 2 MONTH AS DATE) AS VARCHAR) AS addm,
   strftime(d, '%Y-%m') AS fmt,
   dayname(d) AS dname,
-  make_date(year(d), month(d), 1) AS mkdate,
+  CAST(make_date(year(d), month(d), 1) AS VARCHAR) AS mkdate,
   CAST(extract(year FROM d) AS BIGINT) AS ext_yr
 FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
       FROM orders WHERE o_orderkey < 30)
@@ -284,7 +284,7 @@ def f_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.second(ts).cast("int").alias("ss"),
         F.date_trunc("hour", ts).alias("thour"),
         F.date_trunc("minute", ts).alias("tmin"),
-        ts.cast("date").alias("tdate"),
+        ts.cast("date").cast("string").alias("tdate"),
         F.unix_timestamp(ts.cast("timestamp")).cast("bigint").alias("unix_s"),
         F.date_format(ts, "yyyy-MM-dd HH:mm").alias("tfmt"),
         F.timestamp_micros(F.unix_timestamp(ts.cast("timestamp")) * 1000000).alias(
@@ -298,7 +298,7 @@ SELECT event_id,
   CAST(hour(t) AS INT) AS hh, CAST(minute(t) AS INT) AS mi,
   CAST(second(t) AS INT) AS ss,
   date_trunc('hour', t) AS thour, date_trunc('minute', t) AS tmin,
-  CAST(t AS DATE) AS tdate,
+  CAST(CAST(t AS DATE) AS VARCHAR) AS tdate,
   CAST(floor(epoch(t)) AS BIGINT) AS unix_s,
   strftime(t, '%Y-%m-%d %H:%M') AS tfmt,
   to_timestamp(CAST(floor(epoch(t)) AS BIGINT))::TIMESTAMP AS roundtrip
