@@ -277,6 +277,77 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letters / digits / punctuation as
+    separate tokens) — the pre-tokenizer shape used before BPE merges."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+    return (
+        documents.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+            F.element_at(F.sort_array(F.array_distinct(toks)), 1).alias("first_tok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BPE_TOKENS_SQL = f"""
+SELECT doc_id,
+  CAST(length(toks) AS BIGINT) AS n_bpe_tokens,
+  CAST(length(list_distinct(toks)) AS BIGINT) AS n_distinct,
+  list_sort(list_distinct(toks))[1] AS first_tok
+FROM (SELECT doc_id, regexp_extract_all(text, '{BPE_RE}') AS toks
+      FROM documents WHERE doc_id < 100)
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+HASH_MOD = 2147483647  # 2^31 - 1
+HASH_BASE = 31
+
+
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling hash (Horner fold) over token hashes — the
+    order-sensitive document fingerprint (vs md5's whole-string hash):
+    h = fold(h * B + md5int(tok) mod M)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    tok_h = lambda t: (  # noqa: E731
+        F.conv(F.substring(F.md5(t.cast("binary")), 1, 8), 16, 10).cast("bigint")
+        % HASH_MOD
+    )
+    rolled = F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * HASH_BASE + tok_h(t)) % HASH_MOD,
+    )
+    return (
+        documents.filter(F.col("doc_id") < 200)
+        .select("doc_id", rolled.alias("rhash"))
+        .orderBy("doc_id")
+    )
+
+
+TEXT_ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+  list_reduce(
+    [CAST(0 AS BIGINT)] ||
+      list_transform(string_split(text, ' '),
+                     t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % {HASH_MOD}),
+    (a, b) -> (a * {HASH_BASE} + b) % {HASH_MOD}) AS rhash
+FROM documents WHERE doc_id < 200
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -284,6 +355,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_fingerprint": text_fingerprint,
     "text_token_freq": text_token_freq,
     "text_ngrams": text_ngrams,
+    "text_bpe_tokens": text_bpe_tokens,
+    "text_rolling_hash": text_rolling_hash,
 }
 
 ORACLE: dict[str, str] = {
@@ -293,4 +366,6 @@ ORACLE: dict[str, str] = {
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_token_freq": TEXT_TOKEN_FREQ_SQL,
     "text_ngrams": TEXT_NGRAMS_SQL,
+    "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
+    "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
 }

@@ -1,0 +1,88 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The general escape hatch for stateful stream logic Spark's built-in
+windows can't express (reference has no streaming at all — SURVEY.md
+§2.9). Demonstrated with a per-user running event counter + value
+accumulator whose final state must equal the batch groupBy — making
+the custom state machine oracle-checkable.
+
+Scale notes: state is partitioned by group key in the state store;
+each micro-batch touches only the groups present in that batch. With
+a real source you'd add a timeout (GroupStateTimeout) to expire idle
+keys; the bounded replay here keeps NoTimeout.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .jobs import read_event_stream
+
+OUT_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+STATE_SCHEMA = "n LONG, tv DOUBLE"
+
+
+def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+    (user_id,) = key
+    n, tv = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        tv += float(pdf["value"].sum())
+    state.update((n, tv))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [tv]})
+
+
+def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user custom state machine over the event stream; returns the
+    final per-user state (last update per user)."""
+    events = read_event_stream(spark, sf_dir)
+    counted = (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _update,
+            outputStructType=OUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = "mem_stream_stateful"
+    ckpt = os.path.join(tempfile.gettempdir(), "sg_ckpt", f"{name}-{uuid.uuid4().hex}")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode emits one row per user per micro-batch; the final
+    # state per user is the max event count (counts are monotone)
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").cast("bigint").alias("n_events"),
+            F.round(F.max("total_value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_STATEFUL_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  round(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

@@ -24,6 +24,10 @@ from .sources.registry import TABLES
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """DuckDB connection with the canonical tables registered as views."""
     con = duckdb.connect()
+    try:
+        con.execute("SET enable_progress_bar = false")
+    except Exception:
+        pass
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
