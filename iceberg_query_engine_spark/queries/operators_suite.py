@@ -156,11 +156,49 @@ ORDER BY o_orderstatus
 """
 
 
+def op_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group feature normalization (z-score within event_type) via
+    applyInPandas grouped-map — the standard training-data
+    normalization op; oracle is the SQL window-function equivalent.
+    Scale: one shuffle on the group key; pandas sees one group per
+    call (groups must fit an executor — use salted variants for
+    monster groups)."""
+    import pandas as pd
+
+    (events,) = tables(spark, sf_dir, "events")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        out = pdf[["event_id", "event_type"]].copy()
+        out["z"] = ((pdf["value"] - mu) / sd).round(6)
+        return out
+
+    return (
+        events.select("event_id", "event_type", "value")
+        .groupBy("event_type")
+        .applyInPandas(zscore, "event_id LONG, event_type STRING, z DOUBLE")
+        .filter(F.col("event_id") < 300)
+        .orderBy("event_id")
+    )
+
+
+OP_GROUP_ZSCORE_SQL = """
+SELECT event_id, event_type,
+  round((value - avg(value) OVER w) / stddev_samp(value) OVER w, 6) AS z
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+QUALIFY event_id < 300
+ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_range_join": op_range_join,
     "op_hash_sample": op_hash_sample,
     "op_pivot": op_pivot,
+    "op_group_zscore": op_group_zscore,
 }
 
 ORACLE: dict[str, str] = {
@@ -168,4 +206,5 @@ ORACLE: dict[str, str] = {
     "op_range_join": OP_RANGE_JOIN_SQL,
     "op_hash_sample": OP_HASH_SAMPLE_SQL,
     "op_pivot": OP_PIVOT_SQL,
+    "op_group_zscore": OP_GROUP_ZSCORE_SQL,
 }

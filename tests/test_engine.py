@@ -63,3 +63,16 @@ def test_multimodal_decode_is_stubbed():
 
     with pytest.raises((NotImplementedError, ImportError)):
         decode_image(b"\x00" * 64)
+
+
+def test_engine_bad_sql_raises_cleanly(engine):
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        engine.sql("SELECT FROM WHERE")
+    with pytest.raises(pyspark.errors.PySparkException):
+        engine.sql("SELECT no_such_col FROM nation")
+    with pytest.raises(pyspark.errors.PySparkException):
+        engine.sql("SELECT * FROM no_such_table_xyz")
+    # the engine survives errors: next query still works
+    assert engine.sql("SELECT 1 AS one").rows[0].one == 1
