@@ -68,8 +68,21 @@ def DAVG(e: str) -> str:
     return f"({DSUM(e)} / COUNT({e}))"
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
-    return [load_table(spark, os.path.join(sf_dir, f"{n}.parquet")) for n in names]
+    """Load tables with a per-session DataFrame cache — avoids
+    re-reading parquet footers (schema inference) on every query.
+    DataFrames are immutable plans, so reuse is safe."""
+    out = []
+    sid = id(spark._jsparkSession)
+    for n in names:
+        key = (sid, sf_dir, n)
+        if key not in _TABLE_CACHE:
+            _TABLE_CACHE[key] = load_table(spark, os.path.join(sf_dir, f"{n}.parquet"))
+        out.append(_TABLE_CACHE[key])
+    return out
 
 
 def _rev() -> F.Column:
@@ -118,6 +131,8 @@ ORDER BY l_returnflag, l_linestatus
 # q2 — best supplier per part (correlated scalar MAX subquery; TPC-H Q2
 # shape with s_acctbal standing in for ps_supplycost, lineitem for partsupp)
 def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     part, supplier, lineitem, nation, region = tables(
         spark, sf_dir, "part", "supplier", "lineitem", "nation", "region"
     )
@@ -127,23 +142,19 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asia, F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    # supplier/part pairs observed in lineitem (stand-in for partsupp)
+    p15 = part.filter(F.col("p_size") == 15).select("p_partkey", "p_type")
+    # join the selective part filter FIRST, then one windowed max-per-part
+    # pass — the per-part MAX subquery without recomputing the pairs
+    # subtree (a groupBy+self-join would scan it twice)
     pairs = (
         lineitem.select("l_partkey", "l_suppkey")
+        .join(p15, F.col("l_partkey") == F.col("p_partkey"))
         .join(sup_n, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("l_partkey", "s_suppkey", "s_acctbal", "s_name", "n_name")
     )
-    best = pairs.groupBy(F.col("l_partkey").alias("bp_partkey")).agg(
-        F.max("s_acctbal").alias("best_acctbal")
-    )
-    p15 = part.filter(F.col("p_size") == 15).select("p_partkey", "p_type")
+    w = Window.partitionBy("p_partkey")
     return (
-        pairs.join(p15, F.col("l_partkey") == F.col("p_partkey"))
-        .join(
-            best,
-            (F.col("l_partkey") == F.col("bp_partkey"))
-            & (F.col("s_acctbal") == F.col("best_acctbal")),
-        )
+        pairs.withColumn("best_acctbal", F.max("s_acctbal").over(w))
+        .filter(F.col("s_acctbal") == F.col("best_acctbal"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
         .distinct()
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
