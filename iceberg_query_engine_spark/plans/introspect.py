@@ -59,7 +59,6 @@ def scan_columns(df: DataFrame, table_fragment: str) -> list[str]:
     """Columns actually read from the scan whose location matches
     table_fragment (column-pruning check)."""
     plan = formatted_plan(df)
-    blocks = plan.split("(")
     cols: list[str] = []
     lines = plan.splitlines()
     for i, line in enumerate(lines):

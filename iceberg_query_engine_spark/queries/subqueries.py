@@ -24,14 +24,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.registry import register_sf_dir
 
-_REGISTERED: dict[tuple[int, str], bool] = {}
+# view names are session-global: remember which sf_dir is currently
+# registered per session and re-register whenever it changes (a cached
+# "seen this pair before" check would serve stale views if one session
+# alternates between scale factors)
+_ACTIVE_SF: dict[int, str] = {}
 
 
 def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    key = (id(spark._jsparkSession), sf_dir)
-    if key not in _REGISTERED:
+    sid = id(spark._jsparkSession)
+    if _ACTIVE_SF.get(sid) != sf_dir:
         register_sf_dir(spark, sf_dir)
-        _REGISTERED[key] = True
+        _ACTIVE_SF[sid] = sf_dir
     return spark.sql(query)
 
 
