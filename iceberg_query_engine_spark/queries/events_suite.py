@@ -281,6 +281,44 @@ LIMIT 10
 """
 
 
+# --------------------------------------------------------------------------
+def ev_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (hypertable-style): day + hour level
+    aggregates in ONE pass via GROUPING SETS on truncation levels —
+    at 100 TB this replaces N separate scans with one."""
+    (events,) = tables(spark, sf_dir, "events")
+    t = F.col("ts").cast("timestamp")
+    base = events.select(
+        F.date_trunc("day", t).alias("day"),
+        F.date_trunc("hour", t).alias("hour"),
+        "value",
+    )
+    base.createOrReplaceTempView("__rollup_events")
+    return spark.sql("""
+        SELECT day, hour, CAST(COUNT(*) AS BIGINT) AS n,
+               round(SUM(value), 4) AS sum_value,
+               CAST(grouping(hour) AS INT) AS is_day_level
+        FROM __rollup_events
+        GROUP BY GROUPING SETS ((day), (day, hour))
+        ORDER BY day, is_day_level DESC, hour
+    """)
+
+
+EV_MULTI_ROLLUP_SQL = """
+SELECT day, hour, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(value), 4) AS sum_value,
+       CAST(grouping(hour) AS INT) AS is_day_level
+FROM (
+  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         value
+  FROM events
+)
+GROUP BY GROUPING SETS ((day), (day, hour))
+ORDER BY day, is_day_level DESC, hour
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
@@ -288,6 +326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_funnel": ev_funnel,
     "ev_retention": ev_retention,
     "ev_topk_users": ev_topk_users,
+    "ev_multi_rollup": ev_multi_rollup,
 }
 
 ORACLE: dict[str, str] = {
@@ -297,4 +336,5 @@ ORACLE: dict[str, str] = {
     "ev_funnel": EV_FUNNEL_SQL,
     "ev_retention": EV_RETENTION_SQL,
     "ev_topk_users": EV_TOPK_USERS_SQL,
+    "ev_multi_rollup": EV_MULTI_ROLLUP_SQL,
 }

@@ -745,6 +745,47 @@ def f_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# f_decimal — Decimal128(38,10) arithmetic parity. The reference's value
+# domain pins Decimal128(38,10) (logical_expr.rs:50); testdata money
+# columns are doubles, so cast to decimal first and compare exact
+# decimal semantics (no float rounding anywhere). Two dialect drifts
+# are avoided deliberately: decimal division rounding (Spark HALF_UP
+# at result scale, DuckDB truncates — use an exactly-representable
+# divisor) and decimal->int (Spark truncates, DuckDB rounds — use
+# explicit floor).
+def f_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (orders,) = tables(spark, sf_dir, "orders")
+    d = F.col("o_totalprice").cast("decimal(38,10)")
+    k = F.col("o_orderkey")
+    return orders.filter(k < 20).select(
+        "o_orderkey",
+        d.cast("string").alias("dec_v"),
+        (d + F.lit("0.1").cast("decimal(38,10)")).cast("decimal(38,10)")
+        .cast("string").alias("dec_add"),
+        (d * F.lit(3)).cast("decimal(38,10)").cast("string").alias("dec_mul"),
+        (d / F.lit(8)).cast("decimal(38,10)").cast("string").alias("dec_div"),
+        F.round(d, 2).cast("decimal(38,2)").cast("string").alias("dec_round"),
+        F.floor(d).cast("bigint").alias("dec_toint"),
+        F.lit("123456789012345678.1234567890").cast("decimal(38,10)")
+        .cast("string").alias("dec_big"),
+    )
+
+
+F_DECIMAL_SQL = """
+SELECT o_orderkey,
+  CAST(d AS VARCHAR) AS dec_v,
+  CAST(CAST(d + CAST('0.1' AS DECIMAL(38,10)) AS DECIMAL(38,10)) AS VARCHAR) AS dec_add,
+  CAST(CAST(d * 3 AS DECIMAL(38,10)) AS VARCHAR) AS dec_mul,
+  CAST(CAST(d / 8 AS DECIMAL(38,10)) AS VARCHAR) AS dec_div,
+  CAST(CAST(round(d, 2) AS DECIMAL(38,2)) AS VARCHAR) AS dec_round,
+  CAST(floor(d) AS BIGINT) AS dec_toint,
+  CAST(CAST('123456789012345678.1234567890' AS DECIMAL(38,10)) AS VARCHAR) AS dec_big
+FROM (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,10)) AS d
+      FROM orders WHERE o_orderkey < 20)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_math": f_math,
     "f_trig": f_trig,
@@ -762,6 +803,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_agg_misc": f_agg_misc,
     "f_percentiles": f_percentiles,
     "f_approx": f_approx,
+    "f_decimal": f_decimal,
 }
 
 ORACLE: dict[str, str] = {
@@ -780,5 +822,6 @@ ORACLE: dict[str, str] = {
     "f_agg_stats": F_AGG_STATS_SQL,
     "f_agg_misc": F_AGG_MISC_SQL,
     "f_percentiles": F_PERCENTILES_SQL,
+    "f_decimal": F_DECIMAL_SQL,
     # f_approx: intentionally no oracle (engine-specific sketches)
 }

@@ -193,12 +193,57 @@ ORDER BY event_id
 """
 
 
+def op_arrow_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: columnar batch-level transform via the Arrow C data
+    interface — parity with the reference's Arrow FFI surface
+    (/root/reference/src/arrow_ffi/mod.rs:1-31). The kernel runs
+    pyarrow.compute on whole RecordBatches (no per-row Python)."""
+    from collections.abc import Iterator
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            disc = pc.multiply(
+                b.column(b.schema.get_field_index("l_extendedprice")),
+                pc.subtract(
+                    pa.scalar(1.0),
+                    b.column(b.schema.get_field_index("l_discount")),
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [b.column(b.schema.get_field_index("l_orderkey")), disc],
+                names=["l_orderkey", "disc_price"],
+            )
+
+    out = lineitem.select("l_orderkey", "l_extendedprice", "l_discount").mapInArrow(
+        kernel, "l_orderkey LONG, disc_price DOUBLE"
+    )
+    return out.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("disc_price") * 1000000).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("qsum"),
+    )
+
+
+OP_ARROW_BATCH_SQL = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000) AS DECIMAL(38,0))) AS DOUBLE) AS qsum
+FROM lineitem
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_range_join": op_range_join,
     "op_hash_sample": op_hash_sample,
     "op_pivot": op_pivot,
     "op_group_zscore": op_group_zscore,
+    "op_arrow_batch": op_arrow_batch,
 }
 
 ORACLE: dict[str, str] = {
@@ -207,4 +252,5 @@ ORACLE: dict[str, str] = {
     "op_hash_sample": OP_HASH_SAMPLE_SQL,
     "op_pivot": OP_PIVOT_SQL,
     "op_group_zscore": OP_GROUP_ZSCORE_SQL,
+    "op_arrow_batch": OP_ARROW_BATCH_SQL,
 }
