@@ -65,6 +65,11 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
+        # managed-table warehouse for bucketed tables (kept off-repo)
+        .config("spark.sql.warehouse.dir", os.environ.get(
+            "SPARK_GRAFT_WAREHOUSE", "/tmp/sg_warehouse"))
+        .config("spark.sql.sources.bucketing.enabled", "true")
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
     for k, v in (extra_conf or {}).items():
