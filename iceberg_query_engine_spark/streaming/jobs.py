@@ -181,3 +181,34 @@ FROM events
 GROUP BY event_type
 ORDER BY event_type
 """
+
+
+def stream_foreach_batch_to_parquet(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> int:
+    """foreachBatch sink: arbitrary per-micro-batch logic (dedupe +
+    enrich + parquet append) — the custom-sink escape hatch. Returns
+    the number of micro-batches processed."""
+    events = read_event_stream(spark, sf_dir)
+    n_batches = {"n": 0}
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        n_batches["n"] += 1
+        (
+            batch_df.dropDuplicates(["event_id"])
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    ckpt = os.path.join(
+        tempfile.gettempdir(), "sg_ckpt", f"feb-{uuid.uuid4().hex}"
+    )
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_batches["n"]

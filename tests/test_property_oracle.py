@@ -83,3 +83,86 @@ def queries(draw):
 def test_random_query_matches_duckdb(spark, sf_oracle, q):
     res = compare("prop", _sql(spark, sf_oracle, q), q, sf_oracle)
     assert res.ok, f"divergence on: {q}\n{res.detail}\n" + "\n".join(res.mismatches[:5])
+
+
+@st.composite
+def window_queries(draw):
+    """Random window-function queries over supplier (deterministic
+    unique ordering key)."""
+    direction = draw(st.sampled_from(["ASC", "DESC"]))
+    # Spark cannot extend a named window with an inline frame, so
+    # framed variants carry the full window spec
+    spec = f"PARTITION BY s_nationkey ORDER BY s_suppkey {direction}"
+    wf = draw(
+        st.sampled_from(
+            [
+                "CAST(row_number() OVER ({w}) AS BIGINT)",
+                "CAST(rank() OVER ({w}) AS BIGINT)",
+                "CAST(dense_rank() OVER ({w}) AS BIGINT)",
+                "round(sum(s_acctbal) OVER ({w} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)",
+                "round(avg(s_acctbal) OVER ({w} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)",
+                "lag(s_suppkey, 1) OVER ({w})",
+                "lead(s_suppkey, 2) OVER ({w})",
+                "min(s_acctbal) OVER ({w} ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)",
+            ]
+        )
+    ).format(w=spec)
+    limit = draw(st.integers(5, 40))
+    return (
+        f"SELECT s_suppkey, {wf} AS v FROM supplier "
+        f"ORDER BY s_suppkey LIMIT {limit}"
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=window_queries())
+def test_random_window_query_matches_duckdb(spark, sf_oracle, q):
+    res = compare("propw", _sql(spark, sf_oracle, q), q, sf_oracle)
+    assert res.ok, f"divergence on: {q}\n{res.detail}\n" + "\n".join(res.mismatches[:5])
+
+
+@st.composite
+def string_queries(draw):
+    """Random string-expression queries over part names."""
+    expr = draw(
+        st.sampled_from(
+            [
+                "upper(p_name)",
+                "substring(p_name, {a}, {b})",
+                "replace(p_name, 'a', '#')",
+                "reverse(p_name)",
+                "lpad(p_name, {b}, '*')",
+                "split_part(p_name, ' ', 1)",
+                "CAST(length(p_name) AS BIGINT)",
+                "regexp_replace(p_name, '[aeiou]', '_', 'g')",
+                "concat_ws('-', p_name, CAST(p_partkey AS VARCHAR))",
+            ]
+        )
+    ).format(a=draw(st.integers(1, 5)), b=draw(st.integers(2, 15)))
+    lo = draw(st.integers(0, 150))
+    return (
+        f"SELECT p_partkey, {expr} AS v FROM part "
+        f"WHERE p_partkey BETWEEN {lo} AND {lo + 40} ORDER BY p_partkey"
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=string_queries())
+def test_random_string_query_matches_duckdb(spark, sf_oracle, q):
+    # Spark's regexp_replace has no flags arg; it is global by default —
+    # strip the DuckDB-only 'g' flag on the Spark side
+    spark_q = q.replace(", '_', 'g')", ", '_')")
+    res = compare("props", _sql(spark, sf_oracle, spark_q), q, sf_oracle)
+    assert res.ok, f"divergence on: {q}\n{res.detail}\n" + "\n".join(res.mismatches[:5])

@@ -37,3 +37,17 @@ def test_write_json_roundtrip(engine, tmp_path):
     engine.write_json(Q, p)
     back = engine.spark.read.json(p)
     assert back.count() == 25
+
+
+def test_stream_foreach_batch_sink(spark, sf_oracle, tmp_path):
+    from iceberg_query_engine_spark.streaming.jobs import (
+        stream_foreach_batch_to_parquet,
+    )
+
+    out = str(tmp_path / "stream_out")
+    n_batches = stream_foreach_batch_to_parquet(spark, sf_oracle, out)
+    assert n_batches >= 1
+    back = spark.read.parquet(out)
+    batch_total = spark.read.parquet(f"{sf_oracle}/events.parquet").count()
+    assert back.count() == batch_total  # event_ids unique → dedupe is a no-op
+    assert "batch_id" in back.columns
