@@ -165,6 +165,8 @@ def t_pdf(df: float, x: float) -> float:
 
 
 def wilson_interval_lower(successes: int, trials: int, z: float) -> float:
+    if trials == 0:
+        return None  # reference returns NULL rather than dividing by zero
     p = successes / trials
     denom = 1 + z * z / trials
     center = p + z * z / (2 * trials)
@@ -173,6 +175,8 @@ def wilson_interval_lower(successes: int, trials: int, z: float) -> float:
 
 
 def wilson_interval_upper(successes: int, trials: int, z: float) -> float:
+    if trials == 0:
+        return None
     p = successes / trials
     denom = 1 + z * z / trials
     center = p + z * z / (2 * trials)
@@ -256,13 +260,22 @@ def _wrap1(fn, out="double"):
     return udf
 
 
+def _null_in(*vals) -> bool:
+    return any(v is None or (isinstance(v, float) and math.isnan(v)) for v in vals)
+
+
 def _wrap3(fn):
-    # float() coercion: Spark numeric literals can arrive as Decimal
+    # float() coercion: Spark numeric literals can arrive as Decimal.
+    # NULL/NaN args yield NULL (object dtype so Arrow emits null, not NaN),
+    # matching the reference's nullable semantics.
     @pandas_udf("double")
     def udf(a: pd.Series, b: pd.Series, c: pd.Series) -> pd.Series:
         return pd.Series(
-            [fn(float(x), float(y), float(z)) for x, y, z in zip(a, b, c)],
-            dtype="float64",
+            [
+                None if _null_in(x, y, z) else fn(float(x), float(y), float(z))
+                for x, y, z in zip(a, b, c)
+            ],
+            dtype="object",
         )
 
     return udf
@@ -280,7 +293,11 @@ def _wrap2_num(fn):
     @pandas_udf("double")
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(
-            [fn(float(x), float(y)) for x, y in zip(a, b)], dtype="float64"
+            [
+                None if _null_in(x, y) else fn(float(x), float(y))
+                for x, y in zip(a, b)
+            ],
+            dtype="object",
         )
 
     return udf
@@ -307,3 +324,24 @@ def register_all(spark: SparkSession) -> None:
     reg("from_base32", _wrap1(from_base32, "string"))
     reg("to_ieee754_64", _wrap1(to_ieee754_64, "long"))
     reg("from_ieee754_64", _wrap1(from_ieee754_64, "double"))
+
+    # SQL UDFs (Spark 4): Catalyst inlines the RETURN expression, so these
+    # stay JVM-side/codegen — no Python round-trip. Semantics mirror the
+    # reference exactly (NULL→NULL; IS_FINITE false on ±inf/NaN; TRUNCATE is
+    # numeric toward-zero with ±inf/NaN passthrough —
+    # /root/reference/src/physical/operators/filter.rs:1122, 2965, 2997).
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_finite(x DOUBLE) RETURNS BOOLEAN "
+        "RETURN CASE WHEN x IS NULL THEN NULL "
+        "ELSE NOT isnan(x) AND abs(x) <> double('Infinity') END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_infinite(x DOUBLE) RETURNS BOOLEAN "
+        "RETURN CASE WHEN x IS NULL THEN NULL ELSE abs(x) = double('Infinity') END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION truncate(x DOUBLE) RETURNS DOUBLE "
+        "RETURN CASE WHEN x IS NULL THEN NULL "
+        "WHEN isnan(x) OR abs(x) = double('Infinity') THEN x "
+        "ELSE x - x % 1.0D END"
+    )

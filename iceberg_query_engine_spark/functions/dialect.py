@@ -30,7 +30,10 @@ _RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bJSON_EXTRACT\s*\(", re.I), "get_json_object("),
     (re.compile(r"\bTO_UNIXTIME\s*\(", re.I), "unix_timestamp("),
     (re.compile(r"\bCARDINALITY\s*\(", re.I), "size("),
-    (re.compile(r"\bTRUNCATE\s*\(", re.I), "trunc("),
+    # TRUNCATE / IS_FINITE / IS_INFINITE need no rewrite: compat.register_all
+    # installs Catalyst-inlined SQL UDFs under those exact names (Spark's
+    # trunc() is date truncation, not the reference's numeric x.trunc() —
+    # /root/reference/src/physical/operators/filter.rs:1122, 2965, 2997).
     (re.compile(r"\bLEVENSHTEIN_DISTANCE\s*\(", re.I), "levenshtein("),
     (re.compile(r"\bTO_HEX\s*\(", re.I), "hex("),
     (re.compile(r"\bFROM_HEX\s*\(", re.I), "unhex("),
@@ -39,7 +42,6 @@ _RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bLAST_DAY_OF_MONTH\s*\(", re.I), "last_day("),
     (re.compile(r"\bFROM_ISO8601_DATE\s*\(", re.I), "to_date("),
     (re.compile(r"\bFROM_ISO8601_TIMESTAMP\s*\(", re.I), "to_timestamp("),
-    (re.compile(r"\bIS_FINITE\s*\(", re.I), "not isnan("),
     (re.compile(r"\bIS_NAN\s*\(", re.I), "isnan("),
     (re.compile(r"\bBITWISE_AND\s*\(", re.I), "bitand("),
     (re.compile(r"\bBITWISE_OR\s*\(", re.I), "bitor("),

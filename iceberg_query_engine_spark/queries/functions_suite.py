@@ -366,7 +366,10 @@ FROM events WHERE event_id < 20
 
 
 # --------------------------------------------------------------------------
-# f_array — array family (built via split/sequence; higher-order funcs)
+# f_array — array family (built via split/sequence; higher-order funcs).
+# Array-typed outputs are serialized with to_json on BOTH sides: the
+# driver's correctness comparer canonicalizes rows via pandas hashing,
+# which cannot hash list cells (round-1 `unhashable type: 'list'`).
 def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nation,) = tables(spark, sf_dir, "nation")
     nums = F.sequence(F.lit(1), (F.col("n_nationkey") % 5) + 2)
@@ -379,23 +382,27 @@ def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position(nums, 2).cast("bigint").alias("pos2"),
         F.array_max(nums).alias("amax"),
         F.array_min(nums).alias("amin"),
-        F.sort_array(F.array_distinct(F.concat(nums, nums))).alias("adist"),
-        F.sort_array(F.array_union(nums, F.array(F.lit(9)))).alias("aunion"),
-        F.sort_array(F.array_intersect(nums, F.sequence(F.lit(2), F.lit(4)))).alias("aint"),
-        F.sort_array(F.array_except(nums, F.sequence(F.lit(1), F.lit(2)))).alias("aexc"),
-        F.slice(nums, 1, 2).alias("aslice"),
+        F.to_json(F.sort_array(F.array_distinct(F.concat(nums, nums)))).alias("adist"),
+        F.to_json(F.sort_array(F.array_union(nums, F.array(F.lit(9))))).alias("aunion"),
+        F.to_json(
+            F.sort_array(F.array_intersect(nums, F.sequence(F.lit(2), F.lit(4))))
+        ).alias("aint"),
+        F.to_json(
+            F.sort_array(F.array_except(nums, F.sequence(F.lit(1), F.lit(2))))
+        ).alias("aexc"),
+        F.to_json(F.slice(nums, 1, 2)).alias("aslice"),
         F.array_join(words, "/").alias("ajoin"),
         F.arrays_overlap(nums, F.sequence(F.lit(4), F.lit(6))).alias("aover"),
-        F.flatten(F.array(nums, nums)).alias("aflat"),
-        F.reverse(nums).alias("arev"),
-        F.sort_array(nums, asc=False).alias("asortd"),
+        F.to_json(F.flatten(F.array(nums, nums))).alias("aflat"),
+        F.to_json(F.reverse(nums)).alias("arev"),
+        F.to_json(F.sort_array(nums, asc=False)).alias("asortd"),
         F.aggregate(nums, F.lit(0), lambda acc, x: acc + x).cast("bigint").alias("asum"),
-        F.transform(nums, lambda x: x * 10).alias("axform"),
-        F.filter(nums, lambda x: x % 2 == 0).alias("afilt"),
+        F.to_json(F.transform(nums, lambda x: x * 10)).alias("axform"),
+        F.to_json(F.filter(nums, lambda x: x % 2 == 0)).alias("afilt"),
         F.exists(nums, lambda x: x > 4).alias("aexists"),
-        F.zip_with(nums, nums, lambda a, b: a + b).alias("azip"),
-        F.array_remove(F.concat(nums, nums), 1).alias("arem"),
-        F.array_repeat(F.col("n_nationkey"), 2).alias("arep"),
+        F.to_json(F.zip_with(nums, nums, lambda a, b: a + b)).alias("azip"),
+        F.to_json(F.array_remove(F.concat(nums, nums), 1)).alias("arem"),
+        F.to_json(F.array_repeat(F.col("n_nationkey"), 2)).alias("arep"),
     )
 
 
@@ -407,23 +414,23 @@ SELECT n_nationkey,
   CAST(list_position(nums, 2) AS BIGINT) AS pos2,
   list_max(nums) AS amax,
   list_min(nums) AS amin,
-  list_sort(list_distinct(nums || nums)) AS adist,
-  list_sort(list_distinct(nums || [9])) AS aunion,
-  list_sort(list_intersect(nums, [2,3,4])) AS aint,
-  list_sort(list_filter(list_distinct(nums), x -> x NOT IN (1,2))) AS aexc,
-  array_slice(nums, 1, 2) AS aslice,
+  CAST(to_json(list_sort(list_distinct(nums || nums))) AS VARCHAR) AS adist,
+  CAST(to_json(list_sort(list_distinct(nums || [9]))) AS VARCHAR) AS aunion,
+  CAST(to_json(list_sort(list_intersect(nums, [2,3,4]))) AS VARCHAR) AS aint,
+  CAST(to_json(list_sort(list_filter(list_distinct(nums), x -> x NOT IN (1,2)))) AS VARCHAR) AS aexc,
+  CAST(to_json(array_slice(nums, 1, 2)) AS VARCHAR) AS aslice,
   array_to_string(string_split(n_name, '_'), '/') AS ajoin,
   length(list_intersect(nums, [4,5,6])) > 0 AS aover,
-  nums || nums AS aflat,
-  list_reverse(nums) AS arev,
-  list_sort(nums, 'DESC') AS asortd,
+  CAST(to_json(nums || nums) AS VARCHAR) AS aflat,
+  CAST(to_json(list_reverse(nums)) AS VARCHAR) AS arev,
+  CAST(to_json(list_sort(nums, 'DESC')) AS VARCHAR) AS asortd,
   CAST(list_aggregate(nums, 'sum') AS BIGINT) AS asum,
-  list_transform(nums, x -> x * 10) AS axform,
-  list_filter(nums, x -> x % 2 = 0) AS afilt,
+  CAST(to_json(list_transform(nums, x -> x * 10)) AS VARCHAR) AS axform,
+  CAST(to_json(list_filter(nums, x -> x % 2 = 0)) AS VARCHAR) AS afilt,
   length(list_filter(nums, x -> x > 4)) > 0 AS aexists,
-  list_transform(nums, x -> x + x) AS azip,
-  list_filter(nums || nums, x -> x <> 1) AS arem,
-  [n_nationkey, n_nationkey] AS arep
+  CAST(to_json(list_transform(nums, x -> x + x)) AS VARCHAR) AS azip,
+  CAST(to_json(list_filter(nums || nums, x -> x <> 1)) AS VARCHAR) AS arem,
+  CAST(to_json([n_nationkey, n_nationkey]) AS VARCHAR) AS arep
 FROM (SELECT n_nationkey, n_name,
              generate_series(1, (n_nationkey % 5) + 2) AS nums
       FROM nation)

@@ -67,13 +67,16 @@ def stream_stateful_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     # update mode emits one row per user per micro-batch; the final
-    # state per user is the max event count (counts are monotone)
+    # state per user is the row with the highest event count (counts
+    # are monotone; total_value is NOT — a negative event value would
+    # make max(total_value) pick an intermediate state, so take the
+    # value paired with the final count via max_by).
     return (
         spark.table(name)
         .groupBy("user_id")
         .agg(
             F.max("n_events").cast("bigint").alias("n_events"),
-            F.round(F.max("total_value"), 4).alias("total_value"),
+            F.round(F.max_by("total_value", "n_events"), 4).alias("total_value"),
         )
         .orderBy("user_id")
     )

@@ -76,3 +76,38 @@ def test_engine_bad_sql_raises_cleanly(engine):
         engine.sql("SELECT * FROM no_such_table_xyz")
     # the engine survives errors: next query still works
     assert engine.sql("SELECT 1 AS one").rows[0].one == 1
+
+
+def test_engine_is_finite_infinite_truncate_semantics(engine):
+    """ADVICE round 1: IS_FINITE must be false on ±Infinity (reference
+    f64::is_finite, filter.rs:2965) and TRUNCATE is numeric toward-zero
+    (filter.rs:1122), not Spark's date trunc. NULL in → NULL out."""
+    res = engine.sql(
+        "SELECT IS_FINITE(1.5D) AS a, IS_FINITE(double('Infinity')) AS b, "
+        "IS_FINITE(double('-Infinity')) AS c, IS_FINITE(double('NaN')) AS d, "
+        "IS_FINITE(CAST(NULL AS DOUBLE)) AS e, "
+        "IS_INFINITE(double('Infinity')) AS f, IS_INFINITE(2.0D) AS g, "
+        "TRUNCATE(3.7D) AS h, TRUNCATE(-3.7D) AS i, "
+        "TRUNCATE(double('Infinity')) AS j, TRUNCATE(CAST(NULL AS DOUBLE)) AS k"
+    )
+    r = res.rows[0]
+    assert (r.a, r.b, r.c, r.d, r.e) == (True, False, False, False, None)
+    assert (r.f, r.g) == (True, False)
+    assert (r.h, r.i) == (3.0, -3.0)
+    assert r.j == float("inf") and r.k is None
+
+
+def test_engine_compat_udfs_null_safety(engine):
+    """ADVICE round 1: NULL args to the stat UDFs yield NULL (not a
+    TypeError in the executor); wilson_interval_* with trials=0 yields
+    NULL (not ZeroDivisionError)."""
+    res = engine.sql(
+        "SELECT normal_cdf(CAST(NULL AS DOUBLE), 1.0, 0.0) AS a, "
+        "t_cdf(CAST(NULL AS DOUBLE), 1.0) AS b, "
+        "wilson_interval_lower(0.0, 0.0, 1.96) AS c, "
+        "wilson_interval_upper(3.0, 10.0, 1.96) AS d, "
+        "inverse_normal_cdf(0.0, 1.0, CAST(NULL AS DOUBLE)) AS e"
+    )
+    r = res.rows[0]
+    assert r.a is None and r.b is None and r.c is None and r.e is None
+    assert 0.3 < r.d < 0.7
