@@ -21,6 +21,8 @@ import hmac as _hmac
 import math
 import re
 import struct
+import unicodedata
+from datetime import datetime
 
 import pandas as pd
 from pyspark.sql import SparkSession
@@ -233,6 +235,72 @@ def hmac_sha256(key: str, msg: str) -> str:
     return _hmac.new(key.encode(), msg.encode(), "sha256").hexdigest()
 
 
+def hmac_md5(key: str, msg: str) -> str:
+    return _hmac.new(key.encode(), msg.encode(), "md5").hexdigest()
+
+
+def hmac_sha1(key: str, msg: str) -> str:
+    return _hmac.new(key.encode(), msg.encode(), "sha1").hexdigest()
+
+
+def hmac_sha512(key: str, msg: str) -> str:
+    return _hmac.new(key.encode(), msg.encode(), "sha512").hexdigest()
+
+
+def hamming_distance(a: str, b: str) -> int | None:
+    """Count of differing positions; NULL on length mismatch (the
+    reference returns None rather than erroring — filter.rs:3383-3394)."""
+    if len(a) != len(b):
+        return None
+    return sum(1 for x, y in zip(a, b) if x != y)
+
+
+def normalize_nfc(s: str) -> str:
+    """Trino NORMALIZE(s) — reference always uses NFC (filter.rs:3507)."""
+    return unicodedata.normalize("NFC", s)
+
+
+# DATE_PARSE: MySQL-style %-patterns → Python strptime (same conversion
+# table as the reference, filter.rs:3895-3913). %% placeholder keeps a
+# literal percent from being rewritten by later rules.
+_MYSQL_TO_PY = [("%c", "%m"), ("%e", "%d"), ("%h", "%I"), ("%k", "%H"),
+                ("%l", "%I"), ("%i", "%M"), ("%s", "%S")]
+# PARSE_DATETIME: Joda-style patterns, ordered longest-first
+# (filter.rs:3958-3976).
+_JODA_TO_PY = [("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
+               ("HH", "%H"), ("hh", "%I"), ("mm", "%M"), ("SSS", "%f"),
+               ("ss", "%S"), ("a", "%p")]
+
+
+def _convert_fmt(fmt: str, table: list[tuple[str, str]]) -> str:
+    for src, dst in table:
+        fmt = fmt.replace(src, dst)
+    return fmt
+
+
+def _strptime_or_none(s: str, fmt: str):
+    try:
+        return datetime.strptime(s, fmt)
+    except (ValueError, TypeError):
+        return None  # reference yields NULL on parse failure
+
+
+def date_parse(s: str, fmt: str):
+    return _strptime_or_none(s, _convert_fmt(fmt, _MYSQL_TO_PY))
+
+
+def parse_datetime(s: str, fmt: str):
+    return _strptime_or_none(s, _convert_fmt(fmt, _JODA_TO_PY))
+
+
+def to_big_endian_64(x: int) -> bytes:
+    return struct.pack(">q", x)
+
+
+def from_big_endian_64(b: bytes) -> int:
+    return struct.unpack(">q", b)[0]
+
+
 def to_base32(s: str) -> str:
     return _b64.b32encode(s.encode()).decode()
 
@@ -284,7 +352,10 @@ def _wrap3(fn):
 def _wrap2_str(fn, out="string"):
     @pandas_udf(out)
     def udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([fn(x, y) for x, y in zip(a, b)])
+        return pd.Series(
+            [None if x is None or y is None else fn(x, y) for x, y in zip(a, b)],
+            dtype="object",
+        )
 
     return udf
 
@@ -320,6 +391,15 @@ def register_all(spark: SparkSession) -> None:
     reg("word_stem", _wrap1(_porter_light, "string"))
     reg("parse_data_size", _wrap1(parse_data_size, "long"))
     reg("hmac_sha256", _wrap2_str(hmac_sha256))
+    reg("hmac_md5", _wrap2_str(hmac_md5))
+    reg("hmac_sha1", _wrap2_str(hmac_sha1))
+    reg("hmac_sha512", _wrap2_str(hmac_sha512))
+    reg("hamming_distance", _wrap2_str(hamming_distance, "long"))
+    reg("normalize", _wrap1(normalize_nfc, "string"))
+    reg("date_parse", _wrap2_str(date_parse, "timestamp"))
+    reg("parse_datetime", _wrap2_str(parse_datetime, "timestamp"))
+    reg("to_big_endian_64", _wrap1(to_big_endian_64, "binary"))
+    reg("from_big_endian_64", _wrap1(from_big_endian_64, "long"))
     reg("to_base32", _wrap1(to_base32, "string"))
     reg("from_base32", _wrap1(from_base32, "string"))
     reg("to_ieee754_64", _wrap1(to_ieee754_64, "long"))
@@ -345,3 +425,36 @@ def register_all(spark: SparkSession) -> None:
         "WHEN isnan(x) OR abs(x) = double('Infinity') THEN x "
         "ELSE x - x % 1.0D END"
     )
+    # Trino date/time spellings. Reference DAY_OF_WEEK is Sunday=1
+    # (num_days_from_sunday + 1, filter.rs:1799-1815) — identical to
+    # Spark's dayofweek; YEAR_OF_WEEK is the ISO week-year
+    # (filter.rs:3582); MILLISECOND is the 0-999 component
+    # (filter.rs:3566); TIMEZONE_HOUR/MINUTE are constant 0 in the
+    # reference (filter.rs:3605-3609).
+    for name, expr in [
+        ("day_of_week(x DATE) RETURNS INT", "CAST(dayofweek(x) AS INT)"),
+        ("dow(x DATE) RETURNS INT", "CAST(dayofweek(x) AS INT)"),
+        ("day_of_year(x DATE) RETURNS INT", "CAST(dayofyear(x) AS INT)"),
+        ("doy(x DATE) RETURNS INT", "CAST(dayofyear(x) AS INT)"),
+        ("week(x DATE) RETURNS INT", "CAST(weekofyear(x) AS INT)"),
+        ("week_of_year(x DATE) RETURNS INT", "CAST(weekofyear(x) AS INT)"),
+        ("year_of_week(x DATE) RETURNS INT", "CAST(extract(YEAROFWEEK FROM x) AS INT)"),
+        (
+            "millisecond(x TIMESTAMP) RETURNS INT",
+            "CAST((unix_micros(x) % 1000000) DIV 1000 AS INT)",
+        ),
+        ("timezone_hour(x TIMESTAMP) RETURNS INT", "0"),
+        ("timezone_minute(x TIMESTAMP) RETURNS INT", "0"),
+        ("to_utf8(s STRING) RETURNS BINARY", "encode(s, 'UTF-8')"),
+        ("from_utf8(b BINARY) RETURNS STRING", "decode(b, 'UTF-8')"),
+        (
+            # reference's own human-readable format (filter.rs:4003-4027)
+            "human_readable_seconds(x DOUBLE) RETURNS STRING",
+            "CASE WHEN x IS NULL THEN NULL "
+            "WHEN x < 60 THEN format_string('%.2f seconds', x) "
+            "WHEN x < 3600 THEN format_string('%.2f minutes', x / 60) "
+            "WHEN x < 86400 THEN format_string('%.2f hours', x / 3600) "
+            "ELSE format_string('%.2f days', x / 86400) END",
+        ),
+    ]:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} RETURN {expr}")

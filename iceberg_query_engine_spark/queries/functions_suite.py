@@ -793,6 +793,99 @@ FROM (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(38,10)) AS d
 """
 
 
+# --------------------------------------------------------------------------
+# f_datetime2 — Trino date/time spellings the reference exposes as
+# functions (DAY_OF_WEEK/DOY/WEEK_OF_YEAR/YEAR_OF_WEEK/MILLISECOND/
+# TIMEZONE_HOUR — filter.rs:1799, 3566-3609; DATE_PARSE/PARSE_DATETIME —
+# filter.rs:3877-3997). All resolve through compat.register_all: the
+# date spellings are Catalyst-inlined SQL UDFs; the two parsers are
+# Arrow-batched pandas UDFs (format strings are data-dependent).
+def f_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import compat
+
+    compat.register_all(spark)
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_id") < 25).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("t"),
+        F.col("ts").cast("date").alias("d"),
+    )
+    return ev.selectExpr(
+        "event_id",
+        "day_of_week(d) AS dw",
+        "day_of_year(d) AS dy",
+        "week_of_year(d) AS woy",
+        "year_of_week(d) AS yow",
+        "millisecond(t) AS ms",
+        "timezone_hour(t) AS tzh",
+        "timezone_minute(t) AS tzm",
+        "CAST(date_parse(date_format(t, 'yyyy-MM-dd HH:mm:ss'), "
+        "'%Y-%m-%d %H:%i:%s') AS STRING) AS dparse",
+        "CAST(parse_datetime(date_format(t, 'yyyy-MM-dd HH:mm'), "
+        "'yyyy-MM-dd HH:mm') AS STRING) AS pdt",
+    )
+
+
+F_DATETIME2_SQL = """
+SELECT event_id,
+  CAST(dayofweek(d) + 1 AS INT) AS dw,
+  CAST(dayofyear(d) AS INT) AS dy,
+  CAST(weekofyear(d) AS INT) AS woy,
+  CAST(isoyear(d) AS INT) AS yow,
+  CAST(millisecond(t) % 1000 AS INT) AS ms,
+  CAST(0 AS INT) AS tzh,
+  CAST(0 AS INT) AS tzm,
+  CAST(strptime(strftime(t, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS dparse,
+  CAST(strptime(strftime(t, '%Y-%m-%d %H:%M'), '%Y-%m-%d %H:%M') AS VARCHAR) AS pdt
+FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS t, CAST(ts AS DATE) AS d
+      FROM events WHERE event_id < 25)
+"""
+
+
+# --------------------------------------------------------------------------
+# f_misc — remaining native-function parity: WIDTH_BUCKET, FORMAT /
+# FORMAT_NUMBER, FROM_BASE/TO_BASE roundtrip, CHAR_LENGTH/SUBSTR/
+# POSITION spellings, CHR, REPEAT, LEFT/RIGHT
+# (logical_expr.rs:272-536 families).
+def f_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    (part,) = tables(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") < 25).selectExpr(
+        "p_partkey",
+        "CAST(width_bucket(p_retailprice, 0.0D, 2000.0D, 10) AS BIGINT) AS wb",
+        "format_number(p_retailprice, 2) AS fnum",
+        "format_string('%s has %d', p_name, p_size) AS fstr",
+        "CAST(conv('ff', 16, 10) AS BIGINT) AS fbase",
+        "lower(conv(CAST(p_size AS STRING), 10, 36)) AS tbase",
+        "CAST(char_length(p_name) AS BIGINT) AS clen",
+        "substr(p_name, 3, 6) AS sub36",
+        "CAST(position('o' IN p_name) AS BIGINT) AS pos_o",
+        "chr(65 + p_partkey % 26) AS ch",
+        "repeat('ab', CAST(p_size % 4 AS INT)) AS rep",
+        "left(p_name, 5) AS l5",
+        "right(p_name, 5) AS r5",
+    )
+
+
+F_MISC_SQL = """
+SELECT p_partkey,
+  CASE WHEN p_retailprice < 0 THEN 0 WHEN p_retailprice >= 2000 THEN 11
+       ELSE CAST(floor(p_retailprice / 200) + 1 AS BIGINT) END AS wb,
+  format('{:,}', CAST(floor(p_retailprice) AS BIGINT)) || '.' ||
+    lpad(CAST(CAST(round(p_retailprice * 100) AS BIGINT) % 100 AS VARCHAR), 2, '0') AS fnum,
+  printf('%s has %d', p_name, p_size) AS fstr,
+  CAST(255 AS BIGINT) AS fbase,
+  lower(to_base(p_size, 36)) AS tbase,
+  CAST(length(p_name) AS BIGINT) AS clen,
+  substr(p_name, 3, 6) AS sub36,
+  CAST(position('o' IN p_name) AS BIGINT) AS pos_o,
+  chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS ch,
+  repeat('ab', p_size % 4) AS rep,
+  left(p_name, 5) AS l5,
+  right(p_name, 5) AS r5
+FROM part WHERE p_partkey < 25
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_math": f_math,
     "f_trig": f_trig,
@@ -811,6 +904,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_percentiles": f_percentiles,
     "f_approx": f_approx,
     "f_decimal": f_decimal,
+    "f_datetime2": f_datetime2,
+    "f_misc": f_misc,
 }
 
 ORACLE: dict[str, str] = {
@@ -830,5 +925,7 @@ ORACLE: dict[str, str] = {
     "f_agg_misc": F_AGG_MISC_SQL,
     "f_percentiles": F_PERCENTILES_SQL,
     "f_decimal": F_DECIMAL_SQL,
+    "f_datetime2": F_DATETIME2_SQL,
+    "f_misc": F_MISC_SQL,
     # f_approx: intentionally no oracle (engine-specific sketches)
 }
