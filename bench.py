@@ -61,6 +61,7 @@ def main() -> None:
 
     extras = {
         "dedup_exact": dedup_suite.dedup_exact,
+        "dedup_minhash_lsh": dedup_suite.dedup_minhash_lsh,
         "dedup_simhash": dedup_suite.dedup_simhash,
         "dedup_embedding_cosine": dedup_suite.dedup_embedding_cosine,
         "sim_brute_topk": similarity_suite.sim_brute_topk,

@@ -27,6 +27,7 @@ from .tpch import tables
 
 N_HASHES = 8  # minhash permutations
 BAND_SIZE = 4  # rows per LSH band → 2 bands
+BUCKET_CAP = 25  # skip LSH buckets bigger than this (degenerate buckets)
 
 
 def _tokens():
@@ -139,6 +140,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
+    # Bucket-size cap: a band bucket holding B docs yields B(B-1)/2
+    # candidate pairs; degenerate mega-buckets (boilerplate-heavy
+    # corpora) blow candidate generation up quadratically. Standard
+    # LSH practice skips buckets over a cap — deterministic, so the
+    # oracle mirrors it exactly. The window count shuffles on `band`,
+    # the same key as the candidate self-join → one partitioning
+    # reused, no extra exchange at scale.
+    from pyspark.sql import Window
+
+    bands = bands.withColumn(
+        "bn", F.count(F.lit(1)).over(Window.partitionBy("band"))
+    ).filter(F.col("bn") <= BUCKET_CAP)
     a = bands.alias("a")
     b = bands.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
@@ -171,8 +184,13 @@ WITH docs AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
 ), sigs AS (
   SELECT doc_id, toks, {sig_exprs} FROM docs
-), bands AS (
+), all_bands AS (
   SELECT doc_id, toks, unnest([{band_exprs}]) AS band FROM sigs
+), bands AS (
+  SELECT doc_id, toks, band FROM (
+    SELECT doc_id, toks, band, COUNT(*) OVER (PARTITION BY band) AS bn
+    FROM all_bands
+  ) WHERE bn <= {BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
   round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
