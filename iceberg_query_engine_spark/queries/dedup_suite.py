@@ -144,27 +144,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate pairs; degenerate mega-buckets (boilerplate-heavy
     # corpora) blow candidate generation up quadratically. Standard
     # LSH practice skips buckets over a cap — deterministic, so the
-    # oracle mirrors it exactly. The window count shuffles on `band`,
-    # the same key as the candidate self-join → one partitioning
-    # reused, no extra exchange at scale.
+    # oracle mirrors it exactly.
+    #
+    # Plan shape (100 TB): ONE document scan (signatures are the
+    # expensive map stage — a self-join would compute them twice),
+    # ONE shuffle on `band`; the window count and the per-bucket
+    # collect_list share that partitioning (no second exchange), and
+    # candidate pairs are expanded inside each ≤CAP bucket with
+    # nested explode — never a join.
     from pyspark.sql import Window
 
-    bands = bands.withColumn(
+    capped = bands.withColumn(
         "bn", F.count(F.lit(1)).over(Window.partitionBy("band"))
-    ).filter(F.col("bn") <= BUCKET_CAP)
-    a = bands.alias("a")
-    b = bands.alias("b")
+    ).filter((F.col("bn") >= 2) & (F.col("bn") <= BUCKET_CAP))
+    buckets = capped.groupBy("band").agg(
+        F.collect_list(F.struct("doc_id", "toks")).alias("docs")
+    )
+    pairs = buckets.select(
+        F.explode("docs").alias("a"), F.col("docs")
+    ).select("a", F.explode("docs").alias("b")).filter(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-        .distinct()
-    )
+    cand = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    ).distinct()
     return cand.filter(F.col("jaccard") >= 0.7).orderBy("doc_a", "doc_b")
 
 

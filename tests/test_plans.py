@@ -64,8 +64,22 @@ def test_q21_semi_anti_are_joins(spark, sf):
 
 def test_minhash_lsh_no_cartesian(spark, sf):
     df = dedup_suite.dedup_minhash_lsh(spark, sf)
-    # LSH candidate join is an equi-join on band key, never a cross join
+    # candidate pairs come from in-bucket expansion, never a cross join
     assert not pi.has_cartesian(df)
+
+
+def test_minhash_lsh_single_scan_three_shuffles(spark, sf):
+    df = dedup_suite.dedup_minhash_lsh(spark, sf)
+    plan = pi.formatted_plan(df)
+    # signatures (the expensive map stage) computed exactly once: a
+    # self-join shape would scan documents twice
+    import re
+
+    scans = re.findall(r"\(\d+\) Scan parquet", plan)
+    assert len(scans) == 1, "documents must be scanned once"
+    # band shuffle + distinct + final sort; window and collect_list
+    # share the band partitioning
+    assert pi.shuffle_count(df) <= 3
 
 
 def test_text_stats_map_only(spark, sf):
