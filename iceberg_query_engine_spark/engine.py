@@ -30,9 +30,17 @@ from .sources import registry
 
 @dataclass
 class QueryMetrics:
+    """Mirrors the reference's QueryMetrics (context.rs:294-309):
+    parse/plan/execute wall times plus executor spill totals pulled
+    from the executed plan's SQL metrics (the Spark analogue of the
+    reference's memory-pool spill counters)."""
+
+    parse_ms: float = 0.0
     plan_ms: float = 0.0
     execute_ms: float = 0.0
     total_ms: float = 0.0
+    spill_bytes: int = 0
+    output_rows: int = 0
 
 
 @dataclass
@@ -41,6 +49,29 @@ class QueryResult:
     schema: list[tuple[str, str]]
     row_count: int
     metrics: QueryMetrics = field(default_factory=QueryMetrics)
+
+
+def _spill_bytes(df: DataFrame) -> int:
+    """Sum every 'spill size' SQL metric in the executed plan — the
+    Spark analogue of the reference's memory-pool spill counter
+    (execution/memory.rs). Best-effort: returns 0 if the JVM walk
+    fails (e.g. plan not executed)."""
+    try:
+        total = 0
+        stack = [df._jdf.queryExecution().executedPlan()]  # noqa: SLF001
+        while stack:
+            node = stack.pop()
+            mit = node.metrics().iterator()
+            while mit.hasNext():
+                kv = mit.next()
+                if "spill" in kv._1().lower():
+                    total += max(0, kv._2().value())
+            cit = node.children().iterator()
+            while cit.hasNext():
+                stack.append(cit.next())
+        return total
+    except Exception:
+        return 0
 
 
 class Engine:
@@ -71,18 +102,24 @@ class Engine:
 
     def sql(self, query: str) -> QueryResult:
         t0 = time.perf_counter()
-        df = self.dataframe(query)
+        translated = dialect.translate(query)
         t1 = time.perf_counter()
-        rows = df.collect()
+        df = self.spark.sql(translated)
+        df.schema  # force analysis so plan_ms covers Catalyst work
         t2 = time.perf_counter()
+        rows = df.collect()
+        t3 = time.perf_counter()
         return QueryResult(
             rows=rows,
             schema=[(f.name, f.dataType.simpleString()) for f in df.schema.fields],
             row_count=len(rows),
             metrics=QueryMetrics(
-                plan_ms=(t1 - t0) * 1000,
-                execute_ms=(t2 - t1) * 1000,
-                total_ms=(t2 - t0) * 1000,
+                parse_ms=(t1 - t0) * 1000,
+                plan_ms=(t2 - t1) * 1000,
+                execute_ms=(t3 - t2) * 1000,
+                total_ms=(t3 - t0) * 1000,
+                spill_bytes=_spill_bytes(df),
+                output_rows=len(rows),
             ),
         )
 

@@ -111,3 +111,13 @@ def test_engine_compat_udfs_null_safety(engine):
     r = res.rows[0]
     assert r.a is None and r.b is None and r.c is None and r.e is None
     assert 0.3 < r.d < 0.7
+
+
+def test_engine_metrics_parity(engine):
+    """QueryMetrics mirrors the reference's (parse/plan/execute/spill,
+    context.rs:294-309)."""
+    res = engine.sql("SELECT COUNT(*) AS n FROM lineitem")
+    m = res.metrics
+    assert m.total_ms > 0 and m.execute_ms > 0 and m.plan_ms >= 0
+    assert m.parse_ms >= 0 and m.spill_bytes >= 0
+    assert m.output_rows == res.row_count == 1
