@@ -126,8 +126,20 @@ class Engine:
     # -- sinks -------------------------------------------------------------
     # parity: ParquetWriter + CLI output formats (reference
     # src/physical/operators/parquet.rs:149-244, src/cli/output.rs)
-    def write_parquet(self, query: str, path: str, mode: str = "overwrite") -> None:
-        self.dataframe(query).write.mode(mode).parquet(path)
+    def write_parquet(
+        self,
+        query: str,
+        path: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        """Parquet sink; `partition_by` produces hive-style partition
+        directories — at scale the sink must be partition-pruned on
+        read just like the Iceberg source path."""
+        w = self.dataframe(query).write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
 
     def write_csv(self, query: str, path: str, mode: str = "overwrite") -> None:
         self.dataframe(query).write.mode(mode).option("header", True).csv(path)

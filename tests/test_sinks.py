@@ -51,3 +51,25 @@ def test_stream_foreach_batch_sink(spark, sf_oracle, tmp_path):
     batch_total = spark.read.parquet(f"{sf_oracle}/events.parquet").count()
     assert back.count() == batch_total  # event_ids unique → dedupe is a no-op
     assert "batch_id" in back.columns
+
+
+def test_write_parquet_partitioned(engine, tmp_path):
+    """Hive-style partitioned sink: partition dirs exist and reads are
+    partition-pruned (the write-side half of the 100 TB story)."""
+    import os
+
+    p = str(tmp_path / "out_part")
+    engine.write_parquet(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        p,
+        partition_by=["n_regionkey"],
+    )
+    assert sorted(d for d in os.listdir(p) if d.startswith("n_regionkey=")) == [
+        f"n_regionkey={i}" for i in range(5)
+    ]
+    back = engine.spark.read.parquet(p)
+    assert back.count() == 25
+    pruned = back.filter("n_regionkey = 2")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(n_regionkey" in plan or "n_regionkey" in plan
+    assert pruned.count() == 5
