@@ -445,6 +445,18 @@ def register_all(spark: SparkSession) -> None:
         ),
         ("timezone_hour(x TIMESTAMP) RETURNS INT", "0"),
         ("timezone_minute(x TIMESTAMP) RETURNS INT", "0"),
+        # AT_TIMEZONE / WITH_TIMEZONE (filter.rs:4029+ implements only
+        # fixed offsets; Spark's convert_timezone handles full IANA
+        # zones): at_timezone re-expresses a UTC instant in a zone,
+        # with_timezone stamps a wall-clock reading as being in a zone.
+        (
+            "at_timezone(x TIMESTAMP, tz STRING) RETURNS TIMESTAMP",
+            "convert_timezone('UTC', tz, x)",
+        ),
+        (
+            "with_timezone(x TIMESTAMP, tz STRING) RETURNS TIMESTAMP",
+            "convert_timezone(tz, 'UTC', x)",
+        ),
         ("to_utf8(s STRING) RETURNS BINARY", "encode(s, 'UTF-8')"),
         ("from_utf8(b BINARY) RETURNS STRING", "decode(b, 'UTF-8')"),
         (

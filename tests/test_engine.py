@@ -121,3 +121,14 @@ def test_engine_metrics_parity(engine):
     assert m.total_ms > 0 and m.execute_ms > 0 and m.plan_ms >= 0
     assert m.parse_ms >= 0 and m.spill_bytes >= 0
     assert m.output_rows == res.row_count == 1
+
+
+def test_engine_timezone_functions(engine):
+    res = engine.sql(
+        "SELECT CAST(at_timezone(TIMESTAMP '2024-01-01 12:00:00', "
+        "'+05:30') AS STRING) AS a, "
+        "CAST(with_timezone(TIMESTAMP '2024-01-01 12:00:00', "
+        "'-03:00') AS STRING) AS w"
+    )
+    assert res.rows[0].a == "2024-01-01 17:30:00"
+    assert res.rows[0].w == "2024-01-01 15:00:00"
