@@ -16,10 +16,17 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.iceberg_lite import IcebergLiteTable, PartitionFilter, write_snapshot
+from ..sources.iceberg_lite import (
+    IcebergLiteTable,
+    PartitionFilter,
+    write_equality_deletes,
+    write_position_deletes,
+    write_snapshot,
+)
 from .tpch import tables
 
 _CACHE: dict[str, str] = {}
+_DEL_CACHE: dict[str, str] = {}
 
 
 def _table(spark: SparkSession, sf_dir: str) -> str:
@@ -94,12 +101,69 @@ ORDER BY o_orderstatus
 """
 
 
+def _delete_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders<500 snapshot → positional delete (o_orderkey % 7 = 0) →
+    equality delete (o_orderstatus = 'P') → append 500..999. The final
+    state is fully SQL-expressible, so the oracle replays it exactly."""
+    key = sf_dir
+    if key in _DEL_CACHE and os.path.exists(_DEL_CACHE[key]):
+        return _DEL_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "iceberg_lite",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_del",
+    )
+    if not os.path.exists(os.path.join(path, "metadata", "v0.metadata.json")):
+        (orders,) = tables(spark, sf_dir, "orders")
+        write_snapshot(orders.filter(F.col("o_orderkey") < 500), path)
+        write_position_deletes(spark, path, "o_orderkey % 7 = 0")
+        write_equality_deletes(
+            spark,
+            path,
+            spark.createDataFrame([("P",)], ["o_orderstatus"]),
+            ["o_orderstatus"],
+        )
+        write_snapshot(orders.filter(F.col("o_orderkey").between(500, 999)), path)
+    _DEL_CACHE[key] = path
+    return path
+
+
+def iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read over v2 delete files: positional + equality
+    deletes applied to snapshot-1 data only (sequence rule); the later
+    append is untouched."""
+    t = IcebergLiteTable(_delete_table(spark, sf_dir))
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_DELETES_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE (o_orderkey < 500 AND o_orderkey % 7 <> 0 AND o_orderstatus <> 'P')
+   OR (o_orderkey BETWEEN 500 AND 999)
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_time_travel": iceberg_time_travel,
     "iceberg_pruned_scan": iceberg_pruned_scan,
+    "iceberg_deletes": iceberg_deletes,
 }
 
 ORACLE: dict[str, str] = {
     "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,
     "iceberg_pruned_scan": ICEBERG_PRUNED_SCAN_SQL,
+    "iceberg_deletes": ICEBERG_DELETES_SQL,
 }

@@ -8,8 +8,16 @@ JSON (`{"entries": [{"data_file": {...}}]}`) → parquet data files —
 with snapshot (time-travel) selection, partition pruning, and
 file-level min/max stats pruning, plus the reference's pruning
 metrics (`files_pruned_by_partition` / `files_pruned_by_stats`,
-iceberg.rs:128-129). JSON manifests, not Avro, and no delete files —
-exactly the reference's simplifications.
+iceberg.rs:128-129). JSON manifests, not Avro.
+
+Beyond the reference: Iceberg-v2-style DELETE FILES, which the
+reference's scanner header claims but never implements (iceberg.rs:27
+header vs no delete handling anywhere in iceberg.rs — SURVEY §2.1).
+Positional deletes are (file_path, pos) parquet files applied with an
+anti-join against Spark's `_metadata.row_index`; equality deletes are
+key-tuple parquet files applied with an anti-join on the key columns,
+honoring Iceberg's sequence-number rule (an equality delete applies
+only to data files with a strictly smaller sequence number).
 
 Differences (documented, not accidental): bounds are stored as plain
 JSON values keyed by column NAME (the reference keys by column id
@@ -93,17 +101,31 @@ class IcebergLiteTable:
             return json.load(f)
 
     def data_files(self, snapshot_id: int | None = None) -> list[dict]:
+        return [
+            e for e, _seq, content in self._files_with_meta(snapshot_id)
+            if content == "data"
+        ]
+
+    def _files_with_meta(
+        self, snapshot_id: int | None = None
+    ) -> list[tuple[dict, int, str]]:
+        """(file entry, sequence number, content) triples for a snapshot.
+        content ∈ {data, position_deletes, equality_deletes}."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
         snap = self._snapshot(sid)
         with open(os.path.join(self.path, snap["manifest_list"])) as f:
             manifests = json.load(f)
-        files = []
+        out = []
         for m in manifests:
             with open(os.path.join(self.path, m["manifest_path"])) as f:
                 manifest = json.load(f)
+            seq = m.get("sequence_number", 0)
+            content = m.get("content", "data")
             for entry in manifest.get("entries", []):
-                files.append(entry["data_file"])
-        return files
+                out.append(
+                    (entry.get("data_file") or entry["delete_file"], seq, content)
+                )
+        return out
 
     # -- scan -------------------------------------------------------------
     def read(
@@ -120,11 +142,22 @@ class IcebergLiteTable:
         mirroring the reference's conservative stats pruning
         (iceberg.rs:271-330). Spark re-applies exact filtering; pruning
         only shrinks the file list.
+
+        Delete files (the v2 feature the reference's header claims but
+        never implements) are applied after pruning: positional deletes
+        anti-join on (_metadata.file_path, _metadata.row_index);
+        equality deletes anti-join on their key columns, and only
+        against data files with a strictly smaller sequence number.
+        Both anti-joins broadcast the (small) delete side — the same
+        physical shape the real Iceberg Spark reader produces.
         """
-        files = self.data_files(snapshot_id)
+        triples = self._files_with_meta(snapshot_id)
+        files = [(e, seq) for e, seq, c in triples if c == "data"]
+        pos_dels = [e for e, _s, c in triples if c == "position_deletes"]
+        eq_dels = [(e, seq) for e, seq, c in triples if c == "equality_deletes"]
         m = ScanMetrics(files_total=len(files))
-        kept = []
-        for df_entry in files:
+        kept: list[tuple[str, int]] = []
+        for df_entry, seq in files:
             part = df_entry.get("partition", {})
             if partition_filters and not all(
                 pf.matches(part) for pf in partition_filters
@@ -134,18 +167,57 @@ class IcebergLiteTable:
             if predicates and not self._stats_match(df_entry, predicates):
                 m.files_pruned_by_stats += 1
                 continue
-            kept.append(df_entry["file_path"])
+            kept.append((df_entry["file_path"], seq))
         m.files_scanned = len(kept)
         self.metrics = m
         if not kept:
             # preserve schema from any file; empty result
-            any_file = files[0]["file_path"] if files else None
+            any_file = files[0][0]["file_path"] if files else None
             if any_file is None:
                 raise ValueError(f"empty iceberg-lite table at {self.path}")
             df = spark.read.parquet(os.path.join(self.path, any_file))
             return df.limit(0)
-        paths = [os.path.join(self.path, p) for p in kept]
-        return spark.read.parquet(*paths)
+
+        need_meta = bool(pos_dels) or bool(eq_dels)
+        # group kept files by sequence number so equality deletes can
+        # respect the data-seq < delete-seq rule without per-row state
+        by_seq: dict[int, list[str]] = {}
+        for rel, seq in kept:
+            by_seq.setdefault(seq, []).append(os.path.join(self.path, rel))
+        parts = []
+        for seq, paths in sorted(by_seq.items()):
+            df = spark.read.parquet(*paths)
+            if need_meta:
+                df = df.select(
+                    "*",
+                    F.col("_metadata.file_path").alias("__file"),
+                    F.col("_metadata.row_index").alias("__pos"),
+                    F.lit(seq).alias("__seq"),
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if not need_meta:
+            return out
+
+        if pos_dels:
+            # delete keys reference files by the same absolute URI the
+            # scan's _metadata produces (written from a live scan)
+            del_paths = [os.path.join(self.path, e["file_path"]) for e in pos_dels]
+            dels = spark.read.parquet(*del_paths).select(
+                F.col("file_path").alias("__file"), F.col("pos").alias("__pos")
+            )
+            out = out.join(F.broadcast(dels), ["__file", "__pos"], "left_anti")
+        for e, dseq in sorted(eq_dels, key=lambda t: t[1]):
+            keys = spark.read.parquet(os.path.join(self.path, e["file_path"]))
+            cols = e["equality_columns"]
+            older = out.filter(F.col("__seq") < dseq).join(
+                F.broadcast(keys), cols, "left_anti"
+            )
+            newer = out.filter(F.col("__seq") >= dseq)
+            out = older.unionByName(newer)
+        return out.drop("__file", "__pos", "__seq")
 
     @staticmethod
     def _stats_match(df_entry: dict, predicates) -> bool:
@@ -157,6 +229,123 @@ class IcebergLiteTable:
             if not _OPS[op](lowers[col], uppers[col], val):
                 return False
         return True
+
+
+def _append_snapshot_files(
+    path: str,
+    entries: list[dict],
+    content: str,
+    operation: str,
+) -> int:
+    """Chain a new snapshot whose manifest holds `entries` of `content`
+    kind onto the current table state; returns the new snapshot id."""
+    table = IcebergLiteTable(path)
+    prev_id = (
+        table.current_snapshot_id() if os.path.exists(table._meta_path()) else None
+    )
+    prev_manifests = []
+    if prev_id is not None:
+        snap = table._snapshot(prev_id)
+        with open(os.path.join(path, snap["manifest_list"])) as f:
+            prev_manifests = json.load(f)
+    snapshot_id = (prev_id or 0) + 1
+    manifest_rel = f"metadata/manifest-{snapshot_id}.json"
+    with open(os.path.join(path, manifest_rel), "w") as f:
+        json.dump({"entries": entries}, f)
+    manifests = prev_manifests + [
+        {
+            "manifest_path": manifest_rel,
+            "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
+            "partition_spec_id": 0,
+            "snapshot_id": snapshot_id,
+            "sequence_number": snapshot_id,
+            "content": content,
+        }
+    ]
+    mlist_rel = f"metadata/manifest-list-{snapshot_id}.json"
+    with open(os.path.join(path, mlist_rel), "w") as f:
+        json.dump(manifests, f)
+    with open(
+        os.path.join(path, "metadata", f"snap-{snapshot_id}.snapshot.json"), "w"
+    ) as f:
+        json.dump(
+            {
+                "snapshot_id": snapshot_id,
+                "parent_snapshot_id": prev_id,
+                "schema_id": 0,
+                "summary": {"operation": operation},
+                "manifest_list": mlist_rel,
+                "timestamp_ms": int(time.time() * 1000),
+            },
+            f,
+        )
+    with open(table._meta_path(), "w") as f:
+        json.dump(
+            {
+                "format_version": 2,
+                "uuid": f"lite-{os.path.basename(path)}",
+                "current_snapshot_id": snapshot_id,
+            },
+            f,
+        )
+    return snapshot_id
+
+
+def write_position_deletes(
+    spark: SparkSession, path: str, condition: str
+) -> int:
+    """DELETE WHERE <condition> as an Iceberg-v2 positional delete:
+    scan the current snapshot with file/row metadata, keep matching
+    rows' (file_path, pos) pairs, commit them as a delete snapshot.
+    The data files are never rewritten — merge-on-read."""
+    table = IcebergLiteTable(path)
+    # scan raw data files with metadata columns: the (file, pos) keys
+    # are exactly what the condition matches in the current snapshot
+    triples = table._files_with_meta()
+    data_paths = [
+        os.path.join(path, e["file_path"]) for e, _s, c in triples if c == "data"
+    ]
+    raw = spark.read.parquet(*data_paths).select(
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+        "*",
+    )
+    keys = raw.filter(condition).select("file_path", "pos").toPandas()
+    rel = f"data/delete-pos-{table.current_snapshot_id() + 1}.parquet"
+    keys.to_parquet(os.path.join(path, rel), index=False)
+    entry = {
+        "delete_file": {
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "content": "position_deletes",
+            "record_count": len(keys),
+            "file_size_in_bytes": os.path.getsize(os.path.join(path, rel)),
+        }
+    }
+    return _append_snapshot_files(path, [entry], "position_deletes", "delete")
+
+
+def write_equality_deletes(
+    spark: SparkSession, path: str, keys_df: DataFrame, columns: list[str]
+) -> int:
+    """Equality delete: rows whose `columns` tuple appears in keys_df
+    are deleted from all data files with a smaller sequence number
+    (later appends are untouched — Iceberg v2 semantics)."""
+    table = IcebergLiteTable(path)
+    pdf = keys_df.select(*columns).distinct().toPandas()
+    rel = f"data/delete-eq-{table.current_snapshot_id() + 1}.parquet"
+    pdf.to_parquet(os.path.join(path, rel), index=False)
+    entry = {
+        "delete_file": {
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "content": "equality_deletes",
+            "equality_columns": columns,
+            "record_count": len(pdf),
+            "file_size_in_bytes": os.path.getsize(os.path.join(path, rel)),
+        }
+    }
+    return _append_snapshot_files(path, [entry], "equality_deletes", "delete")
 
 
 def write_snapshot(
@@ -176,14 +365,9 @@ def write_snapshot(
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     table = IcebergLiteTable(path)
-    prev_id = None
-    prev_manifests = []
-    if os.path.exists(table._meta_path()):
-        prev_id = table.current_snapshot_id()
-        if prev_id is not None:
-            snap = table._snapshot(prev_id)
-            with open(os.path.join(path, snap["manifest_list"])) as f:
-                prev_manifests = json.load(f)
+    prev_id = (
+        table.current_snapshot_id() if os.path.exists(table._meta_path()) else None
+    )
     snapshot_id = (prev_id or 0) + 1
 
     if partition_by:
@@ -219,42 +403,4 @@ def write_snapshot(
             }
         )
 
-    manifest_rel = f"metadata/manifest-{snapshot_id}.json"
-    with open(os.path.join(path, manifest_rel), "w") as f:
-        json.dump({"entries": entries}, f)
-    manifests = prev_manifests + [
-        {
-            "manifest_path": manifest_rel,
-            "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
-            "partition_spec_id": 0,
-            "snapshot_id": snapshot_id,
-            "sequence_number": snapshot_id,
-        }
-    ]
-    mlist_rel = f"metadata/manifest-list-{snapshot_id}.json"
-    with open(os.path.join(path, mlist_rel), "w") as f:
-        json.dump(manifests, f)
-    with open(
-        os.path.join(path, "metadata", f"snap-{snapshot_id}.snapshot.json"), "w"
-    ) as f:
-        json.dump(
-            {
-                "snapshot_id": snapshot_id,
-                "parent_snapshot_id": prev_id,
-                "schema_id": 0,
-                "summary": {"operation": "append"},
-                "manifest_list": mlist_rel,
-                "timestamp_ms": int(time.time() * 1000),
-            },
-            f,
-        )
-    with open(table._meta_path(), "w") as f:
-        json.dump(
-            {
-                "format_version": 1,
-                "uuid": f"lite-{os.path.basename(path)}",
-                "current_snapshot_id": snapshot_id,
-            },
-            f,
-        )
-    return snapshot_id
+    return _append_snapshot_files(path, entries, "data", "append")

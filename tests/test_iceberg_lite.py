@@ -72,3 +72,39 @@ def test_pruning_is_only_an_optimization(spark, table):
     full = t.read(spark).count()
     pruned = t.read(spark, predicates=[("o_totalprice", ">", -1.0)]).count()
     assert full == pruned  # no false pruning
+
+
+def test_v2_delete_files(spark, tmp_path):
+    """Iceberg-v2-style deletes (beyond the reference, whose scanner
+    header claims delete-file support but never implements it):
+    positional deletes, equality deletes with the sequence-number
+    rule, and snapshot isolation of both."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        write_equality_deletes,
+        write_position_deletes,
+    )
+
+    path = str(tmp_path / "ice_del")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    s1 = write_snapshot(nation.filter("n_nationkey < 15"), path)
+    t = IcebergLiteTable(path)
+    assert t.read(spark).count() == 15
+
+    write_position_deletes(spark, path, "n_nationkey % 3 = 0")
+    keys = [r[0] for r in t.read(spark).select("n_nationkey").collect()]
+    assert sorted(keys) == [1, 2, 4, 5, 7, 8, 10, 11, 13, 14]
+
+    dels = spark.createDataFrame([(1,), (4,)], ["n_nationkey"])
+    write_equality_deletes(spark, path, dels, ["n_nationkey"])
+    keys = [r[0] for r in t.read(spark).select("n_nationkey").collect()]
+    assert sorted(keys) == [2, 5, 7, 8, 10, 11, 13, 14]
+
+    # sequence rule: a later append of a deleted key is NOT affected
+    write_snapshot(nation.filter("n_nationkey IN (1, 20)"), path)
+    keys = [r[0] for r in t.read(spark).select("n_nationkey").collect()]
+    assert sorted(keys) == [1, 2, 5, 7, 8, 10, 11, 13, 14, 20]
+
+    # snapshot isolation: time travel before the deletes sees all rows
+    assert t.read(spark, snapshot_id=s1).count() == 15
+    ops = [s["summary"]["operation"] for s in t.snapshots()]
+    assert ops == ["append", "delete", "delete", "append"]
