@@ -154,6 +154,48 @@ class Engine:
         )
 
 
+def _fmt_vertical(res: QueryResult, max_rows: int = 50) -> str:
+    """Vertical record rendering (reference cli/output.rs vertical mode)."""
+    names = [c for c, _ in res.schema]
+    w = max((len(n) for n in names), default=0)
+    out = []
+    for i, row in enumerate(res.rows[:max_rows]):
+        out.append(f"-[ RECORD {i + 1} ]-")
+        for n, v in zip(names, row):
+            out.append(f"{n:<{w}} | {'' if v is None else v}")
+    out.append(f"{res.row_count} rows ({res.metrics.total_ms:.1f} ms)")
+    return "\n".join(out)
+
+
+def _fmt_csv(res: QueryResult) -> str:
+    import csv
+    import io
+
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    w.writerow([c for c, _ in res.schema])
+    for row in res.rows:
+        w.writerow(["" if v is None else v for v in row])
+    return buf.getvalue().rstrip("\n")
+
+
+def _fmt_json(res: QueryResult) -> str:
+    import json as _json
+
+    names = [c for c, _ in res.schema]
+    return "\n".join(
+        _json.dumps(dict(zip(names, row)), default=str) for row in res.rows
+    )
+
+
+_FORMATS = {
+    "table": lambda res: _fmt_table(res),
+    "vertical": lambda res: _fmt_vertical(res),
+    "csv": _fmt_csv,
+    "json": _fmt_json,
+}
+
+
 def _fmt_table(res: QueryResult, max_rows: int = 50) -> str:
     names = [c for c, _ in res.schema]
     shown = res.rows[:max_rows]
@@ -178,6 +220,10 @@ def main(argv: list[str] | None = None) -> int:
     sql_p = sub.add_parser("sql", help="run one SQL statement")
     sql_p.add_argument("query")
     sql_p.add_argument("--plan", action="store_true")
+    sql_p.add_argument(
+        "--format", choices=sorted(_FORMATS), default="table",
+        help="result rendering (reference cli/output.rs formats)",
+    )
     q_p = sub.add_parser("query", help="run TPC-H query N")
     q_p.add_argument("--num", type=int, required=True)
     q_p.add_argument("--plan", action="store_true")
@@ -191,7 +237,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "sql":
         if args.plan:
             print(eng.explain(args.query))
-        print(_fmt_table(eng.sql(args.query)))
+        print(_FORMATS[args.format](eng.sql(args.query)))
     elif args.cmd == "query":
         from .queries import tpch
 

@@ -132,3 +132,21 @@ def test_engine_timezone_functions(engine):
     )
     assert res.rows[0].a == "2024-01-01 17:30:00"
     assert res.rows[0].w == "2024-01-01 15:00:00"
+
+
+def test_cli_output_formats(engine):
+    """table/vertical/csv/json renderings (reference cli/output.rs)."""
+    from iceberg_query_engine_spark.engine import _FORMATS
+
+    res = engine.sql("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey")
+    table = _FORMATS["table"](res)
+    assert "r_name" in table and "AFRICA" in table
+    vert = _FORMATS["vertical"](res)
+    assert "-[ RECORD 1 ]-" in vert and "AFRICA" in vert
+    csv_out = _FORMATS["csv"](res)
+    assert csv_out.splitlines()[0] == "r_regionkey,r_name"
+    assert "0,AFRICA" in csv_out
+    import json
+
+    line0 = json.loads(_FORMATS["json"](res).splitlines()[0])
+    assert line0 == {"r_regionkey": 0, "r_name": "AFRICA"}
