@@ -236,15 +236,18 @@ def _append_snapshot_files(
     entries: list[dict],
     content: str,
     operation: str,
+    replace: bool = False,
 ) -> int:
     """Chain a new snapshot whose manifest holds `entries` of `content`
-    kind onto the current table state; returns the new snapshot id."""
+    kind onto the current table state; returns the new snapshot id.
+    With replace=True the new manifest REPLACES all prior manifests
+    (compaction / rewrite_data_files) instead of accumulating."""
     table = IcebergLiteTable(path)
     prev_id = (
         table.current_snapshot_id() if os.path.exists(table._meta_path()) else None
     )
     prev_manifests = []
-    if prev_id is not None:
+    if prev_id is not None and not replace:
         snap = table._snapshot(prev_id)
         with open(os.path.join(path, snap["manifest_list"])) as f:
             prev_manifests = json.load(f)
@@ -370,12 +373,22 @@ def write_snapshot(
     )
     snapshot_id = (prev_id or 0) + 1
 
+    entries = _write_data_entries(df, path, snapshot_id, partition_by, stats_columns)
+    return _append_snapshot_files(path, entries, "data", "append")
+
+
+def _write_data_entries(
+    df: DataFrame,
+    path: str,
+    snapshot_id: int,
+    partition_by: str | None,
+    stats_columns: list[str] | None,
+) -> list[dict]:
     if partition_by:
         parts = [r[0] for r in df.select(partition_by).distinct().collect()]
         groups = [(str(p), df.filter(F.col(partition_by) == p)) for p in sorted(parts)]
     else:
         groups = [("", df)]
-
     stats_columns = stats_columns or []
     entries = []
     for i, (pval, pdf) in enumerate(groups):
@@ -402,5 +415,24 @@ def write_snapshot(
                 }
             }
         )
+    return entries
 
-    return _append_snapshot_files(path, entries, "data", "append")
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    partition_by: str | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """rewrite_data_files-style compaction: materialize the current
+    merge-on-read state (all delete files applied) into fresh data
+    files and commit a REPLACE snapshot whose manifest list drops the
+    old data + delete manifests. Earlier snapshots stay time-travelable
+    (their manifest lists are untouched). At 100 TB this is the
+    periodic maintenance job that keeps read amplification bounded —
+    here the rewrite funnels through the same single-scan read()."""
+    table = IcebergLiteTable(path)
+    df = table.read(spark)
+    snapshot_id = (table.current_snapshot_id() or 0) + 1
+    entries = _write_data_entries(df, path, snapshot_id, partition_by, stats_columns)
+    return _append_snapshot_files(path, entries, "data", "replace", replace=True)

@@ -108,3 +108,31 @@ def test_v2_delete_files(spark, tmp_path):
     assert t.read(spark, snapshot_id=s1).count() == 15
     ops = [s["summary"]["operation"] for s in t.snapshots()]
     assert ops == ["append", "delete", "delete", "append"]
+
+
+def test_compaction_replaces_manifests(spark, tmp_path):
+    """rewrite_data_files-style compaction: post-compact reads return
+    the same rows from fresh files with no delete manifests; earlier
+    snapshots remain time-travelable."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        compact,
+        write_position_deletes,
+    )
+
+    path = str(tmp_path / "ice_compact")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    s1 = write_snapshot(nation.filter("n_nationkey < 15"), path)
+    write_position_deletes(spark, path, "n_nationkey % 3 = 0")
+    t = IcebergLiteTable(path)
+    before = sorted(r[0] for r in t.read(spark).select("n_nationkey").collect())
+
+    sid = compact(spark, path, stats_columns=["n_nationkey"])
+    after = sorted(r[0] for r in t.read(spark).select("n_nationkey").collect())
+    assert after == before == [1, 2, 4, 5, 7, 8, 10, 11, 13, 14]
+
+    # the compacted snapshot has exactly one data manifest, no deletes
+    triples = t._files_with_meta(sid)
+    assert [c for _, _, c in triples] == ["data"]
+    # pre-compaction history still readable
+    assert t.read(spark, snapshot_id=s1).count() == 15
+    assert t.snapshots()[-1]["summary"]["operation"] == "replace"
