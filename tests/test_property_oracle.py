@@ -166,3 +166,57 @@ def test_random_string_query_matches_duckdb(spark, sf_oracle, q):
     spark_q = q.replace(", '_', 'g')", ", '_')")
     res = compare("props", _sql(spark, sf_oracle, spark_q), q, sf_oracle)
     assert res.ok, f"divergence on: {q}\n{res.detail}\n" + "\n".join(res.mismatches[:5])
+
+
+@st.composite
+def scalar_queries(draw):
+    """Random scalar-function expressions with Spark/DuckDB spelling
+    pairs — exercises the compat SQL UDFs (truncate, is_finite) and
+    math built-ins under arbitrary predicates. Transcendentals are
+    rounded to 6 decimals (JVM vs C libm agree within 1 ulp)."""
+    pairs = [
+        ("round(truncate(l_extendedprice / 7), 6)",
+         "round(trunc(l_extendedprice / 7), 6)"),
+        ("CAST(is_finite(l_extendedprice / l_quantity) AS INT)",
+         "CAST(isfinite(l_extendedprice / l_quantity) AS INT)"),
+        ("CAST(isnan(l_extendedprice) AS INT)",
+         "CAST(isnan(l_extendedprice) AS INT)"),
+        ("round(ln(l_extendedprice + 1), 6)", None),
+        ("round(log2(l_quantity + 2), 6)", None),
+        ("round(cbrt(l_extendedprice), 6)", None),
+        ("round(atan2(l_quantity, 7.0), 6)", None),
+        ("round(sqrt(l_extendedprice), 6)", None),
+        ("round(greatest(l_quantity, 25.0), 6)", None),
+        ("CAST(width_bucket(l_quantity, 0.0, 60.0, 6) AS BIGINT)",
+         "CASE WHEN l_quantity < 0 THEN 0 WHEN l_quantity >= 60 THEN 7 "
+         "ELSE CAST(floor(l_quantity / 10) + 1 AS BIGINT) END"),
+        ("CAST(bit_count(l_suppkey) AS INT)", None),
+    ]
+    spark_e, duck_e = draw(st.sampled_from(pairs))
+    duck_e = duck_e or spark_e
+    pred = draw(predicates())
+    return (
+        f"SELECT l_orderkey, l_linenumber, {spark_e} AS v FROM lineitem "
+        f"WHERE {pred} ORDER BY l_orderkey, l_linenumber LIMIT 200",
+        f"SELECT l_orderkey, l_linenumber, {duck_e} AS v FROM lineitem "
+        f"WHERE {pred} ORDER BY l_orderkey, l_linenumber LIMIT 200",
+    )
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(q=scalar_queries())
+def test_random_scalar_query_matches_duckdb(spark, sf_oracle, q):
+    from iceberg_query_engine_spark.functions import compat
+
+    compat.register_all(spark)
+    spark_q, duck_q = q
+    res = compare("propf", _sql(spark, sf_oracle, spark_q), duck_q, sf_oracle)
+    assert res.ok, f"divergence on: {spark_q}\n{res.detail}\n" + "\n".join(
+        res.mismatches[:5]
+    )
