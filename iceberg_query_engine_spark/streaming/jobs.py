@@ -87,6 +87,42 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_sliding: 2-hour windows sliding by 1 hour
+    under a watermark (each event lands in two windows)."""
+    events = read_event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("user_id").alias("_users_approx"),
+        )
+    )
+    name = "mem_stream_sliding"
+    _run_to_completion(agg, name)
+    # exact-count oracle parity: streaming distinct-count is approximate
+    # by design, so the driver-checked columns are window + row count
+    return (
+        spark.table(name)
+        .select(F.col("w").getField("start").alias("wstart"), "n")
+        .orderBy("wstart")
+    )
+
+
+STREAM_SLIDING_SQL = """
+SELECT wstart, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart FROM events
+  UNION ALL
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS wstart
+  FROM events
+)
+GROUP BY wstart
+ORDER BY wstart
+"""
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) — stateful streaming session
     aggregation; per-user session stats."""
