@@ -230,8 +230,45 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 """
 
 
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames (value-based, peer-inclusive — deterministic under
+    ties, unlike ROWS): how many orders fall within $5000 below each
+    order's total, per status. Only order-free aggregates (COUNT/MIN/
+    MAX) appear so float summation order can't diverge the oracle."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-5000, 0)
+    )
+    return (
+        orders.filter(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            F.count(F.lit(1)).over(w).alias("n_in_range"),
+            F.round(F.min("o_totalprice").over(w), 2).alias("range_min"),
+            F.round(F.max("o_totalprice").over(w), 2).alias("range_max"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+WIN_RANGE_FRAME_SQL = """
+SELECT o_orderkey,
+  CAST(COUNT(*) OVER w AS BIGINT) AS n_in_range,
+  round(MIN(o_totalprice) OVER w, 2) AS range_min,
+  round(MAX(o_totalprice) OVER w, 2) AS range_max
+FROM orders
+WHERE o_orderkey < 300
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "win_grouping_sets": win_grouping_sets_explicit,
+    "win_range_frame": win_range_frame,
     "win_ranking": win_ranking,
     "win_offset": win_offset,
     "win_framed_agg": win_framed_agg,
@@ -243,6 +280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "win_grouping_sets": WIN_GROUPING_SETS_EXPLICIT_SQL,
+    "win_range_frame": WIN_RANGE_FRAME_SQL,
     "win_ranking": WIN_RANKING_SQL,
     "win_offset": WIN_OFFSET_SQL,
     "win_framed_agg": WIN_FRAMED_AGG_SQL,
