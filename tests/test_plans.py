@@ -91,3 +91,28 @@ def test_text_stats_map_only(spark, sf):
 def test_brute_topk_broadcasts_queries(spark, sf):
     df = similarity_suite.sim_brute_topk(spark, sf)
     assert pi.broadcast_count(df) >= 1  # tiny query set broadcast, corpus streamed
+
+
+def test_analyze_table_feeds_cbo_stats(spark, sf):
+    """ANALYZE TABLE populates row counts the CBO join-reorder uses —
+    the Spark analogue of the reference's TableStatistics feeding its
+    JoinReorder rule (scan.rs:15-21, join_reorder.rs)."""
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
+    spark.read.parquet(f"{sf}/nation.parquet").write.saveAsTable("cbo_nation")
+    spark.sql("ANALYZE TABLE cbo_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+    stats = (
+        spark.table("cbo_nation")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .stats()
+    )
+    assert stats.rowCount().get() == 25
+    # a join against the analyzed 25-row table broadcasts it
+    from iceberg_query_engine_spark.plans import introspect as pi
+
+    from pyspark.sql import functions as F
+
+    big = spark.read.parquet(f"{sf}/supplier.parquet")
+    j = big.join(spark.table("cbo_nation"), big.s_nationkey == F.col("n_nationkey"))
+    assert pi.broadcast_count(j) >= 1
+    spark.sql("DROP TABLE IF EXISTS cbo_nation")
