@@ -87,6 +87,78 @@ def extract_metadata(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, META_SCHEMA)
 
 
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+        T.StructField("min_byte", T.LongType()),
+        T.StructField("max_byte", T.LongType()),
+        T.StructField("std_byte", T.DoubleType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction over raw payload bytes (numpy over Arrow
+    batches): byte-level statistics — the codec-free stand-in for an
+    embedding model; swap the numpy body for a model call and the
+    Spark plumbing (batching, schema, partitioning) is unchanged."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "mean_byte": [], "min_byte": [],
+                   "max_byte": [], "std_byte": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+                out["doc_id"].append(doc_id)
+                out["mean_byte"].append(round(float(a.mean()), 6))
+                out["min_byte"].append(int(a.min()))
+                out["max_byte"].append(int(a.max()))
+                out["std_byte"].append(round(float(a.std()), 6))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.LongType()),
+        T.StructField("out_h", T.LongType()),
+        T.StructField("out_len", T.LongType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_payload(df: DataFrame, out_w: int = 4, out_h: int = 8) -> DataFrame:
+    """Resize step. A real implementation decodes pixels (stubbed —
+    decode_image raises without Pillow); the deterministic stand-in
+    nearest-neighbor-samples the payload BYTES down to out_w*out_h so
+    schema, batch shape, and downstream consumers are exercised
+    end-to-end."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "out_w": [], "out_h": [], "out_len": [],
+                    "resized": []}
+            n_out = out_w * out_h
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                idx = np.linspace(0, len(b) - 1, n_out).astype(int)
+                resized = bytes(b[i] for i in idx)
+                rows["doc_id"].append(doc_id)
+                rows["out_w"].append(out_w)
+                rows["out_h"].append(out_h)
+                rows["out_len"].append(len(resized))
+                rows["resized"].append(resized)
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

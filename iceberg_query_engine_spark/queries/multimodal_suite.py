@@ -85,14 +85,70 @@ FROM documents WHERE doc_id < 100
 """
 
 
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-statistics feature extraction (numpy over Arrow batches).
+    All four stats are EXACT in fp (payload = digest×4; means divide
+    by powers of two), so the oracle matches bit-for-bit."""
+    return multimodal.extract_features(_payload_df(spark, sf_dir)).orderBy("doc_id")
+
+
+MM_FEATURES_SQL = """
+SELECT doc_id,
+  round(list_aggregate(b, 'sum') / 16.0, 6) AS mean_byte,
+  CAST(list_min(b) AS BIGINT) AS min_byte,
+  CAST(list_max(b) AS BIGINT) AS max_byte,
+  round(sqrt(list_aggregate(list_transform(b, x -> x * x), 'sum') / 16.0
+             - (list_aggregate(b, 'sum') / 16.0) ^ 2), 6) AS std_byte
+FROM (
+  SELECT doc_id,
+    list_transform(range(16),
+      i -> CAST(('0x' || substr(md5(text), CAST(i * 2 + 1 AS INT), 2)) AS INT)) AS b
+  FROM documents WHERE doc_id < 100
+)
+ORDER BY doc_id
+"""
+
+
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (nearest-neighbor byte sampling stands in for
+    the codec-dependent pixel path); hex-projected so the comparer
+    hashes strings, not raw binary."""
+    return (
+        multimodal.resize_payload(_payload_df(spark, sf_dir), out_w=4, out_h=8)
+        .select(
+            "doc_id", "out_w", "out_h", "out_len",
+            F.hex(F.col("resized")).alias("resized_hex"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+MM_RESIZE_SQL = """
+SELECT doc_id, CAST(4 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+  CAST(32 AS BIGINT) AS out_len,
+  upper(array_to_string(
+    list_transform(range(32),
+      i -> substr(h4, CAST(floor(i * 63.0 / 31) AS INT) * 2 + 1, 2)), '')) AS resized_hex
+FROM (
+  SELECT doc_id, md5(text) || md5(text) || md5(text) || md5(text) AS h4
+  FROM documents WHERE doc_id < 100
+)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata": mm_metadata,
     "mm_frame_sample": mm_frame_sample,
     "mm_dedup_by_checksum": mm_dedup_by_checksum,
+    "mm_features": mm_features,
+    "mm_resize": mm_resize,
 }
 
 ORACLE: dict[str, str] = {
     "mm_metadata": MM_METADATA_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_dedup_by_checksum": MM_DEDUP_SQL,
+    "mm_features": MM_FEATURES_SQL,
+    "mm_resize": MM_RESIZE_SQL,
 }
