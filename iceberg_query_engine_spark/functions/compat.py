@@ -468,5 +468,84 @@ def register_all(spark: SparkSession) -> None:
             "WHEN x < 86400 THEN format_string('%.2f hours', x / 3600) "
             "ELSE format_string('%.2f days', x / 86400) END",
         ),
+        # math constants / base conversion (logical_expr.rs:272-328)
+        ("infinity() RETURNS DOUBLE", "double('Infinity')"),
+        ("nan() RETURNS DOUBLE", "double('NaN')"),
+        (
+            "from_base(s STRING, r INT) RETURNS BIGINT",
+            "CAST(conv(s, r, 10) AS BIGINT)",
+        ),
+        (
+            "to_base(x BIGINT, r INT) RETURNS STRING",
+            "lower(conv(CAST(x AS STRING), 10, r))",
+        ),
+        # bitwise scalar family (logical_expr.rs:468-477); Spark only has
+        # operators (&, |, ^, ~) and shiftleft/shiftright builtins
+        ("bitwise_and(a BIGINT, b BIGINT) RETURNS BIGINT", "a & b"),
+        ("bitwise_or(a BIGINT, b BIGINT) RETURNS BIGINT", "a | b"),
+        ("bitwise_xor(a BIGINT, b BIGINT) RETURNS BIGINT", "a ^ b"),
+        ("bitwise_not(a BIGINT) RETURNS BIGINT", "~a"),
+        (
+            "bitwise_left_shift(a BIGINT, n INT) RETURNS BIGINT",
+            "shiftleft(a, n)",
+        ),
+        (
+            "bitwise_right_shift(a BIGINT, n INT) RETURNS BIGINT",
+            "shiftright(a, n)",
+        ),
+        (
+            "bitwise_right_shift_arithmetic(a BIGINT, n INT) RETURNS BIGINT",
+            "shiftright(a, n)",
+        ),
+        # Trino string spellings
+        ("starts_with(s STRING, p STRING) RETURNS BOOLEAN", "startswith(s, p)"),
+        ("ends_with(s STRING, p STRING) RETURNS BOOLEAN", "endswith(s, p)"),
+        ("sha256(s STRING) RETURNS STRING", "sha2(s, 256)"),
+        ("sha512(s STRING) RETURNS STRING", "sha2(s, 512)"),
+        ("regexp_split(s STRING, p STRING) RETURNS ARRAY<STRING>", "split(s, p)"),
+        # URL family (logical_expr.rs:478-486) over parse_url
+        ("url_extract_host(u STRING) RETURNS STRING", "parse_url(u, 'HOST')"),
+        ("url_extract_path(u STRING) RETURNS STRING", "parse_url(u, 'PATH')"),
+        (
+            "url_extract_protocol(u STRING) RETURNS STRING",
+            "parse_url(u, 'PROTOCOL')",
+        ),
+        (
+            # parse_url has no PORT key — take it from AUTHORITY
+            "url_extract_port(u STRING) RETURNS BIGINT",
+            "CAST(nullif(regexp_extract(parse_url(u, 'AUTHORITY'), "
+            "':([0-9]+)$', 1), '') AS BIGINT)",
+        ),
+        ("url_extract_query(u STRING) RETURNS STRING", "parse_url(u, 'QUERY')"),
+        ("url_extract_fragment(u STRING) RETURNS STRING", "parse_url(u, 'REF')"),
+        (
+            "url_extract_parameter(u STRING, k STRING) RETURNS STRING",
+            "parse_url(u, 'QUERY', k)",
+        ),
+        # JSON family gaps (logical_expr.rs:491-505)
+        (
+            "json_array_get(j STRING, i BIGINT) RETURNS STRING",
+            "get_json_object(j, concat('$[', CAST(i AS STRING), ']'))",
+        ),
+        (
+            "json_array_contains(j STRING, v STRING) RETURNS BOOLEAN",
+            "exists(from_json(j, 'array<string>'), x -> x = v)",
+        ),
+        (
+            "json_size(j STRING, p STRING) RETURNS BIGINT",
+            "CASE WHEN get_json_object(j, p) LIKE '[%' "
+            "THEN CAST(json_array_length(get_json_object(j, p)) AS BIGINT) "
+            "WHEN get_json_object(j, p) LIKE '{%' "
+            "THEN CAST(size(json_object_keys(get_json_object(j, p))) AS BIGINT) "
+            "WHEN get_json_object(j, p) IS NULL THEN NULL ELSE 0 END",
+        ),
+        (
+            "is_json_scalar(s STRING) RETURNS BOOLEAN",
+            "CASE WHEN s IS NULL THEN NULL "
+            "ELSE NOT (ltrim(s) LIKE '{%' OR ltrim(s) LIKE '[%') END",
+        ),
+        # parse/format normalize through Spark's JSON path ('$' = root)
+        ("json_parse(s STRING) RETURNS STRING", "get_json_object(s, '$')"),
+        ("json_format(j STRING) RETURNS STRING", "j"),
     ]:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} RETURN {expr}")

@@ -43,10 +43,47 @@ _RULES: list[tuple[re.Pattern, str]] = [
     (re.compile(r"\bFROM_ISO8601_DATE\s*\(", re.I), "to_date("),
     (re.compile(r"\bFROM_ISO8601_TIMESTAMP\s*\(", re.I), "to_timestamp("),
     (re.compile(r"\bIS_NAN\s*\(", re.I), "isnan("),
-    (re.compile(r"\bBITWISE_AND\s*\(", re.I), "bitand("),
-    (re.compile(r"\bBITWISE_OR\s*\(", re.I), "bitor("),
-    (re.compile(r"\bBITWISE_XOR\s*\(", re.I), "bitxor("),
+    # BITWISE_AND/OR/XOR/NOT/shifts resolve via compat SQL UDFs under
+    # their exact Trino names (Spark has only the &/|/^/~ operators).
+    (re.compile(r"\bBITWISE_AND_AGG\s*\(", re.I), "bit_and("),
+    (re.compile(r"\bBITWISE_OR_AGG\s*\(", re.I), "bit_or("),
+    (re.compile(r"\bBITWISE_XOR_AGG\s*\(", re.I), "bit_xor("),
+    (re.compile(r"\bJSON_KEYS\s*\(", re.I), "json_object_keys("),
+    # Trino 2-arg REGEXP_EXTRACT[_ALL] returns the WHOLE match (group
+    # 0); Spark defaults idx to 1 and errors when the pattern has no
+    # group — add the explicit 0 for the simple two-literal-arg form
+    (re.compile(
+        r"\bREGEXP_EXTRACT(_ALL)?\s*\(\s*([^,()]+?)\s*,\s*('(?:[^'])*')\s*\)",
+        re.I),
+     r"regexp_extract\1(\2, \3, 0)"),
+    # Trino FORMAT is printf-style = Spark format_string; \b cannot
+    # match inside DATE_FORMAT/FORMAT_NUMBER (underscore is a word char)
+    (re.compile(r"\bFORMAT\s*\(", re.I), "format_string("),
+    # aggregate composites (no Spark UDAF needed): simple-arg capture
+    (re.compile(r"\bGEOMETRIC_MEAN\s*\(\s*([^()]+?)\s*\)", re.I),
+     r"exp(avg(ln(\1)))"),
+    (re.compile(r"\bCHECKSUM\s*\(\s*([^()]+?)\s*\)", re.I),
+     r"bit_xor(xxhash64(\1))"),
 ]
+
+# Trino/MySQL DATE_FORMAT %-codes → Spark (Java) datetime patterns;
+# applied only when the literal format contains '%' so Spark-style
+# patterns pass through untouched (reference DATE_FORMAT is the MySQL
+# dialect — filter.rs DateFormat; Spark's is Java SimpleDateFormat).
+_PCT_TO_JAVA = [("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%c", "M"),
+                ("%d", "dd"), ("%e", "d"), ("%H", "HH"), ("%k", "H"),
+                ("%h", "hh"), ("%I", "hh"), ("%i", "mm"), ("%s", "ss"),
+                ("%S", "ss"), ("%f", "SSSSSS"), ("%T", "HH:mm:ss"),
+                ("%p", "a"), ("%W", "EEEE"), ("%a", "EEE"), ("%b", "MMM"),
+                ("%M", "MMMM"), ("%j", "DDD")]
+_DATE_FORMAT_RE = re.compile(r"\b(DATE_FORMAT\s*\(.*?,\s*)'([^']*%[^']*)'", re.I)
+
+
+def _convert_date_format(m: re.Match) -> str:
+    fmt = m.group(2)
+    for src, dst in _PCT_TO_JAVA:
+        fmt = fmt.replace(src, dst)
+    return f"{m.group(1)}'{fmt}'"
 
 
 def translate(sql: str) -> str:
@@ -54,4 +91,4 @@ def translate(sql: str) -> str:
     out = sql
     for pat, repl in _RULES:
         out = pat.sub(repl, out)
-    return out
+    return _DATE_FORMAT_RE.sub(_convert_date_format, out)
