@@ -21,6 +21,15 @@ from .tpch import tables
 
 # Shared SQL (runs verbatim on Spark and DuckDB).
 _SHARED: dict[str, str] = {
+    # correlated scalar subquery under ORDER BY + LIMIT — the SURVEY §7
+    # risk-register shape (the reference's row-by-row SubqueryExecutor
+    # tolerates it; Catalyst decorrelates it since Spark 3.4)
+    "edge_correlated_limit": """
+        SELECT c_custkey,
+          (SELECT o_totalprice FROM orders WHERE o_custkey = c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) AS top_order
+        FROM customer WHERE c_custkey < 50 ORDER BY c_custkey
+    """,
     # NOT IN with NULL in the inner set → empty (3-valued logic)
     "edge_not_in_with_null": """
         SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nation
