@@ -116,3 +116,16 @@ def test_analyze_table_feeds_cbo_stats(spark, sf):
     j = big.join(spark.table("cbo_nation"), big.s_nationkey == F.col("n_nationkey"))
     assert pi.broadcast_count(j) >= 1
     spark.sql("DROP TABLE IF EXISTS cbo_nation")
+
+
+def test_iceberg_deletes_broadcast_anti_joins(spark, sf):
+    """Merge-on-read delete application is anti-joins with the small
+    delete side broadcast — the same physical shape the real Iceberg
+    Spark reader produces."""
+    from iceberg_query_engine_spark.queries import iceberg_suite
+
+    df = iceberg_suite.iceberg_deletes(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert pi.broadcast_count(df) >= 1
+    assert not pi.has_cartesian(df)
