@@ -89,6 +89,19 @@ class Engine:
     def register_sf_dir(self, sf_dir: str) -> dict[str, DataFrame]:
         return registry.register_sf_dir(self.spark, sf_dir)
 
+    def register_iceberg(
+        self, name: str, path: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Register an iceberg-lite table (optionally at a past
+        snapshot) as a queryable view — the engine-level analogue of
+        the reference's IcebergScanExec registration (iceberg.rs
+        builder, 111-183), with v2 delete files applied."""
+        from .sources.iceberg_lite import IcebergLiteTable
+
+        df = IcebergLiteTable(path).read(self.spark, snapshot_id=snapshot_id)
+        df.createOrReplaceTempView(name)
+        return df
+
     def tables(self) -> list[str]:
         return sorted(t.name for t in self.spark.catalog.listTables())
 
@@ -229,6 +242,10 @@ def main(argv: list[str] | None = None) -> int:
     q_p.add_argument("--plan", action="store_true")
     sub.add_parser("tables", help="list registered tables")
     sub.add_parser("repl", help="interactive SQL loop")
+    b_p = sub.add_parser(
+        "benchmark", help="time all 22 TPC-H queries (reference `benchmark`)"
+    )
+    b_p.add_argument("--repeat", type=int, default=1)
     args = p.parse_args(argv)
 
     eng = Engine()
@@ -258,6 +275,19 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "tables":
         for t in eng.tables():
             print(t)
+    elif args.cmd == "benchmark":
+        from .queries import tpch
+
+        total = 0.0
+        for name in sorted(tpch.QUERIES, key=lambda q: int(q[1:])):
+            best = float("inf")
+            for _ in range(args.repeat):
+                t0 = time.perf_counter()
+                tpch.QUERIES[name](eng.spark, args.sf_dir).collect()
+                best = min(best, time.perf_counter() - t0)
+            total += best
+            print(f"{name:>4}: {best * 1000:8.1f} ms")
+        print(f"total: {total:.2f} s")
     elif args.cmd == "repl":
         while True:
             try:

@@ -150,3 +150,21 @@ def test_cli_output_formats(engine):
 
     line0 = json.loads(_FORMATS["json"](res).splitlines()[0])
     assert line0 == {"r_regionkey": 0, "r_name": "AFRICA"}
+
+
+def test_engine_register_iceberg(engine, tmp_path):
+    """Iceberg-lite tables queryable through the engine shell, with
+    time travel and delete files applied."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        write_position_deletes,
+        write_snapshot,
+    )
+
+    path = str(tmp_path / "eng_ice")
+    nation = engine.spark.table("nation")
+    s1 = write_snapshot(nation.filter("n_nationkey < 10"), path)
+    write_position_deletes(engine.spark, path, "n_nationkey >= 8")
+    engine.register_iceberg("ice_nation", path)
+    assert engine.sql("SELECT COUNT(*) AS n FROM ice_nation").rows[0].n == 8
+    engine.register_iceberg("ice_nation_v1", path, snapshot_id=s1)
+    assert engine.sql("SELECT COUNT(*) AS n FROM ice_nation_v1").rows[0].n == 10
