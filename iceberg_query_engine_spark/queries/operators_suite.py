@@ -130,6 +130,35 @@ WHERE CAST(('0x' || substr(md5(l_orderkey || '|' || l_partkey), 1, 8)) AS BIGINT
 """
 
 
+def op_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling: different hash-sample rates
+    per document source (the quality-tiered downsampling step of a
+    training-data pipeline; md5-keyed so any engine reproduces it).
+    Map-only until the final per-stratum count — scan-speed at 100 TB."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.when(F.col("source").isin("src1", "src2", "src3"), 10).otherwise(50)
+    return (
+        documents.filter(bucket < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("source")
+    )
+
+
+OP_STRATIFIED_SAMPLE_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < CASE WHEN source IN ('src1', 'src2', 'src3') THEN 10 ELSE 50 END
+GROUP BY source
+ORDER BY source
+"""
+
+
 def op_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order counts: status × priority matrix."""
     (orders,) = tables(spark, sf_dir, "orders")
@@ -241,6 +270,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_range_join": op_range_join,
     "op_hash_sample": op_hash_sample,
+    "op_stratified_sample": op_stratified_sample,
     "op_pivot": op_pivot,
     "op_group_zscore": op_group_zscore,
     "op_arrow_batch": op_arrow_batch,
@@ -250,6 +280,7 @@ ORACLE: dict[str, str] = {
     "op_asof_join": OP_ASOF_JOIN_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,
     "op_hash_sample": OP_HASH_SAMPLE_SQL,
+    "op_stratified_sample": OP_STRATIFIED_SAMPLE_SQL,
     "op_pivot": OP_PIVOT_SQL,
     "op_group_zscore": OP_GROUP_ZSCORE_SQL,
     "op_arrow_batch": OP_ARROW_BATCH_SQL,
