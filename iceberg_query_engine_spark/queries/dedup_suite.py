@@ -67,17 +67,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by token-set Jaccard within source buckets."""
     (documents,) = tables(spark, sf_dir, "documents")
     d = documents.select(
-        "doc_id", "source", F.array_distinct(_tokens()).alias("toks")
+        "doc_id",
+        "source",
+        F.array_distinct(_tokens()).alias("toks"),
+        F.size(F.array_distinct(_tokens())).alias("sz"),
     )
     a = d.alias("a")
     # merge hint: the token-set table is corpus-sized — broadcasting it
     # is wrong at scale; a sort-merge join shuffles both sides on the
     # bucket key and lets Spark reuse the shuffle across the self-join.
     b = d.hint("merge").alias("b")
+    # size-ratio prefilter: J >= 0.6 implies min(|A|,|B|) >= 0.6*max
+    # (|A∩B| <= min, |A∪B| >= max), so 5*min >= 3*max prunes pairs
+    # BEFORE the quadratic-cost intersect without changing the result.
     pairs = a.join(
         b,
         (F.col("a.source") == F.col("b.source"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.least(F.col("a.sz"), F.col("b.sz")) * 5
+           >= F.greatest(F.col("a.sz"), F.col("b.sz")) * 3),
     )
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
