@@ -265,11 +265,17 @@ def normalize_nfc(s: str) -> str:
 # literal percent from being rewritten by later rules.
 _MYSQL_TO_PY = [("%c", "%m"), ("%e", "%d"), ("%h", "%I"), ("%k", "%H"),
                 ("%l", "%I"), ("%i", "%M"), ("%s", "%S")]
-# PARSE_DATETIME: Joda-style patterns, ordered longest-first
-# (filter.rs:3958-3976).
-_JODA_TO_PY = [("yyyy", "%Y"), ("yy", "%y"), ("MM", "%m"), ("dd", "%d"),
-               ("HH", "%H"), ("hh", "%I"), ("mm", "%M"), ("SSS", "%f"),
-               ("ss", "%S"), ("a", "%p")]
+# PARSE_DATETIME: Joda-style patterns incl. the single-letter forms
+# the reference supports (filter.rs:3958-3976: M d H h). Converted in
+# ONE regex pass (longest alternative first) so produced %-directives
+# are never re-scanned — the reference's sequential .replace chain
+# corrupts 'dd' ("%d" → "%%-d"); we keep the intended semantics.
+_JODA_MAP = {"yyyy": "%Y", "yy": "%y", "MM": "%m", "M": "%m",
+             "dd": "%d", "d": "%d", "HH": "%H", "H": "%H",
+             "hh": "%I", "h": "%I", "mm": "%M", "SSS": "%f",
+             "ss": "%S", "a": "%p"}
+_JODA_RE = re.compile("|".join(["yyyy", "yy", "MM", "M", "dd", "d", "HH",
+                                "hh", "H", "h", "mm", "SSS", "ss", "a"]))
 
 
 def _convert_fmt(fmt: str, table: list[tuple[str, str]]) -> str:
@@ -290,7 +296,42 @@ def date_parse(s: str, fmt: str):
 
 
 def parse_datetime(s: str, fmt: str):
-    return _strptime_or_none(s, _convert_fmt(fmt, _JODA_TO_PY))
+    return _strptime_or_none(s, _JODA_RE.sub(lambda m: _JODA_MAP[m.group()], fmt))
+
+
+def json_parse_fn(s: str) -> str | None:
+    """Validate; return the ORIGINAL string, NULL on invalid JSON
+    (filter.rs JsonParse: serde validate then s.to_string())."""
+    import json as _json
+
+    try:
+        _json.loads(s)
+        return s
+    except (ValueError, TypeError):
+        return None
+
+
+def json_format_fn(s: str) -> str | None:
+    """Pretty-print with 2-space indent, NULL on invalid JSON
+    (filter.rs JsonFormat: serde to_string_pretty)."""
+    import json as _json
+
+    try:
+        return _json.dumps(_json.loads(s), indent=2, ensure_ascii=False)
+    except (ValueError, TypeError):
+        return None
+
+
+def is_json_scalar_fn(s: str) -> bool | None:
+    """False for unparseable input; scalar = not array/object
+    (filter.rs IsJsonScalar)."""
+    import json as _json
+
+    try:
+        v = _json.loads(s)
+    except (ValueError, TypeError):
+        return False
+    return not isinstance(v, (dict, list))
 
 
 def to_big_endian_64(x: int) -> bytes:
@@ -400,6 +441,9 @@ def register_all(spark: SparkSession) -> None:
     reg("parse_datetime", _wrap2_str(parse_datetime, "timestamp"))
     reg("to_big_endian_64", _wrap1(to_big_endian_64, "binary"))
     reg("from_big_endian_64", _wrap1(from_big_endian_64, "long"))
+    reg("json_parse", _wrap1(json_parse_fn, "string"))
+    reg("json_format", _wrap1(json_format_fn, "string"))
+    reg("is_json_scalar", _wrap1(is_json_scalar_fn, "boolean"))
     reg("to_base32", _wrap1(to_base32, "string"))
     reg("from_base32", _wrap1(from_base32, "string"))
     reg("to_ieee754_64", _wrap1(to_ieee754_64, "long"))
@@ -445,18 +489,17 @@ def register_all(spark: SparkSession) -> None:
         ),
         ("timezone_hour(x TIMESTAMP) RETURNS INT", "0"),
         ("timezone_minute(x TIMESTAMP) RETURNS INT", "0"),
-        # AT_TIMEZONE / WITH_TIMEZONE (filter.rs:4029+ implements only
-        # fixed offsets; Spark's convert_timezone handles full IANA
-        # zones): at_timezone re-expresses a UTC instant in a zone,
-        # with_timezone stamps a wall-clock reading as being in a zone.
+        # AT_TIMEZONE converts a zone-local reading to UTC (micros -
+        # offset, filter.rs:4055-4070) = convert_timezone(tz→UTC);
+        # Spark's convert_timezone additionally handles IANA names the
+        # reference passes through unchanged. WITH_TIMEZONE is a no-op
+        # in the reference (returns the instant unchanged,
+        # filter.rs:4077-4095) — mirrored.
         (
             "at_timezone(x TIMESTAMP, tz STRING) RETURNS TIMESTAMP",
-            "convert_timezone('UTC', tz, x)",
-        ),
-        (
-            "with_timezone(x TIMESTAMP, tz STRING) RETURNS TIMESTAMP",
             "convert_timezone(tz, 'UTC', x)",
         ),
+        ("with_timezone(x TIMESTAMP, tz STRING) RETURNS TIMESTAMP", "x"),
         ("to_utf8(s STRING) RETURNS BINARY", "encode(s, 'UTF-8')"),
         ("from_utf8(b BINARY) RETURNS STRING", "decode(b, 'UTF-8')"),
         (
@@ -490,8 +533,10 @@ def register_all(spark: SparkSession) -> None:
             "shiftleft(a, n)",
         ),
         (
+            # reference BITWISE_RIGHT_SHIFT is LOGICAL (zero-fill):
+            # `(lv as u64 >> rv) as i64` (filter.rs:4811)
             "bitwise_right_shift(a BIGINT, n INT) RETURNS BIGINT",
-            "shiftright(a, n)",
+            "shiftrightunsigned(a, n)",
         ),
         (
             "bitwise_right_shift_arithmetic(a BIGINT, n INT) RETURNS BIGINT",
@@ -539,13 +584,8 @@ def register_all(spark: SparkSession) -> None:
             "THEN CAST(size(json_object_keys(get_json_object(j, p))) AS BIGINT) "
             "WHEN get_json_object(j, p) IS NULL THEN NULL ELSE 0 END",
         ),
-        (
-            "is_json_scalar(s STRING) RETURNS BOOLEAN",
-            "CASE WHEN s IS NULL THEN NULL "
-            "ELSE NOT (ltrim(s) LIKE '{%' OR ltrim(s) LIKE '[%') END",
-        ),
-        # parse/format normalize through Spark's JSON path ('$' = root)
-        ("json_parse(s STRING) RETURNS STRING", "get_json_object(s, '$')"),
-        ("json_format(j STRING) RETURNS STRING", "j"),
+        # json_parse / json_format / is_json_scalar are pandas UDFs
+        # (registered above) to mirror the reference's serde-exact
+        # validate/pretty-print semantics.
     ]:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name} RETURN {expr}")

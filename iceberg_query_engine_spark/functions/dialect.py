@@ -62,28 +62,53 @@ _RULES: list[tuple[re.Pattern, str]] = [
     # aggregate composites (no Spark UDAF needed): simple-arg capture
     (re.compile(r"\bGEOMETRIC_MEAN\s*\(\s*([^()]+?)\s*\)", re.I),
      r"exp(avg(ln(\1)))"),
+    # reference CHECKSUM XORs the RAW integer values (hash_agg.rs:1630,
+    # 2184), not hashes of them
     (re.compile(r"\bCHECKSUM\s*\(\s*([^()]+?)\s*\)", re.I),
-     r"bit_xor(xxhash64(\1))"),
+     r"bit_xor(CAST(\1 AS BIGINT))"),
 ]
 
 # Trino/MySQL DATE_FORMAT %-codes → Spark (Java) datetime patterns;
 # applied only when the literal format contains '%' so Spark-style
 # patterns pass through untouched (reference DATE_FORMAT is the MySQL
 # dialect — filter.rs DateFormat; Spark's is Java SimpleDateFormat).
-_PCT_TO_JAVA = [("%Y", "yyyy"), ("%y", "yy"), ("%m", "MM"), ("%c", "M"),
-                ("%d", "dd"), ("%e", "d"), ("%H", "HH"), ("%k", "H"),
-                ("%h", "hh"), ("%I", "hh"), ("%i", "mm"), ("%s", "ss"),
-                ("%S", "ss"), ("%f", "SSSSSS"), ("%T", "HH:mm:ss"),
-                ("%p", "a"), ("%W", "EEEE"), ("%a", "EEE"), ("%b", "MMM"),
-                ("%M", "MMMM"), ("%j", "DDD")]
+_PCT_TO_JAVA = {"%Y": "yyyy", "%y": "yy", "%m": "MM", "%c": "M",
+                "%d": "dd", "%e": "d", "%H": "HH", "%k": "H",
+                "%h": "hh", "%I": "hh", "%i": "mm", "%s": "ss",
+                "%S": "ss", "%f": "SSSSSS", "%T": "HH:mm:ss",
+                "%p": "a", "%W": "EEEE", "%a": "EEE", "%b": "MMM",
+                "%M": "MMMM", "%j": "DDD", "%%": "%"}
 _DATE_FORMAT_RE = re.compile(r"\b(DATE_FORMAT\s*\(.*?,\s*)'([^']*%[^']*)'", re.I)
 
 
 def _convert_date_format(m: re.Match) -> str:
-    fmt = m.group(2)
-    for src, dst in _PCT_TO_JAVA:
-        fmt = fmt.replace(src, dst)
-    return f"{m.group(1)}'{fmt}'"
+    """MySQL %-format → Java pattern, single-quoting literal text so
+    letters outside %-codes (e.g. the ISO-8601 'T') stay literal
+    instead of being read as Java pattern letters."""
+    fmt, out, lit = m.group(2), [], []
+
+    def flush():
+        if lit:
+            run = "".join(lit)
+            if any(c.isalpha() or c == "'" for c in run):
+                run = "'" + run.replace("'", "''") + "'"
+            out.append(run)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt) and fmt[i : i + 2] in _PCT_TO_JAVA:
+            flush()
+            out.append(_PCT_TO_JAVA[fmt[i : i + 2]])
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    # the Java pattern may itself contain single quotes (literal-text
+    # quoting); double them for embedding in the SQL string literal
+    pattern = "".join(out).replace("'", "''")
+    return f"{m.group(1)}'{pattern}'"
 
 
 def translate(sql: str) -> str:

@@ -74,8 +74,9 @@ def extract_metadata(df: DataFrame) -> DataFrame:
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                w = struct.unpack(">I", b[0:4])[0] % 512
-                h = struct.unpack(">I", b[4:8])[0] % 512
+                # short/empty payloads carry no header → NULL dims
+                w = struct.unpack(">I", b[0:4])[0] % 512 if len(b) >= 8 else None
+                h = struct.unpack(">I", b[4:8])[0] % 512 if len(b) >= 8 else None
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -112,6 +113,12 @@ def extract_features(df: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
                 out["doc_id"].append(doc_id)
+                if a.size == 0:  # empty payload → NULL features, not a crash
+                    out["mean_byte"].append(None)
+                    out["min_byte"].append(None)
+                    out["max_byte"].append(None)
+                    out["std_byte"].append(None)
+                    continue
                 out["mean_byte"].append(round(float(a.mean()), 6))
                 out["min_byte"].append(int(a.min()))
                 out["max_byte"].append(int(a.max()))
@@ -147,8 +154,11 @@ def resize_payload(df: DataFrame, out_w: int = 4, out_h: int = 8) -> DataFrame:
             n_out = out_w * out_h
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload)
-                idx = np.linspace(0, len(b) - 1, n_out).astype(int)
-                resized = bytes(b[i] for i in idx)
+                if b:
+                    idx = np.linspace(0, len(b) - 1, n_out).astype(int)
+                    resized = bytes(b[i] for i in idx)
+                else:  # nothing to sample from
+                    resized = b""
                 rows["doc_id"].append(doc_id)
                 rows["out_w"].append(out_w)
                 rows["out_h"].append(out_h)

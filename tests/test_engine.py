@@ -124,14 +124,17 @@ def test_engine_metrics_parity(engine):
 
 
 def test_engine_timezone_functions(engine):
+    """Reference semantics: AT_TIMEZONE converts a zone-local reading
+    to UTC (micros - offset, filter.rs:4055-4070); WITH_TIMEZONE
+    returns the instant unchanged (filter.rs:4077-4095)."""
     res = engine.sql(
         "SELECT CAST(at_timezone(TIMESTAMP '2024-01-01 12:00:00', "
         "'+05:30') AS STRING) AS a, "
         "CAST(with_timezone(TIMESTAMP '2024-01-01 12:00:00', "
         "'-03:00') AS STRING) AS w"
     )
-    assert res.rows[0].a == "2024-01-01 17:30:00"
-    assert res.rows[0].w == "2024-01-01 15:00:00"
+    assert res.rows[0].a == "2024-01-01 06:30:00"
+    assert res.rows[0].w == "2024-01-01 12:00:00"
 
 
 def test_cli_output_formats(engine):
@@ -168,3 +171,21 @@ def test_engine_register_iceberg(engine, tmp_path):
     assert engine.sql("SELECT COUNT(*) AS n FROM ice_nation").rows[0].n == 8
     engine.register_iceberg("ice_nation_v1", path, snapshot_id=s1)
     assert engine.sql("SELECT COUNT(*) AS n FROM ice_nation_v1").rows[0].n == 10
+
+
+def test_multimodal_empty_payload_safe(spark):
+    """Zero-length payloads yield NULL features / empty resize output
+    instead of crashing the executor task."""
+    from iceberg_query_engine_spark.operators.multimodal import (
+        extract_features,
+        extract_metadata,
+        resize_payload,
+    )
+
+    df = spark.createDataFrame([(1, b""), (2, b"\x01\x02" * 40)], ["doc_id", "payload"])
+    feats = {r.doc_id: r for r in extract_features(df).collect()}
+    assert feats[1].mean_byte is None and feats[2].mean_byte is not None
+    meta = {r.doc_id: r for r in extract_metadata(df).collect()}
+    assert meta[1].width is None and meta[1].payload_len == 0
+    res = {r.doc_id: r for r in resize_payload(df).collect()}
+    assert res[1].out_len == 0 and res[2].out_len == 32

@@ -126,6 +126,18 @@ CASES = [
     ("CAST(FROM_UNIXTIME(0) AS STRING)", "1970-01-01 00:00:00"),
     ("TO_UNIXTIME(TIMESTAMP '1970-01-01 00:00:10')", 10),
     ("DATE_FORMAT(TIMESTAMP '2024-03-05 10:11:12', '%Y-%m-%d')", "2024-03-05"),
+    # literal 'T' must not be read as a Java pattern letter
+    ("DATE_FORMAT(TIMESTAMP '2024-03-05 10:11:12', '%Y-%m-%dT%H:%i:%s')",
+     "2024-03-05T10:11:12"),
+    # single-letter Joda tokens (filter.rs:3958-3974)
+    ("CAST(PARSE_DATETIME('2024-3-5', 'yyyy-M-d') AS STRING)",
+     "2024-03-05 00:00:00"),
+    # AT_TIMEZONE converts a zone-local reading to UTC (micros - offset);
+    # WITH_TIMEZONE leaves the instant unchanged (reference stubs)
+    ("CAST(AT_TIMEZONE(TIMESTAMP '2024-01-01 12:00:00', '+05:30') AS STRING)",
+     "2024-01-01 06:30:00"),
+    ("CAST(WITH_TIMEZONE(TIMESTAMP '2024-01-01 12:00:00', '-03:00') AS STRING)",
+     "2024-01-01 12:00:00"),
     ("CAST(DATE_PARSE('2024-03-05', '%Y-%m-%d') AS STRING)", "2024-03-05 00:00:00"),
     ("CAST(PARSE_DATETIME('2024-03-05 10:11', 'yyyy-MM-dd HH:mm') AS STRING)",
      "2024-03-05 10:11:00"),
@@ -145,8 +157,10 @@ CASES = [
     ("JSON_ARRAY_GET('[1,2,3]', 1)", "2"),
     ("JSON_ARRAY_CONTAINS('[1,2,3]', '2')", True),
     ("JSON_SIZE('{\"a\": {\"b\": 1}}', '$.a')", 1),
-    ("JSON_PARSE('{\"a\": 1}')", None),
-    ("JSON_FORMAT('{\"a\":1}')", '{"a":1}'),
+    ("JSON_PARSE('{\"a\": 1}')", '{"a": 1}'),
+    ("JSON_PARSE('not json')", None),
+    ("JSON_FORMAT('{\"a\":1}')", '{\n  "a": 1\n}'),
+    ("IS_JSON_SCALAR('not json')", False),
     ("JSON_KEYS('{\"a\":1}')[0]", "a"),
     ("IS_JSON_SCALAR('1')", True),
     # regex
@@ -180,6 +194,8 @@ CASES = [
     ("BIT_COUNT(7)", 3),
     ("BITWISE_LEFT_SHIFT(1, 3)", 8),
     ("BITWISE_RIGHT_SHIFT(16, 2)", 4),
+    # logical zero-fill on negatives (filter.rs:4811 `lv as u64 >> rv`)
+    ("BITWISE_RIGHT_SHIFT(-16, 2)", 4611686018427387900),
     ("BITWISE_RIGHT_SHIFT_ARITHMETIC(-16, 2)", -4),
     # URL
     ("URL_EXTRACT_HOST('https://h.com:88/p?q=1#f')", "h.com"),
@@ -229,7 +245,7 @@ AGG_CASES = [
     ("GEOMETRIC_MEAN(x)", 2.0),
     ("BITWISE_AND_AGG(CAST(x AS BIGINT))", 0),
     ("BITWISE_OR_AGG(CAST(x AS BIGINT))", 5),
-    ("CHECKSUM(x)", None),
+    ("CHECKSUM(x)", 5),  # raw-value XOR: 1 ^ 4 (hash_agg.rs:1630)
 ]
 
 
