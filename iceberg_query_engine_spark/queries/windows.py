@@ -266,9 +266,44 @@ ORDER BY o_orderkey
 """
 
 
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value / first_value / last_value over an explicit
+    unbounded-both-sides frame (default frames stop at CURRENT ROW, so
+    last_value needs the full frame — a classic correctness trap)."""
+    (supplier,) = tables(spark, sf_dir, "supplier")
+    w = (
+        Window.partitionBy("s_nationkey")
+        .orderBy(F.col("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        supplier.select(
+            "s_suppkey",
+            "s_nationkey",
+            F.nth_value("s_acctbal", 2).over(w).alias("second_bal"),
+            F.first_value("s_acctbal").over(w).alias("first_bal"),
+            F.last_value("s_acctbal").over(w).alias("last_bal"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+WIN_NTH_VALUE_SQL = """
+SELECT s_suppkey, s_nationkey,
+  nth_value(s_acctbal, 2) OVER w AS second_bal,
+  first_value(s_acctbal) OVER w AS first_bal,
+  last_value(s_acctbal) OVER w AS last_bal
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "win_grouping_sets": win_grouping_sets_explicit,
     "win_range_frame": win_range_frame,
+    "win_nth_value": win_nth_value,
     "win_ranking": win_ranking,
     "win_offset": win_offset,
     "win_framed_agg": win_framed_agg,
@@ -281,6 +316,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "win_grouping_sets": WIN_GROUPING_SETS_EXPLICIT_SQL,
     "win_range_frame": WIN_RANGE_FRAME_SQL,
+    "win_nth_value": WIN_NTH_VALUE_SQL,
     "win_ranking": WIN_RANKING_SQL,
     "win_offset": WIN_OFFSET_SQL,
     "win_framed_agg": WIN_FRAMED_AGG_SQL,
