@@ -17,6 +17,7 @@ from ..streaming import jobs, stateful
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling": jobs.stream_tumbling,
     "stream_sliding": jobs.stream_sliding,
+    "stream_join": jobs.stream_join,
     "stream_sessionize": jobs.stream_sessionize,
     "stream_dedup": jobs.stream_dedup,
     "stream_stateful_counts": stateful.stream_stateful_counts,
@@ -25,6 +26,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "stream_tumbling": jobs.STREAM_TUMBLING_SQL,
     "stream_sliding": jobs.STREAM_SLIDING_SQL,
+    "stream_join": jobs.STREAM_JOIN_SQL,
     "stream_sessionize": jobs.STREAM_SESSIONIZE_SQL,
     "stream_dedup": jobs.STREAM_DEDUP_SQL,
     "stream_stateful_counts": stateful.STREAM_STATEFUL_SQL,

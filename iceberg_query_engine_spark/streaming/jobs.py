@@ -123,6 +123,69 @@ ORDER BY wstart
 """
 
 
+def stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time bounds: each purchase
+    joined to the same user's clicks in the preceding hour. Both sides
+    watermarked so state is evicted once the window passes — the
+    bounded-state property that makes stream joins viable at scale."""
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    name = "mem_stream_join"
+    ckpt = os.path.join(tempfile.gettempdir(), "sg_ckpt", f"{name}-{uuid.uuid4().hex}")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+STREAM_JOIN_SQL = """
+SELECT p.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.c_ts >= p.p_ts - INTERVAL 1 HOUR AND c.c_ts <= p.p_ts
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) — stateful streaming session
     aggregation; per-user session stats."""
