@@ -59,14 +59,61 @@ _RULES: list[tuple[re.Pattern, str]] = [
     # Trino FORMAT is printf-style = Spark format_string; \b cannot
     # match inside DATE_FORMAT/FORMAT_NUMBER (underscore is a word char)
     (re.compile(r"\bFORMAT\s*\(", re.I), "format_string("),
-    # aggregate composites (no Spark UDAF needed): simple-arg capture
-    (re.compile(r"\bGEOMETRIC_MEAN\s*\(\s*([^()]+?)\s*\)", re.I),
-     r"exp(avg(ln(\1)))"),
-    # reference CHECKSUM XORs the RAW integer values (hash_agg.rs:1630,
-    # 2184), not hashes of them
-    (re.compile(r"\bCHECKSUM\s*\(\s*([^()]+?)\s*\)", re.I),
-     r"bit_xor(CAST(\1 AS BIGINT))"),
 ]
+
+# aggregate composites (no Spark UDAF needed). Rewritten with a
+# balanced-paren scan so nested calls (GEOMETRIC_MEAN(abs(x))) work.
+# Reference CHECKSUM XORs the RAW integer values (hash_agg.rs:1630,
+# 2184), not hashes of them.
+_CALL_TEMPLATES: list[tuple[re.Pattern, str]] = [
+    (re.compile(r"\bGEOMETRIC_MEAN\s*\(", re.I), "exp(avg(ln({0})))"),
+    (re.compile(r"\bCHECKSUM\s*\(", re.I), "bit_xor(CAST({0} AS BIGINT))"),
+]
+
+
+def _balanced_arg(sql: str, open_idx: int) -> int | None:
+    """Index of the ')' matching the '(' at open_idx, skipping nested
+    parens and single-quoted string literals; None if unbalanced."""
+    depth, i, n = 0, open_idx, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # skip string literal ('' = escaped quote)
+            i += 1
+            while i < n:
+                if sql[i] == "'":
+                    if i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return None
+
+
+def _rewrite_calls(sql: str) -> str:
+    for pat, template in _CALL_TEMPLATES:
+        pos = 0
+        while True:
+            m = pat.search(sql, pos)
+            if not m:
+                break
+            # inside a string literal iff an odd number of quotes precede
+            # ('' escapes add two, preserving parity)
+            if sql.count("'", 0, m.start()) % 2 == 1:
+                pos = m.end()
+                continue
+            close = _balanced_arg(sql, m.end() - 1)
+            if close is None:
+                break
+            arg = sql[m.end() : close].strip()
+            sql = sql[: m.start()] + template.format(arg) + sql[close + 1 :]
+    return sql
 
 # Trino/MySQL DATE_FORMAT %-codes → Spark (Java) datetime patterns;
 # applied only when the literal format contains '%' so Spark-style
@@ -116,4 +163,5 @@ def translate(sql: str) -> str:
     out = sql
     for pat, repl in _RULES:
         out = pat.sub(repl, out)
+    out = _rewrite_calls(out)
     return _DATE_FORMAT_RE.sub(_convert_date_format, out)

@@ -63,8 +63,9 @@ FROM (
 
 
 # --------------------------------------------------------------------------
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by token-set Jaccard within source buckets."""
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered near-dup pairs (doc_a < doc_b, jaccard >= 0.6) by
+    token-set Jaccard within source buckets."""
     (documents,) = tables(spark, sf_dir, "documents")
     d = documents.select(
         "doc_id",
@@ -89,15 +90,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
-    return (
-        pairs.select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.6)
-        .orderBy("doc_a", "doc_b")
-    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= 0.6)
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by token-set Jaccard within source buckets."""
+    return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 DEDUP_NGRAM_JACCARD_SQL = """
@@ -110,6 +112,90 @@ JOIN (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM 
 WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
 ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the Jaccard pair
+    graph, then canonical-doc election (min doc_id per component).
+
+    Pairs alone don't dedup a corpus — A~B and B~C must collapse to one
+    cluster even when A,C are below the threshold. This runs iterative
+    hash-min label propagation (each round: push every node's current
+    min-label across its edges, keep the min), which converges in
+    O(graph diameter) rounds; large-star/small-star is the published
+    refinement for adversarial diameters, same per-round shuffle shape.
+
+    Scale notes (100 TB): each round is one shuffle keyed on node id;
+    `localCheckpoint` truncates the lineage so round N doesn't replay
+    rounds 1..N-1 (the standard Spark iterative-algorithm pattern). The
+    edge list is checkpointed once — the expensive pair generation
+    never re-runs.
+    """
+    pairs = _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).toDF("src", "dst")
+    edges = edges.repartition("src").localCheckpoint()
+
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(50):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:  # pragma: no cover - 50 rounds covers any real diameter
+        raise RuntimeError("connected components did not converge")
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+  WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM cc ORDER BY doc_id
 """
 
 
@@ -365,6 +451,7 @@ ORDER BY vec_a, vec_b
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -373,6 +460,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,

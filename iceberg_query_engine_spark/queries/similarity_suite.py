@@ -106,25 +106,35 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
+
     # assignment: argmax cosine over centroids (broadcast), tie → c_id
-    assigned = (
-        e.join(F.broadcast(centroids))
-        .select(
-            "vec_id",
-            "v",
-            "c_id",
-            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+    def _assign(vecs: DataFrame) -> DataFrame:
+        return (
+            vecs.join(F.broadcast(centroids))
+            .select(
+                "vec_id",
+                "v",
+                "c_id",
+                F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+            )
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(
+                        F.col("c_cos").desc(), F.col("c_id")
+                    )
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "v", F.col("c_id").alias("bucket"))
         )
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(F.col("c_cos").desc(), F.col("c_id"))
-            ),
-        )
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "v", F.col("c_id").alias("bucket"))
-    )
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+
+    # Assign the (tiny) query set separately: broadcasting a filter of the
+    # full-corpus assignment would recompute the whole assignment lineage
+    # just to extract N_QUERIES rows — at 100 TB that is a second pass over
+    # the corpus. Assigning the pruned query scan costs N_QUERIES×centroids.
+    assigned = _assign(e.filter(F.col("vec_id") >= N_QUERIES))
+    queries = _assign(e.filter(F.col("vec_id") < N_QUERIES)).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
     scored = (

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .tpch import tables
@@ -348,6 +348,73 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+TFIDF_DOC_LIMIT = 40  # docs reported; df/idf statistics use the FULL corpus
+
+
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring: top-k highest-weight terms per document.
+
+    Corpus-level document frequency + per-doc term frequency → the
+    classic relevance/keyword-extraction weight tf·ln(N/df).
+
+    Scale notes (100 TB): tf is one shuffle on (doc_id, term); df is a
+    map-side-combinable reaggregation of tf on term; N is a 1-row
+    aggregate crossJoin-broadcast (never collected to the driver). The
+    report filter prunes AFTER the corpus statistics so idf reflects
+    the whole corpus — the filter cuts the final window, not the scan.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = documents.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TFIDF_TOP_K)
+        .orderBy("doc_id", "rk")
+    )
+
+
+TEXT_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+  WHERE tf.doc_id < {TFIDF_DOC_LIMIT}
+)
+SELECT doc_id, term, tf, tfidf, rk FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term)
+                 AS BIGINT) AS rk
+  FROM scored
+) WHERE rk <= {TFIDF_TOP_K}
+ORDER BY doc_id, rk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -357,6 +424,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_ngrams": text_ngrams,
     "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
+    "text_tfidf": text_tfidf,
 }
 
 ORACLE: dict[str, str] = {
@@ -368,4 +436,5 @@ ORACLE: dict[str, str] = {
     "text_ngrams": TEXT_NGRAMS_SQL,
     "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
+    "text_tfidf": TEXT_TFIDF_SQL,
 }

@@ -17,6 +17,23 @@ def test_dialect_translations():
     assert translate("SELECT date_add(d, 3)") == "SELECT date_add(d, 3)"
 
 
+def test_dialect_aggregate_composites_nested_args():
+    # balanced-paren capture: nested calls inside the argument
+    assert (
+        translate("SELECT GEOMETRIC_MEAN(abs(x - round(y, 2))) FROM t")
+        == "SELECT exp(avg(ln(abs(x - round(y, 2))))) FROM t"
+    )
+    assert (
+        translate("SELECT CHECKSUM(coalesce(a, 0)) FROM t")
+        == "SELECT bit_xor(CAST(coalesce(a, 0) AS BIGINT)) FROM t"
+    )
+    # function names inside string literals are untouched
+    assert (
+        translate("SELECT CHECKSUM(a), 'CHECKSUM(not this)' FROM t")
+        == "SELECT bit_xor(CAST(a AS BIGINT)), 'CHECKSUM(not this)' FROM t"
+    )
+
+
 @pytest.fixture(scope="module")
 def engine(spark, sf_oracle):
     from iceberg_query_engine_spark.engine import Engine
