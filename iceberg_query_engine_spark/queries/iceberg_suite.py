@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from ..sources.iceberg_lite import (
     IcebergLiteTable,
     PartitionFilter,
+    upsert_snapshot,
     write_equality_deletes,
     write_position_deletes,
     write_snapshot,
@@ -156,14 +157,74 @@ ORDER BY o_orderstatus
 """
 
 
+_UPSERT_CACHE: dict[str, str] = {}
+
+
+def _upsert_table(spark: SparkSession, sf_dir: str) -> str:
+    """orders<500 base snapshot → MERGE-style upsert of every key
+    < 600 with o_orderkey % 10 = 0 at o_totalprice + 1000: keys < 500
+    are updates (replace), 500..599 are inserts."""
+    key = sf_dir
+    if key in _UPSERT_CACHE and os.path.exists(_UPSERT_CACHE[key]):
+        return _UPSERT_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "iceberg_lite",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_upsert",
+    )
+    if not os.path.exists(os.path.join(path, "metadata", "v0.metadata.json")):
+        (orders,) = tables(spark, sf_dir, "orders")
+        write_snapshot(orders.filter(F.col("o_orderkey") < 500), path)
+        batch = orders.filter(
+            (F.col("o_orderkey") < 600) & (F.col("o_orderkey") % 10 == 0)
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+        upsert_snapshot(spark, path, batch, ["o_orderkey"])
+    _UPSERT_CACHE[key] = path
+    return path
+
+
+def iceberg_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO-style upsert (one snapshot = equality-delete manifest
+    + data manifest, shared sequence number): updated keys read back
+    with the new price, inserted keys appear, untouched rows survive."""
+    t = IcebergLiteTable(_upsert_table(spark, sf_dir))
+    return (
+        t.read(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_UPSERT_SQL = """
+WITH up AS (
+  SELECT o_orderstatus, o_totalprice + 1000 AS o_totalprice
+  FROM orders WHERE o_orderkey < 600 AND o_orderkey % 10 = 0
+), merged AS (
+  SELECT o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey < 500 AND o_orderkey % 10 <> 0
+  UNION ALL SELECT o_orderstatus, o_totalprice FROM up
+)
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(o_totalprice), 2) AS total
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_time_travel": iceberg_time_travel,
     "iceberg_pruned_scan": iceberg_pruned_scan,
     "iceberg_deletes": iceberg_deletes,
+    "iceberg_upsert": iceberg_upsert,
 }
 
 ORACLE: dict[str, str] = {
     "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,
     "iceberg_pruned_scan": ICEBERG_PRUNED_SCAN_SQL,
     "iceberg_deletes": ICEBERG_DELETES_SQL,
+    "iceberg_upsert": ICEBERG_UPSERT_SQL,
 }

@@ -189,6 +189,98 @@ ORDER BY q_id, rk
 
 
 # --------------------------------------------------------------------------
+LSH_NBITS = 5  # sign-random-projection bits → 2^5 buckets
+
+
+def _plane_dot(v, p: int):
+    """Dot product of v with deterministic pseudo-random hyperplane p:
+    component i is ((p*31 + i*17) mod 7) - 3 ∈ [-3, 3] — integer
+    arithmetic both engines reproduce exactly."""
+    return F.aggregate(
+        F.transform(v, lambda x, i: x * (((F.lit(p) * 31 + i * 17) % 7) - 3)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lsh_bucket(v):
+    bits = [
+        F.when(F.round(_plane_dot(v, p), 6) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        for p in range(LSH_NBITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: sign-random-projection (SRP) sketch → bucket →
+    exact cosine only within the query's bucket.
+
+    Scale notes (100 TB): the sketch is map-only (integer hyperplanes,
+    no model state); candidate generation shuffles on the bucket key
+    like dedup_minhash_lsh — never the O(n²) cross join. More bits →
+    smaller buckets → higher precision/lower recall; multi-probe or
+    band-OR extends recall with the same plan shape.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("bucket", _lsh_bucket(F.col("v")))
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        F.broadcast(queries)
+        .join(e, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") >= N_QUERIES))
+        .select(
+            "q_id",
+            F.col("vec_id").alias("n_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("q_id", "rk")
+    )
+
+
+def _lsh_bucket_sql(rel: str) -> str:
+    terms = []
+    for p in range(LSH_NBITS):
+        dot = (
+            f"list_aggregate(list_transform(generate_series(1, length({rel}.v)), "
+            f"i -> {rel}.v[i] * ((({p}*31 + (i-1)*17) % 7) - 3)), 'sum')"
+        )
+        terms.append(f"(CASE WHEN round({dot}, 6) >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+SIM_LSH_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id, v, {_lsh_bucket_sql('vecs')} AS bucket FROM vecs
+), queries AS (
+  SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
+  FROM queries q JOIN b e ON e.bucket = q.qb AND e.vec_id >= {N_QUERIES}
+)
+SELECT q_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
 def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similarity distribution over sampled pairs — corpus
     diagnostics (embedding collapse / duplication detection)."""
@@ -226,11 +318,13 @@ GROUP BY 1 ORDER BY 1
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_lsh_topk": sim_lsh_topk,
     "sim_pair_histogram": sim_pair_histogram,
 }
 
 ORACLE: dict[str, str] = {
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
     "sim_ivf_topk": SIM_IVF_TOPK_SQL,
+    "sim_lsh_topk": SIM_LSH_TOPK_SQL,
     "sim_pair_histogram": SIM_PAIR_HISTOGRAM_SQL,
 }

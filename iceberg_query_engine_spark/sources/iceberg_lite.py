@@ -242,6 +242,18 @@ def _append_snapshot_files(
     kind onto the current table state; returns the new snapshot id.
     With replace=True the new manifest REPLACES all prior manifests
     (compaction / rewrite_data_files) instead of accumulating."""
+    return _append_snapshot_manifests(path, [(entries, content)], operation, replace)
+
+
+def _append_snapshot_manifests(
+    path: str,
+    manifest_groups: list[tuple[list[dict], str]],
+    operation: str,
+    replace: bool = False,
+) -> int:
+    """Commit ONE snapshot carrying several manifests (e.g. a MERGE's
+    equality-delete manifest + data manifest, which must share a
+    sequence number so the delete exempts its own snapshot's rows)."""
     table = IcebergLiteTable(path)
     prev_id = (
         table.current_snapshot_id() if os.path.exists(table._meta_path()) else None
@@ -252,19 +264,22 @@ def _append_snapshot_files(
         with open(os.path.join(path, snap["manifest_list"])) as f:
             prev_manifests = json.load(f)
     snapshot_id = (prev_id or 0) + 1
-    manifest_rel = f"metadata/manifest-{snapshot_id}.json"
-    with open(os.path.join(path, manifest_rel), "w") as f:
-        json.dump({"entries": entries}, f)
-    manifests = prev_manifests + [
-        {
-            "manifest_path": manifest_rel,
-            "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
-            "partition_spec_id": 0,
-            "snapshot_id": snapshot_id,
-            "sequence_number": snapshot_id,
-            "content": content,
-        }
-    ]
+    manifests = list(prev_manifests)
+    for gi, (entries, content) in enumerate(manifest_groups):
+        suffix = f"-{gi}" if len(manifest_groups) > 1 else ""
+        manifest_rel = f"metadata/manifest-{snapshot_id}{suffix}.json"
+        with open(os.path.join(path, manifest_rel), "w") as f:
+            json.dump({"entries": entries}, f)
+        manifests.append(
+            {
+                "manifest_path": manifest_rel,
+                "manifest_length": os.path.getsize(os.path.join(path, manifest_rel)),
+                "partition_spec_id": 0,
+                "snapshot_id": snapshot_id,
+                "sequence_number": snapshot_id,
+                "content": content,
+            }
+        )
     mlist_rel = f"metadata/manifest-list-{snapshot_id}.json"
     with open(os.path.join(path, mlist_rel), "w") as f:
         json.dump(manifests, f)
@@ -349,6 +364,45 @@ def write_equality_deletes(
         }
     }
     return _append_snapshot_files(path, [entry], "equality_deletes", "delete")
+
+
+def upsert_snapshot(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    key_columns: list[str],
+    partition_by: str | None = None,
+    stats_columns: list[str] | None = None,
+) -> int:
+    """MERGE INTO-style upsert: rows in `df` replace existing rows with
+    the same `key_columns` tuple and insert otherwise — committed as ONE
+    snapshot holding an equality-delete manifest (the incoming keys) and
+    a data manifest (the incoming rows). Both share the snapshot's
+    sequence number, so the strictly-smaller-sequence rule deletes only
+    pre-existing rows, never the batch's own — exactly Iceberg v2 MERGE
+    merge-on-read semantics. Data files are never rewritten; `compact()`
+    is the periodic cleanup."""
+    table = IcebergLiteTable(path)
+    snapshot_id = (table.current_snapshot_id() or 0) + 1
+    pdf = df.select(*key_columns).distinct().toPandas()
+    rel = f"data/delete-eq-{snapshot_id}.parquet"
+    pdf.to_parquet(os.path.join(path, rel), index=False)
+    del_entry = {
+        "delete_file": {
+            "file_path": rel,
+            "file_format": "PARQUET",
+            "content": "equality_deletes",
+            "equality_columns": key_columns,
+            "record_count": len(pdf),
+            "file_size_in_bytes": os.path.getsize(os.path.join(path, rel)),
+        }
+    }
+    data_entries = _write_data_entries(df, path, snapshot_id, partition_by, stats_columns)
+    return _append_snapshot_manifests(
+        path,
+        [([del_entry], "equality_deletes"), (data_entries, "data")],
+        "overwrite",
+    )
 
 
 def write_snapshot(

@@ -136,3 +136,47 @@ def test_compaction_replaces_manifests(spark, tmp_path):
     # pre-compaction history still readable
     assert t.read(spark, snapshot_id=s1).count() == 15
     assert t.snapshots()[-1]["summary"]["operation"] == "replace"
+
+
+def test_upsert_snapshot(spark, tmp_path):
+    """MERGE INTO-style upsert: one snapshot = equality-delete manifest
+    + data manifest with a shared sequence number, so the batch replaces
+    matching keys, inserts new ones, and never deletes its own rows."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import upsert_snapshot
+
+    path = str(tmp_path / "ice_upsert")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    s1 = write_snapshot(nation.filter("n_nationkey < 10"), path)
+    t = IcebergLiteTable(path)
+
+    # update keys 2,5 (regionkey bumped by 100), insert keys 20,21
+    batch = nation.filter("n_nationkey IN (2, 5, 20, 21)").withColumn(
+        "n_regionkey", F.col("n_regionkey") + 100
+    )
+    sid = upsert_snapshot(spark, path, batch, ["n_nationkey"])
+
+    rows = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in t.read(spark).select("n_nationkey", "n_regionkey").collect()
+    }
+    assert sorted(rows) == [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 20, 21]
+    base = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in nation.select("n_nationkey", "n_regionkey").collect()
+    }
+    for k in [2, 5, 20, 21]:  # upserted rows carry the new value
+        assert rows[k] == base[k] + 100
+    for k in [0, 1, 3, 4, 6, 7, 8, 9]:  # untouched rows survive
+        assert rows[k] == base[k]
+
+    # one snapshot, two manifests (deletes + data), shared sequence
+    triples = t._files_with_meta(sid)
+    new = [(seq, c) for _, seq, c in triples if seq == sid]
+    assert sorted(c for _, c in new) == ["data", "equality_deletes"]
+
+    # time travel to the pre-upsert snapshot sees the original rows
+    pre = {
+        r["n_nationkey"]: r["n_regionkey"]
+        for r in t.read(spark, snapshot_id=s1).collect()
+    }
+    assert sorted(pre) == list(range(10)) and pre[2] == base[2]
