@@ -64,10 +64,13 @@ def main() -> None:
         "dedup_minhash_lsh": dedup_suite.dedup_minhash_lsh,
         "dedup_simhash": dedup_suite.dedup_simhash,
         "dedup_embedding_cosine": dedup_suite.dedup_embedding_cosine,
+        "dedup_clusters": dedup_suite.dedup_clusters,
         "sim_brute_topk": similarity_suite.sim_brute_topk,
         "sim_ivf_topk": similarity_suite.sim_ivf_topk,
+        "sim_lsh_topk": similarity_suite.sim_lsh_topk,
         "text_token_freq": text_suite.text_token_freq,
         "text_fingerprint": text_suite.text_fingerprint,
+        "text_tfidf": text_suite.text_tfidf,
         "ev_sessionize": events_suite.ev_sessionize,
         "ev_tumbling": events_suite.ev_tumbling,
     }

@@ -415,6 +415,172 @@ ORDER BY doc_id, rk
 """
 
 
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # start-to-start distance (8-token overlap)
+CHUNK_DOC_LIMIT = 60
+
+
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    standard context-window chunking step for training/RAG pipelines.
+
+    Scale notes (100 TB): pure map-side explode (no shuffle, no UDF) —
+    sequence() enumerates chunk starts, slice() cuts the window, all in
+    whole-stage codegen; output scales with corpus × overlap factor.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    d = documents.filter(F.col("doc_id") < CHUNK_DOC_LIMIT).select(
+        "doc_id", toks.alias("toks")
+    )
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", "toks", F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.array_join(F.col("chunk"), " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+TEXT_CHUNK_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < {CHUNK_DOC_LIMIT}
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(0, length(toks) - 1, {CHUNK_STRIDE})) AS start
+  FROM d
+)
+SELECT doc_id,
+       CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+       CAST(length(toks[start + 1 : start + {CHUNK_TOKENS}]) AS BIGINT) AS n_tokens,
+       array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}], ' ') AS chunk_text
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
+# --------------------------------------------------------------------------
+REDACT_TERMS = ("customer", "order", "query")
+REDACT_RE = r"\b(customer|order|query)\b"  # same RE2/Java subset both engines
+
+
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitive-term redaction: regex-mask a term list, count masked
+    hits per doc — the plumbing shape of a PII scrubbing pass (swap the
+    term alternation for email/phone/SSN patterns in production).
+
+    Scale notes (100 TB): map-only regexp_replace in codegen; no
+    shuffle, no UDF. The hit count comes from the token array, not a
+    second regex scan."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    n_masked = F.size(F.filter(toks, lambda t: t.isin(*REDACT_TERMS)))
+    return (
+        documents.filter(F.col("doc_id") < 80)
+        .select(
+            "doc_id",
+            n_masked.cast("bigint").alias("n_masked"),
+            F.substring(
+                F.regexp_replace(F.col("text"), REDACT_RE, "<masked>"), 1, 120
+            ).alias("masked_prefix"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_REDACT_SQL = f"""
+SELECT doc_id,
+  CAST(length(list_filter(string_split(text, ' '),
+       t -> t IN ('customer', 'order', 'query'))) AS BIGINT) AS n_masked,
+  substr(regexp_replace(text, '{REDACT_RE}', '<masked>', 'g'), 1, 120)
+    AS masked_prefix
+FROM documents WHERE doc_id < 80 ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+FUNNEL_MIN_TOKENS = 30
+FUNNEL_MAX_STOP_RATIO = 0.08
+
+
+def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel: per-source retention through the standard
+    pretraining filter chain — length gate → stopword-ratio quality
+    gate → language gate. One scan, conditional aggregation.
+
+    Scale notes (100 TB): per-doc stage flags are map-side; the only
+    shuffle is the per-source rollup (20 groups). This is the report a
+    data-curation run emits to justify what it dropped."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin("the", "a", "of", "and")))
+    per_doc = documents.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_tok"),
+        (stop_hits / F.size(toks)).alias("stop_ratio"),
+    ).select(
+        "source",
+        (F.col("n_tok") >= FUNNEL_MIN_TOKENS).cast("int").alias("p1"),
+        (
+            (F.col("n_tok") >= FUNNEL_MIN_TOKENS)
+            & (F.col("stop_ratio") <= FUNNEL_MAX_STOP_RATIO)
+        ).cast("int").alias("p2"),
+        (
+            (F.col("n_tok") >= FUNNEL_MIN_TOKENS)
+            & (F.col("stop_ratio") <= FUNNEL_MAX_STOP_RATIO)
+            & (F.col("lang") == "en")
+        ).cast("int").alias("p3"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p1").cast("bigint").alias("n_len_ok"),
+            F.sum("p2").cast("bigint").alias("n_quality_ok"),
+            F.sum("p3").cast("bigint").alias("n_final"),
+            F.round(F.sum("p3") / F.count(F.lit(1)), 6).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_CURATION_FUNNEL_SQL = f"""
+WITH d AS (
+  SELECT source, lang, string_split(text, ' ') AS toks FROM documents
+), s AS (
+  SELECT source, lang, length(toks) AS n_tok,
+         CAST(length(list_filter(toks, t -> t IN ('the','a','of','and')))
+              AS DOUBLE) / length(toks) AS stop_ratio
+  FROM d
+), flags AS (
+  SELECT source,
+    CASE WHEN n_tok >= {FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END AS p1,
+    CASE WHEN n_tok >= {FUNNEL_MIN_TOKENS}
+          AND stop_ratio <= {FUNNEL_MAX_STOP_RATIO} THEN 1 ELSE 0 END AS p2,
+    CASE WHEN n_tok >= {FUNNEL_MIN_TOKENS}
+          AND stop_ratio <= {FUNNEL_MAX_STOP_RATIO}
+          AND lang = 'en' THEN 1 ELSE 0 END AS p3
+  FROM s
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(p1) AS BIGINT) AS n_len_ok,
+       CAST(SUM(p2) AS BIGINT) AS n_quality_ok,
+       CAST(SUM(p3) AS BIGINT) AS n_final,
+       round(CAST(SUM(p3) AS DOUBLE) / COUNT(*), 6) AS retention
+FROM flags GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -425,6 +591,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_bpe_tokens": text_bpe_tokens,
     "text_rolling_hash": text_rolling_hash,
     "text_tfidf": text_tfidf,
+    "text_chunk": text_chunk,
+    "text_redact": text_redact,
+    "text_curation_funnel": text_curation_funnel,
 }
 
 ORACLE: dict[str, str] = {
@@ -437,4 +606,7 @@ ORACLE: dict[str, str] = {
     "text_bpe_tokens": TEXT_BPE_TOKENS_SQL,
     "text_rolling_hash": TEXT_ROLLING_HASH_SQL,
     "text_tfidf": TEXT_TFIDF_SQL,
+    "text_chunk": TEXT_CHUNK_SQL,
+    "text_redact": TEXT_REDACT_SQL,
+    "text_curation_funnel": TEXT_CURATION_FUNNEL_SQL,
 }
