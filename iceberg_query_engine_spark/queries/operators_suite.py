@@ -185,6 +185,36 @@ ORDER BY o_orderstatus
 """
 
 
+def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-part measure columns → long (measure,
+    value) rows — the inverse of op_pivot, used to normalize
+    feature-matrix tables. Map-only (each input row fans out to K
+    rows in place; no shuffle until the final sort)."""
+    (part,) = tables(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_partkey") <= 50)
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("double").alias("p_size"),
+            F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        )
+        .unpivot("p_partkey", ["p_size", "p_retailprice"], "measure", "value")
+        .orderBy("p_partkey", "measure")
+    )
+
+
+OP_UNPIVOT_SQL = """
+SELECT p_partkey, measure, value FROM (
+  SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+  FROM part WHERE p_partkey <= 50
+  UNION ALL
+  SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+  FROM part WHERE p_partkey <= 50
+)
+ORDER BY p_partkey, measure
+"""
+
+
 def op_group_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group feature normalization (z-score within event_type) via
     applyInPandas grouped-map — the standard training-data
@@ -272,6 +302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_hash_sample": op_hash_sample,
     "op_stratified_sample": op_stratified_sample,
     "op_pivot": op_pivot,
+    "op_unpivot": op_unpivot,
     "op_group_zscore": op_group_zscore,
     "op_arrow_batch": op_arrow_batch,
 }
@@ -282,6 +313,7 @@ ORACLE: dict[str, str] = {
     "op_hash_sample": OP_HASH_SAMPLE_SQL,
     "op_stratified_sample": OP_STRATIFIED_SAMPLE_SQL,
     "op_pivot": OP_PIVOT_SQL,
+    "op_unpivot": OP_UNPIVOT_SQL,
     "op_group_zscore": OP_GROUP_ZSCORE_SQL,
     "op_arrow_batch": OP_ARROW_BATCH_SQL,
 }
