@@ -281,6 +281,71 @@ ORDER BY q_id, rk
 
 
 # --------------------------------------------------------------------------
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embeddings + reconstruction-error
+    report — the storage-compression pass an embedding corpus gets
+    before ANN serving (4× smaller, dot products in integer ops).
+
+    Per vector: scale = max|v| / 127, q_i = round(v_i / scale),
+    rmse = sqrt(mean((v_i - q_i*scale)^2)). Map-only, no shuffle, all
+    higher-order array functions in codegen."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.filter(F.col("vec_id") < 100).select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    amax = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    e = e.withColumn("scale", amax / F.lit(127.0))
+    q = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")))
+    err = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                q,
+                lambda x, qi: (x - qi * F.col("scale")) * (x - qi * F.col("scale")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.size(F.col("v"))
+    )
+    n_sat = F.size(F.filter(q, lambda qi: F.abs(qi) >= 127))
+    # round in a SECOND select: aliasing the rounded value as "scale" in
+    # the same list would capture err's scale reference via Spark's
+    # lateral column alias resolution (rounded scale → wrong rmse)
+    raw = e.select(
+        "vec_id", "scale", err.alias("rmse_raw"), n_sat.cast("bigint").alias("n_saturated")
+    )
+    return raw.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.round(F.col("rmse_raw"), 6).alias("rmse"),
+        "n_saturated",
+    ).orderBy("vec_id")
+
+
+SIM_QUANTIZE_INT8_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id < 100
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, scale, list_transform(v, x -> round(x / scale)) AS qv
+  FROM s
+)
+SELECT vec_id, round(scale, 6) AS scale,
+  round(sqrt(list_aggregate(
+      list_transform(generate_series(1, length(v)),
+                     i -> (v[i] - qv[i] * scale) * (v[i] - qv[i] * scale)),
+      'sum') / length(v)), 6) AS rmse,
+  CAST(length(list_filter(qv, x -> abs(x) >= 127)) AS BIGINT) AS n_saturated
+FROM q ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
 def sim_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similarity distribution over sampled pairs — corpus
     diagnostics (embedding collapse / duplication detection)."""
@@ -319,6 +384,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_quantize_int8": sim_quantize_int8,
     "sim_pair_histogram": sim_pair_histogram,
 }
 
@@ -326,5 +392,6 @@ ORACLE: dict[str, str] = {
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
     "sim_ivf_topk": SIM_IVF_TOPK_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
+    "sim_quantize_int8": SIM_QUANTIZE_INT8_SQL,
     "sim_pair_histogram": SIM_PAIR_HISTOGRAM_SQL,
 }
