@@ -20,6 +20,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_join": jobs.stream_join,
     "stream_sessionize": jobs.stream_sessionize,
     "stream_dedup": jobs.stream_dedup,
+    "stream_upsert_iceberg": jobs.stream_upsert_iceberg,
     "stream_stateful_counts": stateful.stream_stateful_counts,
 }
 
@@ -29,5 +30,6 @@ ORACLE: dict[str, str] = {
     "stream_join": jobs.STREAM_JOIN_SQL,
     "stream_sessionize": jobs.STREAM_SESSIONIZE_SQL,
     "stream_dedup": jobs.STREAM_DEDUP_SQL,
+    "stream_upsert_iceberg": jobs.STREAM_UPSERT_ICEBERG_SQL,
     "stream_stateful_counts": stateful.STREAM_STATEFUL_SQL,
 }

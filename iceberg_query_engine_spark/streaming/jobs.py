@@ -311,3 +311,82 @@ def stream_foreach_batch_to_parquet(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+def upsert_user_totals_sink(path: str):
+    """foreachBatch callback factory: fold a batch's per-user event
+    totals into the iceberg-lite table at `path`. Reads the CURRENT
+    totals for touched keys, adds the increments, upserts only those
+    keys — correct under any micro-batch split of the input."""
+    from ..sources.iceberg_lite import IcebergLiteTable, upsert_snapshot, write_snapshot
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        inc = batch_df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+        )
+        if os.path.exists(os.path.join(path, "metadata", "v0.metadata.json")):
+            t = IcebergLiteTable(path)
+            cur = t.read(batch_df.sparkSession).join(
+                inc.select("user_id"), "user_id", "semi"
+            )
+            combined = (
+                cur.unionByName(inc)
+                .groupBy("user_id")
+                .agg(
+                    F.sum("n_events").alias("n_events"),
+                    F.sum("total_value").alias("total_value"),
+                )
+            )
+            upsert_snapshot(batch_df.sparkSession, path, combined, ["user_id"])
+        else:
+            write_snapshot(inc, path)
+
+    return sink
+
+
+def stream_upsert_iceberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE: per micro-batch, fold per-user event totals into
+    an iceberg-lite table with upsert_snapshot (equality-delete + data
+    manifests in one commit) — the standard CDC/metrics sink pattern
+    (Kafka → foreachBatch → MERGE INTO).
+
+    Each batch reads the CURRENT totals for the touched keys, adds the
+    batch increments, and upserts only those keys — correct under any
+    micro-batch split of the input, so availableNow replay is
+    deterministic and oracle-checkable. Scale notes: the per-batch
+    upsert touches only changed keys (delete file + data file), never
+    rewrites the table; compact() bounds read amplification."""
+    from ..sources.iceberg_lite import IcebergLiteTable
+
+    path = os.path.join(
+        tempfile.gettempdir(), "sg_stream_ice", uuid.uuid4().hex, "user_totals"
+    )
+    events = read_event_stream(spark, sf_dir)
+    sink = upsert_user_totals_sink(path)
+    ckpt = os.path.join(tempfile.gettempdir(), "sg_ckpt", f"ui-{uuid.uuid4().hex}")
+    q = (
+        events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    t = IcebergLiteTable(path)
+    return (
+        t.read(spark)
+        .filter(F.col("user_id") < 50)
+        .select(
+            "user_id",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.round(F.col("total_value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+STREAM_UPSERT_ICEBERG_SQL = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       round(SUM(value), 6) AS total_value
+FROM events WHERE user_id < 50
+GROUP BY user_id ORDER BY user_id
+"""

@@ -73,3 +73,30 @@ def test_write_parquet_partitioned(engine, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(n_regionkey" in plan or "n_regionkey" in plan
     assert pruned.count() == 5
+
+
+def test_streaming_upsert_sink_multi_batch(spark, tmp_path):
+    """The foreachBatch upsert sink must fold increments correctly
+    across micro-batches: keys seen in both batches accumulate, keys
+    seen once pass through (availableNow on one file yields a single
+    batch, so the multi-batch path is driven directly here)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_query_engine_spark.sources.iceberg_lite import IcebergLiteTable
+    from iceberg_query_engine_spark.streaming.jobs import upsert_user_totals_sink
+
+    path = str(tmp_path / "user_totals")
+    sink = upsert_user_totals_sink(path)
+    b1 = spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], ["user_id", "value"]
+    )
+    b2 = spark.createDataFrame(
+        [(2, 2.0), (3, 7.0)], ["user_id", "value"]
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    rows = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in IcebergLiteTable(path).read(spark).collect()
+    }
+    assert rows == {1: (2, 15.0), 2: (2, 3.0), 3: (1, 7.0)}
