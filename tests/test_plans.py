@@ -129,3 +129,49 @@ def test_iceberg_deletes_broadcast_anti_joins(spark, sf):
     assert "LeftAnti" in plan
     assert pi.broadcast_count(df) >= 1
     assert not pi.has_cartesian(df)
+
+
+def test_text_chunk_map_only(spark, sf):
+    """Chunking is a map-side explode: one scan, pushdown on doc_id,
+    the only exchange is the final sort."""
+    from iceberg_query_engine_spark.queries import text_suite
+
+    df = text_suite.text_chunk(spark, sf)
+    assert pi.has_pushed_filter(df, "LessThan(doc_id")
+    assert pi.shuffle_count(df) <= 1
+    assert pi.count_op(df, "Scan parquet") == 1
+
+
+def test_text_tfidf_no_collect(spark, sf):
+    """tf/df/N all derive from scans + shuffles; N is a broadcast
+    cross-join of a 1-row aggregate, never a driver collect. Three
+    scans (tf-filtered, df, N) because the doc_id pushdown makes the
+    tf subtrees differ — persist(tf) is the one-pass cluster answer."""
+    from iceberg_query_engine_spark.queries import text_suite
+
+    df = text_suite.text_tfidf(spark, sf)
+    assert pi.broadcast_count(df) >= 1
+    assert not pi.has_cartesian(df) or pi.broadcast_count(df) >= 1
+    assert pi.count_op(df, "Scan parquet") <= 3
+
+
+def test_sim_lsh_topk_single_corpus_pass(spark, sf):
+    """LSH ANN: sketches are map-side; the corpus join is against a
+    broadcast of the (tiny) query-side buckets — no O(n^2) cross join."""
+    from iceberg_query_engine_spark.queries import similarity_suite
+
+    df = similarity_suite.sim_lsh_topk(spark, sf)
+    assert pi.broadcast_count(df) >= 1
+    assert not pi.has_cartesian(df)
+
+
+def test_sim_quantize_map_only(spark, sf):
+    """int8 quantization is map-only: one scan, sort is the only
+    exchange, no Python UDF in the plan."""
+    from iceberg_query_engine_spark.queries import similarity_suite
+
+    df = similarity_suite.sim_quantize_int8(spark, sf)
+    assert pi.count_op(df, "Scan parquet") == 1
+    assert pi.shuffle_count(df) <= 1
+    assert "ArrowEvalPython" not in pi.formatted_plan(df)
+    assert "BatchEvalPython" not in pi.formatted_plan(df)
