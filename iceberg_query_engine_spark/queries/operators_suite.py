@@ -185,6 +185,55 @@ ORDER BY o_orderstatus
 """
 
 
+def op_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free co-located join over bucketed managed tables: both
+    sides written bucketBy(o_orderkey), so the sort-merge join scans
+    matching bucket pairs with NO Exchange (tests/test_bucketed.py pins
+    the plan). This is the 100 TB strategy for repeated joins on the
+    same key — pay the shuffle once at write time, never at read."""
+    from ..sources.bucketed import write_bucketed
+
+    key = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    lt, rt = f"bj_orders_{key}", f"bj_lineitem_{key}"
+    if not (spark.catalog.tableExists(lt) and spark.catalog.tableExists(rt)):
+        orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+        write_bucketed(
+            orders.filter(F.col("o_orderkey") < 2000).select(
+                "o_orderkey", "o_orderstatus"
+            ),
+            lt,
+            ["o_orderkey"],
+            8,
+            sort_cols=["o_orderkey"],
+        )
+        write_bucketed(
+            lineitem.filter(F.col("l_orderkey") < 2000)
+            .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"),
+            rt,
+            ["o_orderkey"],
+            8,
+            sort_cols=["o_orderkey"],
+        )
+    j = spark.table(lt).hint("merge").join(spark.table(rt), ["o_orderkey"])
+    return (
+        j.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+OP_BUCKETED_JOIN_SQL = """
+SELECT o.o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(l.l_quantity), 2) AS sum_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 2000 AND l.l_orderkey < 2000
+GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus
+"""
+
+
 def op_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot (melt): wide per-part measure columns → long (measure,
     value) rows — the inverse of op_pivot, used to normalize
@@ -303,6 +352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_stratified_sample": op_stratified_sample,
     "op_pivot": op_pivot,
     "op_unpivot": op_unpivot,
+    "op_bucketed_join": op_bucketed_join,
     "op_group_zscore": op_group_zscore,
     "op_arrow_batch": op_arrow_batch,
 }
@@ -314,6 +364,7 @@ ORACLE: dict[str, str] = {
     "op_stratified_sample": OP_STRATIFIED_SAMPLE_SQL,
     "op_pivot": OP_PIVOT_SQL,
     "op_unpivot": OP_UNPIVOT_SQL,
+    "op_bucketed_join": OP_BUCKETED_JOIN_SQL,
     "op_group_zscore": OP_GROUP_ZSCORE_SQL,
     "op_arrow_batch": OP_ARROW_BATCH_SQL,
 }
