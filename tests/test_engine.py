@@ -206,3 +206,31 @@ def test_multimodal_empty_payload_safe(spark):
     assert meta[1].width is None and meta[1].payload_len == 0
     res = {r.doc_id: r for r in resize_payload(df).collect()}
     assert res[1].out_len == 0 and res[2].out_len == 32
+
+
+def test_dialect_composite_rewrite_fuzz():
+    """Property: for any nesting of calls/strings in the argument, the
+    composite rewrite wraps the exact argument text and leaves string
+    literals untouched."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    atoms = st.sampled_from(["x", "y + 1", "abs(z)", "round(v, 2)", "'lit)('"])
+
+    @st.composite
+    def args(draw, depth=0):
+        if depth >= 3 or draw(st.booleans()):
+            return draw(atoms)
+        inner = draw(args(depth + 1))
+        fn = draw(st.sampled_from(["coalesce", "abs", "least"]))
+        return f"{fn}({inner})"
+
+    @given(arg=args())
+    @settings(max_examples=60, deadline=None, derandomize=True)
+    def check(arg):
+        out = translate(f"SELECT GEOMETRIC_MEAN({arg}), CHECKSUM({arg}) FROM t")
+        assert out == (
+            f"SELECT exp(avg(ln({arg}))), bit_xor(CAST({arg} AS BIGINT)) FROM t"
+        )
+
+    check()
