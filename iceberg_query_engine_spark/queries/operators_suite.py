@@ -185,6 +185,76 @@ ORDER BY o_orderstatus
 """
 
 
+def op_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (operators/skew.py): groupBy
+    (key, salt) partial → groupBy key final, spreading a hot key over
+    n_salts reducers. Semantics-preserving, so the oracle is the plain
+    GROUP BY — what AQE can't fix (single giant key) this does
+    explicitly."""
+    from ..operators.skew import salted_agg
+
+    (events,) = tables(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n": ("count", "event_id"),
+            "sv": ("sum", "value"),
+            "mx": ("max", "value"),
+        },
+        salt_cols=["user_id"],
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("sv"), 6).alias("sv"),
+        F.round(F.col("mx"), 6).alias("mx"),
+    ).orderBy("event_type")
+
+
+OP_SKEW_AGG_SQL = """
+SELECT event_type, CAST(COUNT(event_id) AS BIGINT) AS n,
+       round(SUM(value), 6) AS sv, round(MAX(value), 6) AS mx
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def op_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicated salted join (operators/skew.py): the small dim is
+    exploded across n_salts, the big side picks one deterministic salt
+    per row — a hot join key spreads over n_salts tasks while every row
+    still matches exactly once (oracle: the plain join)."""
+    from ..operators.skew import salted_join
+
+    (events,) = tables(spark, sf_dir, "events")
+    dims = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.1), ("purchase", 10.0)],
+        ["event_type", "weight"],
+    )
+    j = salted_join(events, dims, "event_type", n_salts=8)
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value") * F.col("weight")), 6).alias("weighted"),
+        )
+        .orderBy("event_type")
+    )
+
+
+OP_SKEW_JOIN_SQL = """
+WITH dims AS (
+  SELECT 'click' AS event_type, 1.0 AS weight
+  UNION ALL SELECT 'view', 0.1 UNION ALL SELECT 'purchase', 10.0
+)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(e.value * d.weight), 6) AS weighted
+FROM events e JOIN dims d ON d.event_type = e.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
 def op_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free co-located join over bucketed managed tables: both
     sides written bucketBy(o_orderkey), so the sort-merge join scans
@@ -353,6 +423,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_pivot": op_pivot,
     "op_unpivot": op_unpivot,
     "op_bucketed_join": op_bucketed_join,
+    "op_skew_agg": op_skew_agg,
+    "op_skew_join": op_skew_join,
     "op_group_zscore": op_group_zscore,
     "op_arrow_batch": op_arrow_batch,
 }
@@ -365,6 +437,8 @@ ORACLE: dict[str, str] = {
     "op_pivot": OP_PIVOT_SQL,
     "op_unpivot": OP_UNPIVOT_SQL,
     "op_bucketed_join": OP_BUCKETED_JOIN_SQL,
+    "op_skew_agg": OP_SKEW_AGG_SQL,
+    "op_skew_join": OP_SKEW_JOIN_SQL,
     "op_group_zscore": OP_GROUP_ZSCORE_SQL,
     "op_arrow_batch": OP_ARROW_BATCH_SQL,
 }
