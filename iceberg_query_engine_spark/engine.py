@@ -246,10 +246,24 @@ def main(argv: list[str] | None = None) -> int:
         "benchmark", help="time all 22 TPC-H queries (reference `benchmark`)"
     )
     b_p.add_argument("--repeat", type=int, default=1)
+    g_p = sub.add_parser(
+        "generate-parquet",
+        help="generate TPC-H-ish tables at --sf (reference `generate-parquet`; "
+        "distributed spark.range + hash exprs, no driver-side data)",
+    )
+    g_p.add_argument("--sf", type=float, required=True)
+    g_p.add_argument("--output", required=True)
+    l_p = sub.add_parser(
+        "load-parquet", help="load a parquet file/dir as a table, then run --query"
+    )
+    l_p.add_argument("--path", required=True)
+    l_p.add_argument("--name", required=True)
+    l_p.add_argument("--query", required=True)
     args = p.parse_args(argv)
 
     eng = Engine()
-    eng.register_sf_dir(args.sf_dir)
+    if args.cmd not in ("generate-parquet", "load-parquet"):
+        eng.register_sf_dir(args.sf_dir)
 
     if args.cmd == "sql":
         if args.plan:
@@ -288,6 +302,15 @@ def main(argv: list[str] | None = None) -> int:
             total += best
             print(f"{name:>4}: {best * 1000:8.1f} ms")
         print(f"total: {total:.2f} s")
+    elif args.cmd == "generate-parquet":
+        from .sources.generator import generate_tpch
+
+        counts = generate_tpch(eng.spark, args.sf, args.output)
+        for name, n in counts.items():
+            print(f"{name:>10}: {n:>10} rows")
+    elif args.cmd == "load-parquet":
+        eng.register_parquet(args.name, args.path)
+        print(_fmt_table(eng.sql(args.query)))
     elif args.cmd == "repl":
         while True:
             try:
