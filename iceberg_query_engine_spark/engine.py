@@ -246,6 +246,13 @@ def main(argv: list[str] | None = None) -> int:
         "benchmark", help="time all 22 TPC-H queries (reference `benchmark`)"
     )
     b_p.add_argument("--repeat", type=int, default=1)
+    bp_p = sub.add_parser(
+        "benchmark-parquet",
+        help="time all 22 TPC-H queries over a parquet dir (reference "
+        "`benchmark-parquet --path`)",
+    )
+    bp_p.add_argument("--path", required=True)
+    bp_p.add_argument("--iterations", type=int, default=1)
     g_p = sub.add_parser(
         "generate-parquet",
         help="generate TPC-H-ish tables at --sf (reference `generate-parquet`; "
@@ -262,6 +269,9 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     eng = Engine()
+    if args.cmd == "benchmark-parquet":
+        args.sf_dir = args.path
+        args.repeat = args.iterations
     if args.cmd not in ("generate-parquet", "load-parquet"):
         eng.register_sf_dir(args.sf_dir)
 
@@ -289,7 +299,7 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "tables":
         for t in eng.tables():
             print(t)
-    elif args.cmd == "benchmark":
+    elif args.cmd in ("benchmark", "benchmark-parquet"):
         from .queries import tpch
 
         total = 0.0
