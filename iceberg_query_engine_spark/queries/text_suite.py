@@ -581,6 +581,67 @@ FROM flags GROUP BY source ORDER BY source
 """
 
 
+# --------------------------------------------------------------------------
+PACK_CAP = 1024  # token budget per packed sequence
+
+
+def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous greedy sequence packing: stream documents in doc_id
+    order into fixed token budgets — the pretraining batch-prep step
+    that turns ragged docs into ~fixed-length training sequences. A doc
+    starts a new pack when the running total would cross the cap
+    (approximation: packs can exceed the cap by one doc's tail,
+    documented standard practice for contiguous packing).
+
+    Scale notes (100 TB): the running sum is one window over a
+    deterministic order; in production you'd partition by shard key
+    (here: source) so packing parallelizes per shard — exactly what
+    this does. One shuffle on source, no UDF."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    d = documents.select("source", "doc_id", F.size(toks).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / PACK_CAP)
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+    return (
+        packed.groupBy("source", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_tok") / F.lit(float(PACK_CAP)), 6).alias("fill_ratio"),
+        )
+        .orderBy("source", "pack_id")
+    )
+
+
+TEXT_PACK_SQL = f"""
+WITH d AS (
+  SELECT source, doc_id, length(string_split(text, ' ')) AS n_tok FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tok,
+    CAST(floor(COALESCE(SUM(n_tok) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / {PACK_CAP})
+      AS BIGINT) AS pack_id
+  FROM d
+)
+SELECT source, pack_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       round(SUM(n_tok) / {PACK_CAP}.0, 6) AS fill_ratio
+FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -594,6 +655,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_chunk": text_chunk,
     "text_redact": text_redact,
     "text_curation_funnel": text_curation_funnel,
+    "text_pack": text_pack,
 }
 
 ORACLE: dict[str, str] = {
@@ -609,4 +671,5 @@ ORACLE: dict[str, str] = {
     "text_chunk": TEXT_CHUNK_SQL,
     "text_redact": TEXT_REDACT_SQL,
     "text_curation_funnel": TEXT_CURATION_FUNNEL_SQL,
+    "text_pack": TEXT_PACK_SQL,
 }
