@@ -200,6 +200,91 @@ FROM cc ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+SHINGLE_N = 8  # tokens per decontamination shingle
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs that share ANY
+    8-token shingle with the held-out split (source 'src0' plays the
+    eval set) — the benchmark-leakage scrub every pretraining corpus
+    gets. Reports per-source contamination counts.
+
+    Scale notes (100 TB): shingling is a map-side explode; the overlap
+    test is one semi-join shuffled on the shingle string (hash the
+    shingle to 64-bit in production to shrink the exchange). No
+    pairwise comparison anywhere — cost is O(corpus shingles), not
+    O(docs²)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+    shingles = F.when(
+        n >= SHINGLE_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (SHINGLE_N - 1)),
+            lambda i: F.array_join(F.slice(toks, i, SHINGLE_N), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = documents.select("doc_id", "source", shingles.alias("shingles"))
+    eval_shingles = (
+        d.filter(F.col("source") == "src0")
+        .select(F.explode("shingles").alias("sh"))
+        .distinct()
+    )
+    train = d.filter(F.col("source") != "src0")
+    contaminated = (
+        train.select("doc_id", "source", F.explode("shingles").alias("sh"))
+        .join(eval_shingles, "sh", "semi")
+        .select("doc_id", "source")
+        .distinct()
+    )
+    totals = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
+    hits = contaminated.groupBy("source").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return (
+        totals.join(hits, "source", "left")
+        .select(
+            "source",
+            F.col("n_train").cast("bigint").alias("n_train"),
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_train"), 6
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_DECONTAMINATE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    CASE WHEN length(toks) >= {SHINGLE_N}
+      THEN list_transform(generate_series(1, length(toks) - {SHINGLE_N - 1}),
+                          i -> array_to_string(toks[i : i + {SHINGLE_N - 1}], ' '))
+      ELSE [] END AS shingles
+  FROM d
+), eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE source = 'src0'
+), train AS (
+  SELECT doc_id, source, shingles FROM sh WHERE source <> 'src0'
+), contaminated AS (
+  SELECT DISTINCT t.doc_id, t.source
+  FROM (SELECT doc_id, source, unnest(shingles) AS s FROM train) t
+  WHERE EXISTS (SELECT 1 FROM eval_sh e WHERE e.s = t.s)
+)
+SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_train,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated,
+       round(COALESCE(c.n, 0) / CAST(COUNT(*) AS DOUBLE), 6) AS contamination_rate
+FROM train t
+LEFT JOIN (SELECT source, COUNT(*) AS n FROM contaminated GROUP BY source) c
+  ON c.source = t.source
+GROUP BY t.source, c.n ORDER BY t.source
+"""
+
+
+# --------------------------------------------------------------------------
 def _minhash_sig(toks):
     """MinHash signature: min over md5(token ⊕ permutation-salt).
 
@@ -452,6 +537,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_decontaminate": dedup_decontaminate,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -461,6 +547,7 @@ ORACLE: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
