@@ -65,12 +65,14 @@ def main() -> None:
         "dedup_simhash": dedup_suite.dedup_simhash,
         "dedup_embedding_cosine": dedup_suite.dedup_embedding_cosine,
         "dedup_clusters": dedup_suite.dedup_clusters,
+        "dedup_decontaminate": dedup_suite.dedup_decontaminate,
         "sim_brute_topk": similarity_suite.sim_brute_topk,
         "sim_ivf_topk": similarity_suite.sim_ivf_topk,
         "sim_lsh_topk": similarity_suite.sim_lsh_topk,
         "text_token_freq": text_suite.text_token_freq,
         "text_fingerprint": text_suite.text_fingerprint,
         "text_tfidf": text_suite.text_tfidf,
+        "text_pack": text_suite.text_pack,
         "ev_sessionize": events_suite.ev_sessionize,
         "ev_tumbling": events_suite.ev_tumbling,
     }
