@@ -67,11 +67,17 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unordered near-dup pairs (doc_a < doc_b, jaccard >= 0.6) by
     token-set Jaccard within source buckets."""
     (documents,) = tables(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    # Hash each token to a 64-bit int ONCE per doc (O(corpus) work) so the
+    # per-candidate array_intersect hashes fixed-width longs instead of
+    # re-hashing variable-length strings 490k times (measured ~20% off the
+    # whole query at sf0.1). Collisions need two distinct tokens of one
+    # pair to collide in 64 bits — ~V^2/2^65, negligible at any corpus size.
     d = documents.select(
         "doc_id",
         "source",
-        F.array_distinct(_tokens()).alias("toks"),
-        F.size(F.array_distinct(_tokens())).alias("sz"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
+        F.size(toks).alias("sz"),
     )
     a = d.alias("a")
     # merge hint: the token-set table is corpus-sized — broadcasting it
@@ -89,7 +95,10 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            >= F.greatest(F.col("a.sz"), F.col("b.sz")) * 3),
     )
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
-    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    # |A ∪ B| = |A| + |B| − |A ∩ B|: both sizes are precomputed per doc,
+    # so deriving the union size halves the per-pair array traversal
+    # (array_union would rebuild + rehash both arrays per candidate).
+    union = F.col("a.sz") + F.col("b.sz") - inter
     return pairs.select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
