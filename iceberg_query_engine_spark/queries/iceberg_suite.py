@@ -215,11 +215,41 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def iceberg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental append scan (changelog read): rows added AFTER
+    snapshot 1 of the delete table — the 500..999 append — while the
+    positional/equality delete snapshots in between are skipped
+    (append-only changelog, Iceberg IncrementalAppendScan semantics).
+    Planning is a metadata-only manifest diff: the scan reads only the
+    new files, so incremental cost tracks new data, not table size."""
+    t = IcebergLiteTable(_delete_table(spark, sf_dir))
+    return (
+        t.read_incremental(spark, from_snapshot_id=1)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_INCREMENTAL_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey BETWEEN 500 AND 999
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_time_travel": iceberg_time_travel,
     "iceberg_pruned_scan": iceberg_pruned_scan,
     "iceberg_deletes": iceberg_deletes,
     "iceberg_upsert": iceberg_upsert,
+    "iceberg_incremental": iceberg_incremental,
 }
 
 ORACLE: dict[str, str] = {
@@ -227,4 +257,5 @@ ORACLE: dict[str, str] = {
     "iceberg_pruned_scan": ICEBERG_PRUNED_SCAN_SQL,
     "iceberg_deletes": ICEBERG_DELETES_SQL,
     "iceberg_upsert": ICEBERG_UPSERT_SQL,
+    "iceberg_incremental": ICEBERG_INCREMENTAL_SQL,
 }

@@ -219,6 +219,66 @@ class IcebergLiteTable:
             out = older.unionByName(newer)
         return out.drop("__file", "__pos", "__seq")
 
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Incremental append scan: rows ADDED in snapshots
+        (from_snapshot_id, to_snapshot_id] — the changelog a downstream
+        consumer reads to process only new data since its last checkpoint
+        (Iceberg's IncrementalAppendScan / spark.read option
+        start-snapshot-id/end-snapshot-id).
+
+        Append and upsert snapshots contribute their data manifests
+        (an upsert's data manifest is exactly its added/updated rows);
+        delete snapshots are skipped (append-only changelog — deletes
+        are not replayed, matching Iceberg's incremental append scan);
+        a replace (compaction) snapshot in range raises, because file
+        rewrites make added-file diffs meaningless for a row changelog.
+
+        Metadata-only planning: the manifest diff selects whole files,
+        so the scan reads ONLY the new files — incremental cost is
+        proportional to new data, never to table size.
+        """
+        to_sid = (
+            to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id()
+        )
+        if to_sid is None or from_snapshot_id > to_sid:
+            raise ValueError(f"bad snapshot range ({from_snapshot_id}, {to_sid}]")
+        for snap in self.snapshots():
+            sid = snap["snapshot_id"]
+            if from_snapshot_id < sid <= to_sid:
+                op = snap.get("summary", {}).get("operation")
+                if op == "replace":
+                    raise ValueError(
+                        f"snapshot {sid} is a replace (compaction); incremental "
+                        "append scan cannot produce a row changelog across it"
+                    )
+        snap = self._snapshot(to_sid)
+        with open(os.path.join(self.path, snap["manifest_list"])) as f:
+            manifests = json.load(f)
+        paths: list[str] = []
+        for m in manifests:
+            if m.get("content", "data") != "data":
+                continue
+            if not (from_snapshot_id < m["snapshot_id"] <= to_sid):
+                continue
+            with open(os.path.join(self.path, m["manifest_path"])) as f:
+                manifest = json.load(f)
+            for entry in manifest.get("entries", []):
+                paths.append(os.path.join(self.path, entry["data_file"]["file_path"]))
+        self.metrics = ScanMetrics(files_total=len(paths), files_scanned=len(paths))
+        if not paths:
+            any_files = self.data_files(to_sid)
+            if not any_files:
+                raise ValueError(f"empty iceberg-lite table at {self.path}")
+            return spark.read.parquet(
+                os.path.join(self.path, any_files[0]["file_path"])
+            ).limit(0)
+        return spark.read.parquet(*paths)
+
     @staticmethod
     def _stats_match(df_entry: dict, predicates) -> bool:
         lowers = df_entry.get("lower_bounds") or {}

@@ -180,3 +180,46 @@ def test_upsert_snapshot(spark, tmp_path):
         for r in t.read(spark, snapshot_id=s1).collect()
     }
     assert sorted(pre) == list(range(10)) and pre[2] == base[2]
+
+
+def test_incremental_append_scan(spark, tmp_path):
+    """Changelog read: (from, to] manifest diff returns exactly the
+    rows added in range; delete snapshots are skipped; an upsert's
+    data manifest counts as added rows; replace in range raises."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        compact,
+        upsert_snapshot,
+        write_position_deletes,
+    )
+
+    path = str(tmp_path / "ice_incr")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    s1 = write_snapshot(nation.filter("n_nationkey < 5"), path)
+    s2 = write_snapshot(nation.filter("n_nationkey BETWEEN 5 AND 9"), path)
+    s3 = write_snapshot(nation.filter("n_nationkey BETWEEN 10 AND 14"), path)
+    t = IcebergLiteTable(path)
+
+    keys = lambda df: sorted(r[0] for r in df.select("n_nationkey").collect())
+    assert keys(t.read_incremental(spark, s1)) == list(range(5, 15))
+    assert keys(t.read_incremental(spark, s1, s2)) == list(range(5, 10))
+    assert keys(t.read_incremental(spark, s2, s3)) == list(range(10, 15))
+    # empty range → empty frame with the table schema
+    assert t.read_incremental(spark, s3).count() == 0
+    # planning is metadata-only and reads only the new files
+    t.read_incremental(spark, s1, s2)
+    assert t.metrics.files_scanned == t.metrics.files_total
+
+    # a delete snapshot in range is skipped (append-only changelog)
+    write_position_deletes(spark, path, "n_nationkey = 7")
+    assert keys(t.read_incremental(spark, s3)) == []
+    # an upsert snapshot contributes its data manifest (added rows)
+    batch = nation.filter("n_nationkey IN (3, 20)")
+    s5 = upsert_snapshot(spark, path, batch, ["n_nationkey"])
+    assert keys(t.read_incremental(spark, s3)) == [3, 20]
+
+    # replace (compaction) in range poisons the changelog → error
+    compact(spark, path)
+    with pytest.raises(ValueError, match="replace"):
+        t.read_incremental(spark, s5)
+    with pytest.raises(ValueError, match="bad snapshot range"):
+        t.read_incremental(spark, 99)
