@@ -415,6 +415,43 @@ FROM lineitem
 """
 
 
+def op_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC keep-latest: one surviving row per (user_id, event_type) —
+    the newest by (ts, event_id) — the standard compaction step for
+    change streams / mutable-entity snapshots before training joins.
+
+    Expressed as max_by over a composite ordering struct instead of
+    the window row_number idiom: aggregation gets map-side partial
+    combine (each task keeps one candidate per key before the
+    shuffle), while row_number must shuffle AND sort every full
+    partition — at 100 TB that's the difference between a combine
+    and a global per-key sort."""
+    (events,) = tables(spark, sf_dir, "events")
+    ordering = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.filter(F.col("user_id") < 100)
+        .groupBy("user_id", "event_type")
+        .agg(F.max_by(F.struct("event_id", "value"), ordering).alias("last"))
+        .select(
+            "user_id",
+            "event_type",
+            F.col("last.event_id").alias("event_id"),
+            F.round(F.col("last.value"), 4).alias("value"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+OP_DEDUP_LATEST_SQL = """
+SELECT user_id, event_type, event_id, round(value, 4) AS value
+FROM events
+WHERE user_id < 100
+QUALIFY row_number() OVER (
+  PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+ORDER BY user_id, event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_range_join": op_range_join,
@@ -427,6 +464,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_skew_join": op_skew_join,
     "op_group_zscore": op_group_zscore,
     "op_arrow_batch": op_arrow_batch,
+    "op_dedup_latest": op_dedup_latest,
 }
 
 ORACLE: dict[str, str] = {
@@ -441,4 +479,5 @@ ORACLE: dict[str, str] = {
     "op_skew_join": OP_SKEW_JOIN_SQL,
     "op_group_zscore": OP_GROUP_ZSCORE_SQL,
     "op_arrow_batch": OP_ARROW_BATCH_SQL,
+    "op_dedup_latest": OP_DEDUP_LATEST_SQL,
 }
