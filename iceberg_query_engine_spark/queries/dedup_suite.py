@@ -125,6 +125,62 @@ ORDER BY doc_a, doc_b
 
 
 # --------------------------------------------------------------------------
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc near-dup pairs by token-set CONTAINMENT: pairs where
+    the smaller doc's tokens are ≥80% covered by the larger doc
+    (C = |A∩B| / min(|A|,|B|)). Jaccard misses these — a short doc
+    embedded in a long one has a huge union, so J stays low while C≈1;
+    containment is the standard boilerplate/quote/excerpt catcher in
+    training-data curation.
+
+    Same single-shuffle SMJ shape as the Jaccard path, but WITHOUT the
+    size-ratio prefilter (asymmetric sizes are exactly the target);
+    tokens are pre-hashed to longs so the per-pair intersect never
+    re-hashes strings."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    d = documents.select(
+        "doc_id",
+        "source",
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
+        F.size(toks).alias("sz"),
+    )
+    a = d.alias("a")
+    b = d.hint("merge").alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                inter.cast("double") / F.least(F.col("a.sz"), F.col("b.sz")), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+DEDUP_CONTAINMENT_SQL = """
+SELECT doc_a, doc_b, containment FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / least(length(a.toks), length(b.toks)), 6) AS containment
+  FROM (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents) a
+  JOIN (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents) b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+)
+WHERE containment >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+# --------------------------------------------------------------------------
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the Jaccard pair
     graph, then canonical-doc election (min doc_id per component).
@@ -545,6 +601,7 @@ ORDER BY vec_a, vec_b
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_containment": dedup_containment,
     "dedup_clusters": dedup_clusters,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -555,6 +612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
