@@ -215,25 +215,39 @@ def _lsh_bucket(v):
 
 
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: sign-random-projection (SRP) sketch → bucket →
-    exact cosine only within the query's bucket.
+    """Multi-probe LSH ANN: sign-random-projection (SRP) sketch →
+    bucket → exact cosine within the query's bucket AND every bucket
+    one bit-flip away (the standard multi-probe extension — a near
+    neighbor that lands just across one hyperplane is still found).
 
     Scale notes (100 TB): the sketch is map-only (integer hyperplanes,
-    no model state); candidate generation shuffles on the bucket key
-    like dedup_minhash_lsh — never the O(n²) cross join. More bits →
-    smaller buckets → higher precision/lower recall; multi-probe or
-    band-OR extends recall with the same plan shape.
+    no model state). Multi-probe explodes the probe list on the TINY
+    query side only (1 + NBITS rows per query) and joins on bucket
+    equality — candidate generation stays a bucketed equality join,
+    never the O(n²) cross join; the corpus side is untouched. More
+    bits → smaller buckets → higher precision; more probes → higher
+    recall at the same plan shape (recall measured by
+    sim_recall_eval).
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
     ).withColumn("bucket", _lsh_bucket(F.col("v")))
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
+    probes = F.array(
+        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_NBITS)]
+    )
+    queries = (
+        e.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("bucket").alias("qb"),
+        )
+        .withColumn("probe", F.explode(probes))
     )
     scored = (
         F.broadcast(queries)
-        .join(e, (F.col("bucket") == F.col("qb")) & (F.col("vec_id") >= N_QUERIES))
+        .join(e, (F.col("bucket") == F.col("probe")) & (F.col("vec_id") >= N_QUERIES))
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
@@ -260,6 +274,11 @@ def _lsh_bucket_sql(rel: str) -> str:
     return " + ".join(terms)
 
 
+_PROBES_SQL = (
+    "unnest([qb] || list_transform(generate_series(0, "
+    f"{LSH_NBITS - 1}), p -> xor(qb, (1 << p))))"
+)
+
 SIM_LSH_TOPK_SQL = f"""
 WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -268,15 +287,87 @@ WITH vecs AS (
   SELECT vec_id, v, {_lsh_bucket_sql('vecs')} AS bucket FROM vecs
 ), queries AS (
   SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < {N_QUERIES}
+), probes AS (
+  SELECT q_id, qv, {_PROBES_SQL} AS probe FROM queries
 ), scored AS (
   SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
-  FROM queries q JOIN b e ON e.bucket = q.qb AND e.vec_id >= {N_QUERIES}
+  FROM probes q JOIN b e ON e.bucket = q.probe AND e.vec_id >= {N_QUERIES}
 )
 SELECT q_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
   SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
   FROM scored
 ) WHERE rk <= {TOP_K}
 ORDER BY q_id, rk
+"""
+
+
+# --------------------------------------------------------------------------
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN against the exact brute-force top-k —
+    the standard quality gate before an approximate index replaces
+    exact retrieval in a pipeline.
+
+    Both retrieval passes are deterministic (fixed tie-break on
+    (cosine DESC, n_id)), so recall is an exact, reproducible number.
+    Scale: the eval join runs on the two top-k result sets
+    (|queries|×k rows each) — its cost is independent of corpus size;
+    the corpus is touched only by the retrieval passes themselves."""
+    exact = sim_brute_topk(spark, sf_dir).select("q_id", "n_id")
+    ann = (
+        sim_lsh_topk(spark, sf_dir)
+        .select("q_id", "n_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(ann, ["q_id", "n_id"], "left")
+        .groupBy("q_id")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.lit(float(TOP_K)),
+                6,
+            ).alias("recall_at_k"),
+            F.count(F.lit(1)).alias("k"),
+        )
+        .orderBy("q_id")
+    )
+
+
+SIM_RECALL_EVAL_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id, v, {_lsh_bucket_sql('vecs')} AS bucket FROM vecs
+), queries AS (
+  SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < {N_QUERIES}
+), scored_exact AS (
+  SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
+  FROM queries q CROSS JOIN b e
+  WHERE e.vec_id >= {N_QUERIES}
+), exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+    FROM scored_exact
+  ) WHERE rk <= {TOP_K}
+), probes AS (
+  SELECT q_id, qv, {_PROBES_SQL} AS probe FROM queries
+), scored_ann AS (
+  SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
+  FROM probes q JOIN b e ON e.bucket = q.probe AND e.vec_id >= {N_QUERIES}
+), ann AS (
+  SELECT q_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+    FROM scored_ann
+  ) WHERE rk <= {TOP_K}
+)
+SELECT e.q_id,
+  round(CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        / {TOP_K}.0, 6) AS recall_at_k,
+  CAST(COUNT(*) AS BIGINT) AS k
+FROM exact e LEFT JOIN ann a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY e.q_id
+ORDER BY e.q_id
 """
 
 
@@ -384,6 +475,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_lsh_topk": sim_lsh_topk,
+    "sim_recall_eval": sim_recall_eval,
     "sim_quantize_int8": sim_quantize_int8,
     "sim_pair_histogram": sim_pair_histogram,
 }
@@ -392,6 +484,7 @@ ORACLE: dict[str, str] = {
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
     "sim_ivf_topk": SIM_IVF_TOPK_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
+    "sim_recall_eval": SIM_RECALL_EVAL_SQL,
     "sim_quantize_int8": SIM_QUANTIZE_INT8_SQL,
     "sim_pair_histogram": SIM_PAIR_HISTOGRAM_SQL,
 }
