@@ -244,12 +244,90 @@ ORDER BY o_orderstatus
 """
 
 
+_IVM_CACHE: dict[str, str] = {}
+
+
+def _ivm_agg_table(spark: SparkSession, sf_dir: str) -> str:
+    """Incremental view maintenance: an aggregate table (rows/total per
+    o_orderstatus) kept current by reading ONLY the new snapshot's rows.
+
+    Build: source table gets snapshot 1 (keys < 500) then snapshot 2
+    (500..999). The agg table is initialized from snapshot 1; the
+    maintenance step reads read_incremental(1→2) — never the full
+    source — aggregates the delta, merges it with the current agg rows
+    for the touched keys, and commits the result as one MERGE upsert.
+    At 100 TB this is the difference between re-aggregating the table
+    and touching just the day's partition: maintenance cost tracks new
+    data. Totals are stored UNROUNDED and rounded only at read, so
+    repeated maintenance never accumulates rounding drift."""
+    key = sf_dir
+    if key in _IVM_CACHE and os.path.exists(_IVM_CACHE[key]):
+        return _IVM_CACHE[key]
+    base = os.path.join(
+        tempfile.gettempdir(), "iceberg_lite", sf_dir.strip("/").replace("/", "_")
+    )
+    src_path, agg_path = os.path.join(base, "orders_ivm_src"), os.path.join(
+        base, "orders_ivm_agg"
+    )
+    if not os.path.exists(os.path.join(agg_path, "metadata", "v0.metadata.json")):
+        (orders,) = tables(spark, sf_dir, "orders")
+        s1 = write_snapshot(orders.filter(F.col("o_orderkey") < 500), src_path)
+        write_snapshot(orders.filter(F.col("o_orderkey").between(500, 999)), src_path)
+        src = IcebergLiteTable(src_path)
+
+        def agg(df: DataFrame) -> DataFrame:
+            return df.groupBy("o_orderstatus").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+            )
+
+        write_snapshot(agg(src.read(spark, snapshot_id=s1)), agg_path)
+        delta = agg(src.read_incremental(spark, from_snapshot_id=s1)).select(
+            "o_orderstatus", F.col("n").alias("dn"), F.col("total").alias("dtotal")
+        )
+        cur = IcebergLiteTable(agg_path).read(spark)
+        batch = (
+            delta.join(cur, "o_orderstatus", "left")
+            .select(
+                "o_orderstatus",
+                (F.coalesce(F.col("n"), F.lit(0)) + F.col("dn")).alias("n"),
+                (F.coalesce(F.col("total"), F.lit(0.0)) + F.col("dtotal")).alias(
+                    "total"
+                ),
+            )
+        )
+        upsert_snapshot(spark, agg_path, batch, ["o_orderstatus"])
+    _IVM_CACHE[key] = agg_path
+    return agg_path
+
+
+def iceberg_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read the incrementally-maintained aggregate table; must equal a
+    full recompute over keys < 1000 (the oracle)."""
+    t = IcebergLiteTable(_ivm_agg_table(spark, sf_dir))
+    return (
+        t.read(spark)
+        .select("o_orderstatus", "n", F.round(F.col("total"), 2).alias("total"))
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_INCREMENTAL_AGG_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(o_totalprice), 2) AS total
+FROM orders
+WHERE o_orderkey < 1000
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_time_travel": iceberg_time_travel,
     "iceberg_pruned_scan": iceberg_pruned_scan,
     "iceberg_deletes": iceberg_deletes,
     "iceberg_upsert": iceberg_upsert,
     "iceberg_incremental": iceberg_incremental,
+    "iceberg_incremental_agg": iceberg_incremental_agg,
 }
 
 ORACLE: dict[str, str] = {
@@ -258,4 +336,5 @@ ORACLE: dict[str, str] = {
     "iceberg_deletes": ICEBERG_DELETES_SQL,
     "iceberg_upsert": ICEBERG_UPSERT_SQL,
     "iceberg_incremental": ICEBERG_INCREMENTAL_SQL,
+    "iceberg_incremental_agg": ICEBERG_INCREMENTAL_AGG_SQL,
 }
