@@ -642,6 +642,81 @@ FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
 """
 
 
+def text_bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: per-doc average bigram
+    log-likelihood under a corpus-trained bigram LM (the KenLM-style
+    perplexity filter of curation pipelines, with the LM expressed as
+    two aggregations). P(w2|w1) = c(w1,w2)/c(w1·); docs whose bigrams
+    are corpus-typical score near 0, garbled/unusual docs go strongly
+    negative.
+
+    Determinism across engines: each bigram's log-prob is quantized to
+    integer micro-units (floor(ln(p)*1e6) as BIGINT) BEFORE summing, so
+    the per-doc score is independent of float addition order (Spark's
+    partial aggregation order is nondeterministic; a raw double sum
+    could differ from the oracle in the last ulp).
+
+    Scale: bigram extraction is map-only; the LM is two shuffled
+    counts; scoring joins doc bigrams to the model on (w1,w2) — a
+    plain equality join Spark broadcasts when the model is small and
+    shuffles when vocabulary is open."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    d = documents.select("doc_id", F.split(F.col("text"), " ").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(t)-2), i -> struct(t[i] AS w1, t[i+1] AS w2))")
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    bg = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    un = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_w1"))
+    model = bg.join(un, "w1").select(
+        "w1",
+        "w2",
+        F.floor(F.log(F.col("c_bg").cast("double") / F.col("c_w1")) * 1e6)
+        .cast("bigint")
+        .alias("q"),
+    )
+    return (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("q").cast("double") / F.count(F.lit(1)) / 1e6, 4).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_BIGRAM_LL_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE length(string_split(text, ' ')) >= 2
+), bi AS (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, length(t)-1),
+                          i -> {'w1': t[i], 'w2': t[i+1]}),
+           recursive := true)
+  FROM t
+), bg AS (
+  SELECT w1, w2, COUNT(*) AS c_bg FROM bi GROUP BY w1, w2
+), un AS (
+  SELECT w1, COUNT(*) AS c_w1 FROM bi GROUP BY w1
+), scored AS (
+  SELECT b.doc_id,
+    CAST(FLOOR(ln(CAST(g.c_bg AS DOUBLE) / u.c_w1) * 1000000) AS BIGINT) AS q
+  FROM bi b JOIN bg g USING (w1, w2) JOIN un u USING (w1)
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000, 4) AS avg_logprob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": text_stats,
     "text_quality": text_quality,
@@ -656,6 +731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_redact": text_redact,
     "text_curation_funnel": text_curation_funnel,
     "text_pack": text_pack,
+    "text_bigram_ll": text_bigram_ll,
 }
 
 ORACLE: dict[str, str] = {
@@ -672,4 +748,5 @@ ORACLE: dict[str, str] = {
     "text_redact": TEXT_REDACT_SQL,
     "text_curation_funnel": TEXT_CURATION_FUNNEL_SQL,
     "text_pack": TEXT_PACK_SQL,
+    "text_bigram_ll": TEXT_BIGRAM_LL_SQL,
 }
