@@ -415,6 +415,63 @@ FROM lineitem
 """
 
 
+_PART_CACHE: dict[str, str] = {}
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """events written Hive-partitioned by event_type (directory per
+    value) — the write-side layout that turns a predicate on the
+    partition column into directory-level pruning at read."""
+    import os
+    import tempfile
+
+    key = sf_dir
+    if key in _PART_CACHE and os.path.exists(_PART_CACHE[key]):
+        return _PART_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "spark_partitioned",
+        sf_dir.strip("/").replace("/", "_"),
+        "events",
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (events,) = tables(spark, sf_dir, "events")
+        events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    _PART_CACHE[key] = path
+    return path
+
+
+def op_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned read over a Hive-partitioned copy of events:
+    the event_type predicate is resolved against the directory listing
+    (PartitionFilters in the scan), so the files of every other type
+    are never opened — at 100 TB, partitioning on the dominant filter
+    column is the first-order I/O optimization, ahead of row-group
+    stats. The plan shape is pinned in tests/test_plans.py."""
+    path = _partitioned_events(spark, sf_dir)
+    df = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+OP_PARTITION_PRUNE_SQL = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       round(SUM(value), 4) AS sum_value,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+WHERE event_type = 'click'
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def op_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC keep-latest: one surviving row per (user_id, event_type) —
     the newest by (ts, event_id) — the standard compaction step for
@@ -465,6 +522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_group_zscore": op_group_zscore,
     "op_arrow_batch": op_arrow_batch,
     "op_dedup_latest": op_dedup_latest,
+    "op_partition_prune": op_partition_prune,
 }
 
 ORACLE: dict[str, str] = {
@@ -480,4 +538,5 @@ ORACLE: dict[str, str] = {
     "op_group_zscore": OP_GROUP_ZSCORE_SQL,
     "op_arrow_batch": OP_ARROW_BATCH_SQL,
     "op_dedup_latest": OP_DEDUP_LATEST_SQL,
+    "op_partition_prune": OP_PARTITION_PRUNE_SQL,
 }

@@ -175,3 +175,30 @@ def test_sim_quantize_map_only(spark, sf):
     assert pi.shuffle_count(df) <= 1
     assert "ArrowEvalPython" not in pi.formatted_plan(df)
     assert "BatchEvalPython" not in pi.formatted_plan(df)
+
+
+def test_partition_prune_reads_one_directory(spark, sf):
+    """Hive-partitioned events: the event_type predicate resolves at
+    the directory listing (PartitionFilters), never as a data filter,
+    and the scan schema is pruned to the aggregated columns."""
+    from iceberg_query_engine_spark.queries import operators_suite
+
+    df = operators_suite.op_partition_prune(spark, sf)
+    plan = pi.executed_plan(df)
+    scan = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "event_type" in scan.split("PartitionFilters:")[1].split("]")[0]
+    assert "DataFilters: []" in scan
+    assert "event_type" not in scan.split("ReadSchema:")[1]
+
+
+def test_dedup_latest_partial_aggregates(spark, sf):
+    """CDC keep-latest runs as partial+final max_by aggregation (one
+    candidate per key per task crosses the shuffle) — never a window
+    sort over whole partitions."""
+    from iceberg_query_engine_spark.queries import operators_suite
+
+    df = operators_suite.op_dedup_latest(spark, sf)
+    plan = pi.executed_plan(df)
+    assert "partial_max_by" in plan
+    assert "Window" not in plan
+    assert pi.has_pushed_filter(df, "LessThan(user_id,100)")
