@@ -319,6 +319,69 @@ ORDER BY day, is_day_level DESC, hour
 """
 
 
+def ev_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the same
+    user's most recent PRIOR click (by (ts, event_id) total order);
+    purchases with no prior click stay unattributed (NULL).
+
+    Expressed as one window pass (last ... IGNORE NULLS over rows
+    preceding) instead of a purchase×click self-join: one shuffle on
+    user_id, per-user streaming order — the self-join form shuffles
+    both sides and explodes on active users. At 100 TB user_id
+    partitioning distributes; no global sort."""
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.filter(
+        (F.col("event_type").isin("click", "purchase")) & (F.col("user_id") < 300)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_click = F.col("event_type") == "click"
+    return (
+        ev.withColumn(
+            "click_id", F.last(F.when(is_click, F.col("event_id")), True).over(w)
+        )
+        .withColumn(
+            "click_ts", F.last(F.when(is_click, F.col("ts")), True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "click_id",
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("click_ts").cast("timestamp"))
+            ).alias("gap_us"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+EV_ATTRIBUTION_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND user_id < 300
+), attr AS (
+  SELECT event_id, user_id, event_type, ts,
+    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+      OVER w AS click_id,
+    last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+      OVER w AS click_ts
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id, click_id,
+       epoch_us(ts) - epoch_us(click_ts) AS gap_us
+FROM attr WHERE event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
@@ -327,6 +390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_retention": ev_retention,
     "ev_topk_users": ev_topk_users,
     "ev_multi_rollup": ev_multi_rollup,
+    "ev_attribution": ev_attribution,
 }
 
 ORACLE: dict[str, str] = {
@@ -337,4 +401,5 @@ ORACLE: dict[str, str] = {
     "ev_retention": EV_RETENTION_SQL,
     "ev_topk_users": EV_TOPK_USERS_SQL,
     "ev_multi_rollup": EV_MULTI_ROLLUP_SQL,
+    "ev_attribution": EV_ATTRIBUTION_SQL,
 }

@@ -58,9 +58,11 @@ def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
         return df
     for field in schema:
         if str(field.type) == "timestamp[ns]" and field.name in df.columns:
+            # Exact integer division: float division loses µs precision
+            # (ns epochs ~1.7e18 exceed double's 53-bit mantissa).
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros((F.col(field.name) / F.lit(1000)).cast("long")).cast(
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")).cast(
                     "timestamp_ntz"
                 ),
             )
