@@ -71,12 +71,13 @@ def _pick(id_col, salt: int, options: list[str]):
     )
 
 
-def _ts(id_col, salt: int, start: str, days: int, unit: str = "ms"):
+def _ts(id_col, salt: int, start: str, days: int, unit: str = "us"):
     """Deterministic timestamp in [start, start + days), emitted as an
     epoch int64 in `unit` — the arrow finalize step reinterprets it as
     parquet timestamp[unit], matching the driver's testdata encodings
-    (orders/lineitem: ms; events: ns — the ns path is what
-    sources/registry.py normalizes under nanosAsLong)."""
+    (all µs since the round-2 regeneration; the ms/ns paths remain for
+    foreign corpora — sources/registry.py normalizes ns under
+    nanosAsLong)."""
     mult = {"ms": 1_000, "us": 1_000_000, "ns": 1_000_000_000}[unit]
     offset = F.pmod(F.xxhash64(id_col, F.lit(salt), F.lit(SEED)), F.lit(days * 86400))
     return (
@@ -86,9 +87,9 @@ def _ts(id_col, salt: int, start: str, days: int, unit: str = "ms"):
 
 # epoch-long columns finalized to parquet timestamp[unit] (testdata encodings)
 _TS_COLS = {
-    "orders": [("o_orderdate", "ms")],
-    "lineitem": [("l_shipdate", "ms")],
-    "events": [("ts", "ns")],
+    "orders": [("o_orderdate", "us")],
+    "lineitem": [("l_shipdate", "us")],
+    "events": [("ts", "us")],
 }
 
 
@@ -191,7 +192,7 @@ def generate_tpch(spark: SparkSession, sf: float, out_dir: str) -> dict[str, int
         ),
         _pick(F.col("id"), 11, STATUSES).alias("o_orderstatus"),
         F.round(1_000 + _u(F.col("id"), 12) * 450_000, 2).alias("o_totalprice"),
-        _ts(F.col("id"), 13, "1992-01-01 00:00:00", 2400, "ms").alias("o_orderdate"),
+        _ts(F.col("id"), 13, "1992-01-01 00:00:00", 2400, "us").alias("o_orderdate"),
         _pick(F.col("id"), 14, PRIORITIES).alias("o_orderpriority"),
     )
     counts["orders"] = write(orders, "orders")
@@ -256,7 +257,7 @@ def generate_tpch(spark: SparkSession, sf: float, out_dir: str) -> dict[str, int
                 24,
                 "1992-01-03 00:00:00",
                 2400,
-                "ms",
+                "us",
             ).alias("l_shipdate"),
         )
     )
@@ -264,7 +265,7 @@ def generate_tpch(spark: SparkSession, sf: float, out_dir: str) -> dict[str, int
 
     events = spark.range(n_ev).select(
         F.col("id").alias("event_id"),
-        _ts(F.col("id"), 25, "2024-01-01 00:00:00", 30, "ns").alias("ts"),
+        _ts(F.col("id"), 25, "2024-01-01 00:00:00", 30, "us").alias("ts"),
         F.pmod(F.xxhash64("id", F.lit(26), F.lit(SEED)), F.lit(max(1, n_ev // 100)))
         .alias("user_id"),
         _pick(F.col("id"), 27, EVENT_TYPES).alias("event_type"),

@@ -25,7 +25,7 @@ def test_row_counts_scale(gen_dir):
 
 
 def test_schemas_match_testdata(gen_dir):
-    """Footer-identical schemas (incl. ns-timestamp encoding) so every
+    """Footer-identical schemas (incl. µs-timestamp encoding) so every
     reader path — registry normalization, streaming glob, DuckDB —
     treats generated corpora exactly like the driver's."""
     out, _ = gen_dir
