@@ -25,29 +25,68 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENT_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns-as-long (see sources/registry)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _event_ts_physical_type(sf_dir: str) -> str:
+    """Read the parquet footer's type for events.ts (e.g. 'timestamp[us]').
+
+    Same footer-driven detection as sources/registry._normalize_ns_timestamps:
+    the stream schema must match what the file actually stores, never a
+    hardcoded assumption.
+    """
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    target = path
+    if os.path.isdir(path):
+        inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not inner:
+            return "timestamp[us]"
+        target = os.path.join(path, inner[0])
+    try:
+        return str(pq.read_schema(target).field("ts").type)
+    except Exception:
+        return "timestamp[us]"
+
+
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream of the events table (ns → µs timestamp)."""
-    raw = (
-        spark.readStream.schema(EVENT_SCHEMA)
+    """File-source stream of the events table.
+
+    The ts decode is footer-driven: timestamp[us] files are declared as
+    TIMESTAMP directly (session TZ is UTC so ltz == the batch layer's
+    TIMESTAMP_NTZ values); timestamp[ns] files are read as LONG (via
+    spark.sql.legacy.parquet.nanosAsLong) and integer-divided to µs —
+    exactly the batch registry's conversion, so the streaming twins and
+    their DuckDB oracles agree on event time.
+    """
+    phys = _event_ts_physical_type(sf_dir)
+    if phys.startswith("timestamp[ns"):
+        raw = (
+            spark.readStream.schema(_event_schema(T.LongType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # Exact integer division (float loses µs precision on ns epochs).
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("`ts` div 1000"))
+        )
+    # timestamp[us] (the testdata's encoding): declare TIMESTAMP and let
+    # the vectorized reader decode natively. Watermarks require ltz.
+    return (
+        spark.readStream.schema(_event_schema(T.TimestampType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-    )
-    # Watermarks require TIMESTAMP (ltz); session TZ is UTC so the
-    # ltz/ntz values coincide with the batch layer's TIMESTAMP_NTZ.
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
     )
 
 
