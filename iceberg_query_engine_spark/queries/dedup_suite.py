@@ -28,10 +28,32 @@ from .tpch import tables
 N_HASHES = 8  # minhash permutations
 BAND_SIZE = 4  # rows per LSH band → 2 bands
 BUCKET_CAP = 25  # skip LSH buckets bigger than this (degenerate buckets)
+# Safety cap for the pairwise (non-LSH) dedup paths: a join bucket of B
+# docs costs B(B-1)/2 comparisons, so one hot `source` bucket at corpus
+# scale is quadratic death. Buckets over the cap are skipped (LSH is the
+# scale path for those). No-op at test scale (max bucket 250 at sf0.1);
+# mirrored in every oracle so results agree by construction.
+PAIR_BUCKET_CAP = 2000
 
 
 def _tokens():
     return F.split(F.col("text"), " ")
+
+
+def _cap_buckets(df: DataFrame, key: str) -> DataFrame:
+    """Drop rows in join buckets larger than PAIR_BUCKET_CAP.
+
+    The count window partitions on the same key the self-join shuffles
+    on, so the window's exchange IS the join's exchange — the guard
+    costs zero extra shuffles (pinned in tests/test_plans.py).
+    """
+    from pyspark.sql import Window
+
+    return (
+        df.withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy(key)))
+        .filter(F.col("_bn") <= PAIR_BUCKET_CAP)
+        .drop("_bn")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -73,11 +95,14 @@ def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-hashing variable-length strings 490k times (measured ~20% off the
     # whole query at sf0.1). Collisions need two distinct tokens of one
     # pair to collide in 64 bits — ~V^2/2^65, negligible at any corpus size.
-    d = documents.select(
-        "doc_id",
+    d = _cap_buckets(
+        documents.select(
+            "doc_id",
+            "source",
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
+            F.size(toks).alias("sz"),
+        ),
         "source",
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
-        F.size(toks).alias("sz"),
     )
     a = d.alias("a")
     # merge hint: the token-set table is corpus-sized — broadcasting it
@@ -111,12 +136,16 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
-DEDUP_NGRAM_JACCARD_SQL = """
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks
+  FROM documents
+  QUALIFY COUNT(*) OVER (PARTITION BY source) <= {PAIR_BUCKET_CAP}
+)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
         / length(list_distinct(a.toks || b.toks)), 6) AS jaccard
-FROM (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents) a
-JOIN (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents) b
+FROM d a JOIN d b
   ON a.source = b.source AND a.doc_id < b.doc_id
 WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
@@ -139,11 +168,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-hashes strings."""
     (documents,) = tables(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens())
-    d = documents.select(
-        "doc_id",
+    d = _cap_buckets(
+        documents.select(
+            "doc_id",
+            "source",
+            F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
+            F.size(toks).alias("sz"),
+        ),
         "source",
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("toks"),
-        F.size(toks).alias("sz"),
     )
     a = d.alias("a")
     b = d.hint("merge").alias("b")
@@ -166,13 +198,17 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CONTAINMENT_SQL = """
+DEDUP_CONTAINMENT_SQL = f"""
+WITH d AS (
+  SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks
+  FROM documents
+  QUALIFY COUNT(*) OVER (PARTITION BY source) <= {PAIR_BUCKET_CAP}
+)
 SELECT doc_a, doc_b, containment FROM (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
     round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
           / least(length(a.toks), length(b.toks)), 6) AS containment
-  FROM (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents) a
-  JOIN (SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents) b
+  FROM d a JOIN d b
     ON a.source = b.source AND a.doc_id < b.doc_id
 )
 WHERE containment >= 0.8
@@ -239,9 +275,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_CLUSTERS_SQL = """
+DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE d AS (
-  SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks FROM documents
+  SELECT doc_id, source, list_distinct(string_split(text,' ')) AS toks
+  FROM documents
+  QUALIFY COUNT(*) OVER (PARTITION BY source) <= {PAIR_BUCKET_CAP}
 ), pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
@@ -496,10 +534,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens())
     sim = _simhash_udf()(toks)
-    d = documents.select("doc_id", "source", sim.alias("simhash"))
-    # merge hint: runs the Arrow-batched signature UDF through a
-    # parallel shuffle on both sides instead of collecting one side
-    # into a broadcast (4× faster at sf0.1; the only 100 TB-safe shape)
+    d = _cap_buckets(
+        documents.select("doc_id", "source", sim.alias("simhash")), "source"
+    )
+    # Materialize the signature table ONCE (executor-local checkpoint):
+    # a plain self-join computes the Arrow UDF on BOTH shuffle sides —
+    # double the Python-worker cost at any scale (the r2 regression).
+    # After the checkpoint both join sides scan the materialized rows;
+    # the join stays a shuffled SMJ (never a corpus-sized broadcast),
+    # so the shape is still 100 TB-safe. Signature table is 3 narrow
+    # columns — executor-local storage, not driver memory.
+    d = d.localCheckpoint()
     a, b = d.alias("a"), d.hint("merge").alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -532,7 +577,9 @@ def _simhash_oracle() -> str:
     )
     return f"""
 WITH docs AS (
-  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  SELECT doc_id, source, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+  QUALIFY COUNT(*) OVER (PARTITION BY source) <= {PAIR_BUCKET_CAP}
 ), votes AS (
   SELECT doc_id, source, {votes} FROM docs
 ), sigs AS (
@@ -555,11 +602,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
     )
+    # Materialize the decoded-vector table once: without this each
+    # self-join side re-scans + re-decodes the embedding column (the
+    # r2 regression doubled that work). One scan, then a shuffled SMJ
+    # over the materialized rows — still no corpus-sized broadcast.
+    e = e.localCheckpoint()
     a, b = e.alias("a"), e.hint("merge").alias("b")
-    # Arrow-batched numpy cosine — see functions/vector.py
+    # Arrow-batched numpy cosine — see functions/vector.py. Marked
+    # nondeterministic so predicate pushdown can't substitute the UDF
+    # into the threshold filter: that duplication evaluated the cosine
+    # TWICE per candidate pair (once for the filter, once for the
+    # projection). One ArrowEvalPython node — pinned in test_plans.py.
     from ..functions.vector import cosine_similarity
 
-    cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    cos = cosine_similarity.asNondeterministic()(F.col("a.v"), F.col("b.v"))
     return (
         a.join(
             b,

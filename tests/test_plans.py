@@ -191,6 +191,42 @@ def test_partition_prune_reads_one_directory(spark, sf):
     assert "event_type" not in scan.split("ReadSchema:")[1]
 
 
+def test_simhash_single_udf_pass(spark, sf):
+    """The Arrow signature UDF runs exactly once (at the localCheckpoint
+    materialization); the self-join consumes the materialized rows, so
+    no Python evaluation node remains in the join plan and the corpus
+    is never broadcast."""
+    df = dedup_suite.dedup_simhash(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Scan ExistingRDD" in plan  # both sides read the checkpoint
+    assert pi.broadcast_count(df) == 0
+    assert not pi.has_cartesian(df)
+
+
+def test_embedding_cosine_single_decode_pass(spark, sf):
+    """Vector decode happens once (checkpoint); only the pairwise cosine
+    UDF remains in the join plan — exactly one Python evaluation node."""
+    import re
+
+    df = dedup_suite.dedup_embedding_cosine(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert "Scan ExistingRDD" in plan
+    assert pi.broadcast_count(df) == 0
+
+
+def test_jaccard_bucket_cap_shares_join_shuffle(spark, sf):
+    """The PAIR_BUCKET_CAP count-window partitions on `source`, the same
+    key the self-join shuffles on — the guard adds zero exchanges: one
+    per join side plus the final sort."""
+    df = dedup_suite.dedup_ngram_jaccard(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert "Window" in plan  # the cap guard is present
+    assert pi.shuffle_count(df) <= 3  # 2 join sides + orderBy, none extra
+    assert not pi.has_cartesian(df)
+
+
 def test_dedup_latest_partial_aggregates(spark, sf):
     """CDC keep-latest runs as partial+final max_by aggregation (one
     candidate per key per task crosses the shuffle) — never a window
