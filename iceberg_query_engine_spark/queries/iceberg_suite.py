@@ -321,7 +321,64 @@ ORDER BY o_orderstatus
 """
 
 
+def catalog_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metastore-shaped catalog registration: two tables registered in
+    the session catalog from a REST-payload-shaped descriptor document
+    (sources/catalog.py — reference /root/reference/src/metastore/
+    mod.rs:282-372), then joined through plain `db.tbl` SQL names."""
+    from ..sources.catalog import CatalogClient, register_catalog
+
+    client = CatalogClient(
+        {
+            "databases": {
+                "meta_demo": {
+                    "tables": [
+                        {
+                            "table_name": "nation",
+                            "table_location": f"{sf_dir}/nation.parquet",
+                            "columns": [
+                                {"name": "n_nationkey", "data_type": "BIGINT"},
+                                {"name": "n_name", "data_type": "VARCHAR"},
+                                {"name": "n_regionkey", "data_type": "BIGINT"},
+                            ],
+                        },
+                        {
+                            "table_name": "region",
+                            "table_location": f"{sf_dir}/region.parquet",
+                            "columns": [
+                                {"name": "r_regionkey", "data_type": "BIGINT"},
+                                {"name": "r_name", "data_type": "VARCHAR"},
+                            ],
+                        },
+                    ]
+                }
+            }
+        }
+    )
+    register_catalog(spark, client)
+    return spark.sql(
+        """
+        SELECT r.r_name AS region_name, CAST(COUNT(*) AS BIGINT) AS n_nations,
+               MIN(n.n_name) AS first_nation
+        FROM meta_demo.nation n
+        JOIN meta_demo.region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name
+        ORDER BY region_name
+        """
+    )
+
+
+CATALOG_JOIN_SQL = """
+SELECT r.r_name AS region_name, CAST(COUNT(*) AS BIGINT) AS n_nations,
+       MIN(n.n_name) AS first_nation
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY region_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "catalog_join": catalog_join,
     "iceberg_time_travel": iceberg_time_travel,
     "iceberg_pruned_scan": iceberg_pruned_scan,
     "iceberg_deletes": iceberg_deletes,
@@ -331,6 +388,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "catalog_join": CATALOG_JOIN_SQL,
     "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,
     "iceberg_pruned_scan": ICEBERG_PRUNED_SCAN_SQL,
     "iceberg_deletes": ICEBERG_DELETES_SQL,

@@ -40,16 +40,20 @@ def _cosine(a, b):
 
 
 # --------------------------------------------------------------------------
-def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus scan → windowed top-k."""
+def _brute_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan → windowed top-k.
+    k / n_queries parameterized so the recall gate can evaluate larger
+    retrieval sets without a second implementation."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+    queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
     )
     scored = (
         F.broadcast(queries)
-        .join(e.filter(F.col("vec_id") >= N_QUERIES))
+        .join(e.filter(F.col("vec_id") >= n_queries))
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
@@ -59,10 +63,15 @@ def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
         .orderBy("q_id", "rk")
     )
+
+
+def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast queries × corpus scan → windowed top-k."""
+    return _brute_topk(spark, sf_dir)
 
 
 _COS_SQL = """
@@ -229,6 +238,12 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall at the same plan shape (recall measured by
     sim_recall_eval).
     """
+    return _lsh_topk(spark, sf_dir)
+
+
+def _lsh_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
@@ -237,7 +252,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_NBITS)]
     )
     queries = (
-        e.filter(F.col("vec_id") < N_QUERIES)
+        e.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("q_id"),
             F.col("v").alias("qv"),
@@ -247,7 +262,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         F.broadcast(queries)
-        .join(e, (F.col("bucket") == F.col("probe")) & (F.col("vec_id") >= N_QUERIES))
+        .join(e, (F.col("bucket") == F.col("probe")) & (F.col("vec_id") >= n_queries))
         .select(
             "q_id",
             F.col("vec_id").alias("n_id"),
@@ -257,7 +272,7 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
+        .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
         .orderBy("q_id", "rk")
     )
@@ -302,35 +317,51 @@ ORDER BY q_id, rk
 
 
 # --------------------------------------------------------------------------
+RECALL_KS = (5, 20)  # recall@5 and recall@20
+RECALL_N_QUERIES = 10  # evaluation query count (> the demo query set)
+
+
 def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the LSH ANN against the exact brute-force top-k —
-    the standard quality gate before an approximate index replaces
-    exact retrieval in a pipeline.
+    """Recall@{5,20} of the LSH ANN against the exact brute-force top-k
+    over RECALL_N_QUERIES queries — the standard quality gate before an
+    approximate index replaces exact retrieval in a pipeline. Larger k
+    and query count than the demo retrievals so the gate measures tail
+    behavior, not just the easy head.
 
     Both retrieval passes are deterministic (fixed tie-break on
     (cosine DESC, n_id)), so recall is an exact, reproducible number.
-    Scale: the eval join runs on the two top-k result sets
-    (|queries|×k rows each) — its cost is independent of corpus size;
-    the corpus is touched only by the retrieval passes themselves."""
-    exact = sim_brute_topk(spark, sf_dir).select("q_id", "n_id")
-    ann = (
-        sim_lsh_topk(spark, sf_dir)
-        .select("q_id", "n_id")
-        .withColumn("hit", F.lit(1))
+    Each pass runs ONCE at k = max(RECALL_KS); smaller-k recalls are
+    derived by rank filtering — no extra corpus scans per k. Scale: the
+    eval join runs on the two top-k result sets (|queries|×k rows
+    each) — its cost is independent of corpus size."""
+    kmax = max(RECALL_KS)
+    exact = _brute_topk(spark, sf_dir, kmax, RECALL_N_QUERIES).select(
+        "q_id", "n_id", F.col("rk").alias("rk_e")
     )
-    return (
-        exact.join(ann, ["q_id", "n_id"], "left")
-        .groupBy("q_id")
-        .agg(
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
-                / F.lit(float(TOP_K)),
-                6,
-            ).alias("recall_at_k"),
-            F.count(F.lit(1)).alias("k"),
+    ann = _lsh_topk(spark, sf_dir, kmax, RECALL_N_QUERIES).select(
+        "q_id", "n_id", F.col("rk").alias("rk_a")
+    )
+    j = exact.join(ann, ["q_id", "n_id"], "left")
+    parts = []
+    for k in RECALL_KS:
+        parts.append(
+            j.filter(F.col("rk_e") <= k)
+            .groupBy("q_id")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.when(F.col("rk_a") <= k, 1).otherwise(0)
+                    ).cast("double")
+                    / F.lit(float(k)),
+                    6,
+                ).alias("recall_at_k")
+            )
+            .withColumn("k", F.lit(k).cast("bigint"))
         )
-        .orderBy("q_id")
-    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("k", "q_id", "recall_at_k").orderBy("k", "q_id")
 
 
 SIM_RECALL_EVAL_SQL = f"""
@@ -340,34 +371,38 @@ WITH vecs AS (
 ), b AS (
   SELECT vec_id, v, {_lsh_bucket_sql('vecs')} AS bucket FROM vecs
 ), queries AS (
-  SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b WHERE vec_id < {N_QUERIES}
+  SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM b
+  WHERE vec_id < {RECALL_N_QUERIES}
 ), scored_exact AS (
   SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
   FROM queries q CROSS JOIN b e
-  WHERE e.vec_id >= {N_QUERIES}
+  WHERE e.vec_id >= {RECALL_N_QUERIES}
 ), exact AS (
-  SELECT q_id, n_id FROM (
+  SELECT q_id, n_id, rk AS rk_e FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
     FROM scored_exact
-  ) WHERE rk <= {TOP_K}
+  ) WHERE rk <= {max(RECALL_KS)}
 ), probes AS (
   SELECT q_id, qv, {_PROBES_SQL} AS probe FROM queries
 ), scored_ann AS (
   SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
-  FROM probes q JOIN b e ON e.bucket = q.probe AND e.vec_id >= {N_QUERIES}
+  FROM probes q JOIN b e ON e.bucket = q.probe AND e.vec_id >= {RECALL_N_QUERIES}
 ), ann AS (
-  SELECT q_id, n_id FROM (
+  SELECT q_id, n_id, rk AS rk_a FROM (
     SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
     FROM scored_ann
-  ) WHERE rk <= {TOP_K}
+  ) WHERE rk <= {max(RECALL_KS)}
+), ks AS (
+  SELECT unnest([{", ".join(str(k) for k in RECALL_KS)}]) AS k
 )
-SELECT e.q_id,
-  round(CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
-        / {TOP_K}.0, 6) AS recall_at_k,
-  CAST(COUNT(*) AS BIGINT) AS k
-FROM exact e LEFT JOIN ann a ON a.q_id = e.q_id AND a.n_id = e.n_id
-GROUP BY e.q_id
-ORDER BY e.q_id
+SELECT CAST(ks.k AS BIGINT) AS k, e.q_id,
+  round(CAST(SUM(CASE WHEN a.rk_a <= ks.k THEN 1 ELSE 0 END) AS DOUBLE)
+        / ks.k, 6) AS recall_at_k
+FROM ks
+JOIN exact e ON e.rk_e <= ks.k
+LEFT JOIN ann a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY ks.k, e.q_id
+ORDER BY 1, 2
 """
 
 
