@@ -99,7 +99,7 @@ def _finalize_single_file(
     """Concatenate Spark's partitioned output into ONE `<table>.parquet`
     file, reinterpreting epoch-long columns as timestamp[unit] —
     footer-compatible with /root/testdata (single file per table,
-    ms/ns timestamp encodings). This pass is driver-side by design at
+    µs timestamp encodings). This pass is driver-side by design at
     test scale; at cluster scale you keep Spark's directory output
     (µs timestamps) and skip it."""
     import shutil
