@@ -243,22 +243,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
     )
+    # Convergence check: hash-min labels are monotonically non-increasing,
+    # so an unchanged SUM(label) over all nodes means a fixpoint. One
+    # cheap aggregate over the just-checkpointed table per round — the
+    # previous new-vs-old join doubled every round's shuffle work.
+    # decimal(38,0) sum: no overflow at any node-id scale.
+    def _label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0][0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(50):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        new_labels = (
+        labels = (
             labels.union(msgs).groupBy("node").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") < F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:  # pragma: no cover - 50 rounds covers any real diameter
         raise RuntimeError("connected components did not converge")
 
