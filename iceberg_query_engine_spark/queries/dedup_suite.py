@@ -334,15 +334,23 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     d = documents.select("doc_id", "source", shingles.alias("shingles"))
+    # Shingles are hashed to 64-bit BEFORE the shuffle: the semi-join
+    # exchanges fixed-width longs instead of ~8-token strings (~10× less
+    # exchange volume). A false contamination hit needs a train/eval
+    # shingle collision in 2^64 — negligible and deterministic; the
+    # final counts are unchanged, so the string-keyed oracle still
+    # matches exactly.
     eval_shingles = (
         d.filter(F.col("source") == "src0")
         .select(F.explode("shingles").alias("sh"))
+        .select(F.xxhash64("sh").alias("shx"))
         .distinct()
     )
     train = d.filter(F.col("source") != "src0")
     contaminated = (
         train.select("doc_id", "source", F.explode("shingles").alias("sh"))
-        .join(eval_shingles, "sh", "semi")
+        .select("doc_id", "source", F.xxhash64("sh").alias("shx"))
+        .join(eval_shingles, "shx", "semi")
         .select("doc_id", "source")
         .distinct()
     )
