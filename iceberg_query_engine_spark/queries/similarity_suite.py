@@ -116,26 +116,28 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
     )
 
-    # assignment: argmax cosine over centroids (broadcast), tie → c_id
+    # assignment: argmax cosine over centroids (broadcast), tie → min
+    # c_id. Expressed as max(struct(c_cos, -c_id)) so Spark runs a
+    # partial+final hash aggregate (one candidate per vec per task
+    # crosses the shuffle) instead of a window sort over the whole
+    # vec×centroid expansion — the same partial-agg-beats-window choice
+    # as op_dedup_latest, and the difference between shuffling
+    # |corpus|×|centroids| rows and |corpus| rows at scale.
     def _assign(vecs: DataFrame) -> DataFrame:
-        return (
-            vecs.join(F.broadcast(centroids))
-            .select(
-                "vec_id",
-                "v",
-                "c_id",
+        scored = vecs.join(F.broadcast(centroids)).select(
+            "vec_id",
+            "v",
+            F.struct(
                 F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+                (-F.col("c_id")).alias("neg_id"),
+            ).alias("cand"),
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(F.max("cand").alias("best"), F.any_value("v").alias("v"))
+            .select(
+                "vec_id", "v", (-F.col("best.neg_id")).alias("bucket")
             )
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(
-                        F.col("c_cos").desc(), F.col("c_id")
-                    )
-                ),
-            )
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "v", F.col("c_id").alias("bucket"))
         )
 
     # Assign the (tiny) query set separately: broadcasting a filter of the
