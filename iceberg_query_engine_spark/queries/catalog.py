@@ -38,8 +38,9 @@ def _extension_modules():
                  "similarity_suite", "text_suite", "events_suite", "streaming_suite",
                  "compat_suite", "multimodal_suite", "operators_suite",
                  "iceberg_suite", "edge_suite", "joins_suite"):
-        try:
-            mods.append(__import__(f"{__package__}.{name}", fromlist=[name]))
-        except ImportError:
-            continue
+        # No silent skips: a broken suite import must fail the driver
+        # loudly, not shrink the query surface unnoticed (a swallowed
+        # ImportError here would silently drop every query in the
+        # module from the correctness gate).
+        mods.append(__import__(f"{__package__}.{name}", fromlist=[name]))
     return mods

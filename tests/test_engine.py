@@ -234,3 +234,16 @@ def test_dialect_composite_rewrite_fuzz():
         )
 
     check()
+
+
+def test_query_registry_surface_pinned():
+    """The driver-visible query surface can only grow: a broken suite
+    import now raises (no silent ImportError swallow), and this count
+    pin catches a suite accidentally dropping queries."""
+    from iceberg_query_engine_spark.queries import catalog
+
+    qs, osql = catalog.all_queries(), catalog.all_oracles()
+    assert len(qs) >= 159
+    assert set(osql) <= set(qs)
+    # only genuinely non-SQL-expressible ops may omit an oracle
+    assert set(qs) - set(osql) == {"f_approx"}
