@@ -717,8 +717,113 @@ FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per document, the fraction of
+    2-gram occurrences belonging to the single most frequent 2-gram
+    (top2_frac) and the fraction of duplicated 3-grams (dup3_frac) —
+    the standard repetition gates a pretraining corpus gets (Rae et al.
+    2021 §A1.1, the "repetition removal" rules).
+
+    Fully map-side, zero shuffles beyond the final sort: the top-2-gram
+    count is the longest run in the doc's SORTED 2-gram array (an
+    aggregate fold over the array — equal grams are adjacent after the
+    sort), and the duplicate-3-gram count is n − distinct(n). No
+    explode, no per-gram groupBy: at 100 TB the corpus-sized gram table
+    never hits an exchange."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks)
+
+    def grams(k: int):
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    g2s = F.array_sort(grams(2))
+    # longest equal-run in the sorted gram array == max per-gram count
+    top2_cnt = F.aggregate(
+        g2s,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    g3 = grams(3)
+    d = documents.filter(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.round(
+            F.when(F.size(grams(2)) > 0, top2_cnt / F.size(grams(2))).otherwise(0.0),
+            6,
+        ).alias("top2_frac"),
+        F.round(
+            F.when(
+                F.size(g3) > 0,
+                (F.size(g3) - F.size(F.array_distinct(g3))) / F.size(g3),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup3_frac"),
+    )
+    return d.select(
+        "doc_id",
+        "top2_frac",
+        "dup3_frac",
+        ((F.col("top2_frac") <= 0.2) & (F.col("dup3_frac") <= 0.3)).alias("keep"),
+    ).orderBy("doc_id")
+
+
+TEXT_REPETITION_SQL = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE doc_id < 300
+), g AS (
+  SELECT doc_id,
+    CASE WHEN length(toks) >= 2
+      THEN list_transform(generate_series(1, length(toks) - 1),
+                          i -> toks[i] || ' ' || toks[i+1])
+      ELSE [] END AS g2,
+    CASE WHEN length(toks) >= 3
+      THEN list_transform(generate_series(1, length(toks) - 2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      ELSE [] END AS g3
+  FROM d
+), top2 AS (
+  SELECT doc_id, MAX(c) AS top2_cnt FROM (
+    SELECT doc_id, gram, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(g2) AS gram FROM g)
+    GROUP BY doc_id, gram
+  ) GROUP BY doc_id
+), fr AS (
+  SELECT g.doc_id,
+    round(COALESCE(t.top2_cnt / NULLIF(CAST(length(g.g2) AS DOUBLE), 0), 0), 6)
+      AS top2_frac,
+    round(COALESCE((length(g.g3) - length(list_distinct(g.g3)))
+          / NULLIF(CAST(length(g.g3) AS DOUBLE), 0), 0), 6) AS dup3_frac
+  FROM g LEFT JOIN top2 t ON t.doc_id = g.doc_id
+)
+SELECT doc_id, top2_frac, dup3_frac,
+       (top2_frac <= 0.2 AND dup3_frac <= 0.3) AS keep
+FROM fr ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": text_stats,
+    "text_repetition": text_repetition,
     "text_quality": text_quality,
     "text_langid": text_langid,
     "text_fingerprint": text_fingerprint,
@@ -736,6 +841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "text_stats": TEXT_STATS_SQL,
+    "text_repetition": TEXT_REPETITION_SQL,
     "text_quality": TEXT_QUALITY_SQL,
     "text_langid": _langid_oracle(),
     "text_fingerprint": TEXT_FINGERPRINT_SQL,

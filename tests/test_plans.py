@@ -238,3 +238,12 @@ def test_dedup_latest_partial_aggregates(spark, sf):
     assert "partial_max_by" in plan
     assert "Window" not in plan
     assert pi.has_pushed_filter(df, "LessThan(user_id,100)")
+
+
+def test_text_repetition_map_only(spark, sf):
+    """Gopher repetition gates run without exploding grams into a
+    shuffle: sorted-array run-length fold per row; the only exchange is
+    the final sort."""
+    df = text_suite.text_repetition(spark, sf)
+    assert pi.shuffle_count(df) <= 1
+    assert pi.count_op(df, "Scan parquet") == 1
