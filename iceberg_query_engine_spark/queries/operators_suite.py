@@ -509,8 +509,72 @@ ORDER BY user_id, event_type
 """
 
 
+MIX_TAU = 0.7  # mixture temperature (LLaMA-style data recipe)
+
+
+def op_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data-mixing recipe: per-source sampling weights
+    w_s ∝ tokens_s^τ (τ=0.7) normalized over sources, the implied
+    target token share at the corpus budget, and the per-source repeat
+    factor (epochs) — upsampling small high-quality sources, the
+    standard pretraining mixture computation.
+
+    Plan: one groupBy(source) aggregate over the corpus (partial agg →
+    tiny exchange), then the per-source table cross-joins a broadcast
+    1-row global sum — never a driver collect. Scan-bound at 100 TB."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    per_src = (
+        documents.select("source", F.size(F.split(F.col("text"), " ")).alias("nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("double").alias("n_tokens"),
+        )
+        .withColumn("w_raw", F.pow(F.col("n_tokens"), F.lit(MIX_TAU)))
+    )
+    totals = per_src.agg(
+        F.sum("w_raw").alias("w_sum"), F.sum("n_tokens").alias("tok_total")
+    )
+    return (
+        per_src.join(F.broadcast(totals))
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.col("w_raw") / F.col("w_sum"), 6).alias("weight"),
+            # repeat factor: tokens this source contributes at the
+            # budget (= weight * corpus total) over its own tokens
+            F.round(
+                (F.col("w_raw") / F.col("w_sum")) * F.col("tok_total")
+                / F.col("n_tokens"),
+                6,
+            ).alias("repeat_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+OP_MIXTURE_WEIGHTS_SQL = f"""
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(length(string_split(text, ' '))) AS DOUBLE) AS n_tokens
+  FROM documents GROUP BY source
+), w AS (
+  SELECT *, pow(n_tokens, {MIX_TAU}) AS w_raw FROM per_src
+), t AS (
+  SELECT SUM(w_raw) AS w_sum, SUM(n_tokens) AS tok_total FROM w
+)
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(w_raw / t.w_sum, 6) AS weight,
+       round((w_raw / t.w_sum) * t.tok_total / n_tokens, 6) AS repeat_factor
+FROM w CROSS JOIN t
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
+    "op_mixture_weights": op_mixture_weights,
     "op_range_join": op_range_join,
     "op_hash_sample": op_hash_sample,
     "op_stratified_sample": op_stratified_sample,
@@ -527,6 +591,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "op_asof_join": OP_ASOF_JOIN_SQL,
+    "op_mixture_weights": OP_MIXTURE_WEIGHTS_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,
     "op_hash_sample": OP_HASH_SAMPLE_SQL,
     "op_stratified_sample": OP_STRATIFIED_SAMPLE_SQL,
