@@ -55,11 +55,14 @@ def main() -> None:
     from iceberg_query_engine_spark.queries import (
         dedup_suite,
         events_suite,
+        operators_suite,
         similarity_suite,
         text_suite,
     )
 
     extras = {
+        "text_repetition": text_suite.text_repetition,
+        "op_mixture_weights": operators_suite.op_mixture_weights,
         "dedup_exact": dedup_suite.dedup_exact,
         "dedup_minhash_lsh": dedup_suite.dedup_minhash_lsh,
         "dedup_simhash": dedup_suite.dedup_simhash,

@@ -578,8 +578,12 @@ def _write_data_entries(
             .partitionBy("__part")
             .parquet(staging)
         )
+        from urllib.parse import unquote
+
+        # Hive-style dir names are percent-escaped (a space becomes %20);
+        # the manifest stores the raw partition VALUE, so unescape.
         groups = sorted(
-            (os.path.basename(d).split("=", 1)[1], d)
+            (unquote(os.path.basename(d).split("=", 1)[1]), d)
             for d in glob.glob(os.path.join(staging, "__part=*"))
         )
     else:

@@ -251,3 +251,20 @@ def test_no_driver_materialization_in_write_path():
     src = inspect.getsource(iceberg_lite)
     assert "toPandas" not in src
     assert ".collect()" not in src
+
+
+def test_partition_values_unescaped(spark, tmp_path):
+    """Hive-style percent-escaping in partition dir names must not leak
+    into manifest partition values (a space partitions as %20 on disk)."""
+    path = str(tmp_path / "esc_lite")
+    df = spark.createDataFrame(
+        [(1, "with space"), (2, "plain")], ["id", "grp"]
+    )
+    write_snapshot(df, path, partition_by="grp")
+    t = IcebergLiteTable(path)
+    parts = sorted(f["partition"]["grp"] for f in t.data_files())
+    assert parts == ["plain", "with space"]
+    got = t.read(
+        spark, partition_filters=[PartitionFilter("grp", ["with space"])]
+    ).collect()
+    assert [r.id for r in got] == [1]
