@@ -519,9 +519,12 @@ def op_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor (epochs) — upsampling small high-quality sources, the
     standard pretraining mixture computation.
 
-    Plan: one groupBy(source) aggregate over the corpus (partial agg →
-    tiny exchange), then the per-source table cross-joins a broadcast
-    1-row global sum — never a driver collect. Scan-bound at 100 TB."""
+    Plan: ONE groupBy(source) aggregate over the corpus (partial agg →
+    tiny exchange); the per-source result (a handful of rows) is
+    materialized with localCheckpoint so the global-sum branch reads it
+    instead of re-scanning the corpus, then cross-joins back as a
+    broadcast 1-row total — never a driver collect. Scan-bound (single
+    pass) at 100 TB."""
     (documents,) = tables(spark, sf_dir, "documents")
     per_src = (
         documents.select("source", F.size(F.split(F.col("text"), " ")).alias("nt"))
@@ -531,7 +534,7 @@ def op_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("nt").cast("double").alias("n_tokens"),
         )
         .withColumn("w_raw", F.pow(F.col("n_tokens"), F.lit(MIX_TAU)))
-    )
+    ).localCheckpoint()
     totals = per_src.agg(
         F.sum("w_raw").alias("w_sum"), F.sum("n_tokens").alias("tok_total")
     )

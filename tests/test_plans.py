@@ -247,3 +247,13 @@ def test_text_repetition_map_only(spark, sf):
     df = text_suite.text_repetition(spark, sf)
     assert pi.shuffle_count(df) <= 1
     assert pi.count_op(df, "Scan parquet") == 1
+
+
+def test_mixture_weights_single_corpus_pass(spark, sf):
+    """The global-sum branch reads the checkpointed per-source table,
+    not a second corpus scan: at most one parquet scan in the plan."""
+    from iceberg_query_engine_spark.queries import operators_suite
+
+    df = operators_suite.op_mixture_weights(spark, sf)
+    assert pi.count_op(df, "Scan parquet") <= 1
+    assert not pi.has_cartesian(df) or pi.broadcast_count(df) >= 1
