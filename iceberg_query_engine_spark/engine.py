@@ -266,13 +266,20 @@ def main(argv: list[str] | None = None) -> int:
     l_p.add_argument("--path", required=True)
     l_p.add_argument("--name", required=True)
     l_p.add_argument("--query", required=True)
+    c_p = sub.add_parser(
+        "catalog",
+        help="register tables from a metastore-style JSON descriptor "
+        "(reference metastore client surface), then optionally run --query",
+    )
+    c_p.add_argument("--descriptor", required=True)
+    c_p.add_argument("--query")
     args = p.parse_args(argv)
 
     eng = Engine()
     if args.cmd == "benchmark-parquet":
         args.sf_dir = args.path
         args.repeat = args.iterations
-    if args.cmd not in ("generate-parquet", "load-parquet"):
+    if args.cmd not in ("generate-parquet", "load-parquet", "catalog"):
         eng.register_sf_dir(args.sf_dir)
 
     if args.cmd == "sql":
@@ -321,6 +328,14 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "load-parquet":
         eng.register_parquet(args.name, args.path)
         print(_fmt_table(eng.sql(args.query)))
+    elif args.cmd == "catalog":
+        from .sources.catalog import CatalogClient, register_catalog
+
+        tables = register_catalog(eng.spark, CatalogClient(args.descriptor))
+        for name in sorted(tables):
+            print(name)
+        if args.query:
+            print(_fmt_table(eng.sql(args.query)))
     elif args.cmd == "repl":
         while True:
             try:

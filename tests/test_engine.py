@@ -247,3 +247,45 @@ def test_query_registry_surface_pinned():
     assert set(osql) <= set(qs)
     # only genuinely non-SQL-expressible ops may omit an oracle
     assert set(qs) - set(osql) == {"f_approx"}
+
+
+def test_cli_catalog_subcommand(spark, sf_oracle, tmp_path, capsys):
+    """`catalog --descriptor d.json --query ...` registers descriptor
+    tables in the session catalog and runs SQL over db.tbl names."""
+    import json
+
+    from iceberg_query_engine_spark.engine import main
+
+    doc = {
+        "databases": {
+            "cli_demo": {
+                "tables": [
+                    {
+                        "table_name": "nation",
+                        "table_location": f"{sf_oracle}/nation.parquet",
+                    },
+                    {
+                        "table_name": "region",
+                        "table_location": f"{sf_oracle}/region.parquet",
+                    },
+                ]
+            }
+        }
+    }
+    desc = tmp_path / "cat.json"
+    desc.write_text(json.dumps(doc))
+    rc = main(
+        [
+            "catalog",
+            "--descriptor",
+            str(desc),
+            "--query",
+            "SELECT COUNT(*) AS n FROM cli_demo.nation n "
+            "JOIN cli_demo.region r ON n.n_regionkey = r.r_regionkey",
+        ]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "cli_demo.nation" in out and "cli_demo.region" in out
+    assert "25" in out
+    spark.sql("DROP DATABASE IF EXISTS cli_demo CASCADE")
