@@ -137,8 +137,43 @@ ORDER BY doc_id
 """
 
 
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame PCM16 RMS energy over the synthetic payload — the
+    codec-free audio feature pass (operators/multimodal.py
+    audio_frame_energy). Oracle decodes the same little-endian int16
+    samples from hex slices."""
+    return (
+        multimodal.audio_frame_energy(_payload_df(spark, sf_dir))
+        .select("doc_id", "frame_id", F.round(F.col("rms"), 6).alias("rms"))
+        .orderBy("doc_id", "frame_id")
+    )
+
+
+# sample i (0-based) = bytes (2i, 2i+1) little-endian:
+# value = hi<<8 | lo → '0x' || hex(byte 2i+1) || hex(byte 2i);
+# byte k's hex = substr(h4, 2k+1, 2); unsigned ≥ 32768 → subtract 65536.
+MM_AUDIO_ENERGY_SQL = """
+WITH p AS (
+  SELECT doc_id, md5(text) || md5(text) || md5(text) || md5(text) AS h4
+  FROM documents WHERE doc_id < 100
+), s AS (
+  SELECT doc_id, g.i,
+    CAST(('0x' || substr(h4, 4 * g.i + 3, 2) || substr(h4, 4 * g.i + 1, 2))
+         AS INTEGER) AS u
+  FROM p CROSS JOIN (SELECT unnest(range(32)) AS i) g
+), sv AS (
+  SELECT doc_id, i, CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v FROM s
+)
+SELECT doc_id, CAST(i // 8 AS BIGINT) AS frame_id,
+  round(sqrt(avg(CAST(v AS DOUBLE) * v)), 6) AS rms
+FROM sv GROUP BY doc_id, i // 8
+ORDER BY doc_id, frame_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata": mm_metadata,
+    "mm_audio_energy": mm_audio_energy,
     "mm_frame_sample": mm_frame_sample,
     "mm_dedup_by_checksum": mm_dedup_by_checksum,
     "mm_features": mm_features,
@@ -147,6 +182,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "mm_metadata": MM_METADATA_SQL,
+    "mm_audio_energy": MM_AUDIO_ENERGY_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_dedup_by_checksum": MM_DEDUP_SQL,
     "mm_features": MM_FEATURES_SQL,
