@@ -513,12 +513,20 @@ def write_snapshot(
 
 
 def _json_scalar(v):
-    """Footer stat → JSON-storable scalar (numpy/bytes → python)."""
+    """Footer stat → JSON-storable scalar (numpy/bytes → python).
+
+    date/timestamp stats become ISO-8601 strings — lexicographic order
+    equals chronological order, so _stats_match's bound comparisons
+    keep working when predicates pass ISO date strings."""
+    import datetime as _dt
+
     if isinstance(v, bytes):
         try:
             return v.decode("utf-8")
         except UnicodeDecodeError:
             return v.hex()
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat()
     return v.item() if hasattr(v, "item") else v
 
 

@@ -268,3 +268,26 @@ def test_partition_values_unescaped(spark, tmp_path):
         spark, partition_filters=[PartitionFilter("grp", ["with space"])]
     ).collect()
     assert [r.id for r in got] == [1]
+
+
+def test_temporal_stats_pruning(spark, sf_oracle, tmp_path):
+    """Footer min/max for timestamp columns is stored as ISO-8601
+    strings (lexicographic == chronological), so date-range predicates
+    prune files; pass full ISO timestamps in predicates."""
+    path = str(tmp_path / "dated_lite")
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    write_snapshot(
+        orders.filter("o_orderdate < TIMESTAMP '1997-01-01'").coalesce(1),
+        path,
+        stats_columns=["o_orderdate"],
+    )
+    write_snapshot(
+        orders.filter("o_orderdate >= TIMESTAMP '1999-01-01'").coalesce(1),
+        path,
+        stats_columns=["o_orderdate"],
+    )
+    t = IcebergLiteTable(path)
+    lows = [f["lower_bounds"]["o_orderdate"] for f in t.data_files()]
+    assert all(isinstance(v, str) and "T" in v for v in lows)
+    t.read(spark, predicates=[("o_orderdate", "<", "1998-01-01T00:00:00")])
+    assert t.metrics.files_pruned_by_stats >= 1
