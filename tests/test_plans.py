@@ -257,3 +257,21 @@ def test_mixture_weights_single_corpus_pass(spark, sf):
     df = operators_suite.op_mixture_weights(spark, sf)
     assert pi.count_op(df, "Scan parquet") <= 1
     assert not pi.has_cartesian(df) or pi.broadcast_count(df) >= 1
+
+
+def test_q18_topk_fusion(spark, sf):
+    """ORDER BY + LIMIT fuses to TakeOrderedAndProject: per-partition
+    top-k heaps, only k rows per task reach the driver-side merge —
+    the reference implements this as its top-k operator."""
+    plan = pi.formatted_plan(tpch.q18(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q2_q15_no_cartesian_broadcast_dims(spark, sf):
+    """Correlated-min (q2) and revenue-view (q15) shapes stay
+    broadcast-joined with no cartesian products."""
+    for q in (tpch.q2, tpch.q15):
+        df = q(spark, sf)
+        assert not pi.has_cartesian(df)
+        assert pi.broadcast_count(df) >= 2
