@@ -245,3 +245,45 @@ def audio_frame_energy(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("boundary", T.LongType()),
+        T.StructField("n_diff_bytes", T.LongType()),
+        T.StructField("is_cut", T.BooleanType()),
+    ]
+)
+
+
+def scene_cuts(df: DataFrame, threshold: int = FRAME_BYTES // 2) -> DataFrame:
+    """Scene-cut detection: byte-level difference between consecutive
+    FRAME_BYTES frames; a boundary is a cut when more than `threshold`
+    bytes change — the keyframe/shot-boundary pass of a video curation
+    pipeline, runnable without a codec on raw frame bytes.
+
+    numpy over Arrow batches: frombuffer → reshape(n_frames, FRAME_BYTES)
+    → vectorized row-pair compare; only (doc, boundary, count) leaves
+    the worker — frame bytes never shuffle."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "boundary": [], "n_diff_bytes": [], "is_cut": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                nf = len(b) // FRAME_BYTES
+                if nf < 2:
+                    continue
+                frames = np.frombuffer(
+                    b[: nf * FRAME_BYTES], dtype=np.uint8
+                ).reshape(nf, FRAME_BYTES)
+                diffs = (frames[1:] != frames[:-1]).sum(axis=1)
+                rows["doc_id"].extend([doc_id] * (nf - 1))
+                rows["boundary"].extend(range(1, nf))
+                rows["n_diff_bytes"].extend(int(d) for d in diffs)
+                rows["is_cut"].extend(bool(d > threshold) for d in diffs)
+            yield pd.DataFrame(rows)
+
+    return df.select("doc_id", "payload").mapInPandas(run, CUT_SCHEMA)

@@ -171,9 +171,68 @@ ORDER BY doc_id, frame_id
 """
 
 
+def _varied_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload whose frames VARY per doc (unlike synthetic_payload's
+    md5×4, whose 4 frames are identical): frame i = md5(text + '#' +
+    salt_i), where even-length docs get 4 distinct frames (every
+    boundary a cut) and odd-length docs get [s0,s0,s2,s2] (only the
+    middle boundary cuts) — deterministic per-doc cut structure both
+    engines reproduce."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    ev = F.length("text") % 2 == 0
+
+    def salt(i: int):
+        return F.when(ev, F.lit(str(i))).otherwise(F.lit(str((i // 2) * 2)))
+
+    frames = [
+        F.md5(F.concat(F.col("text"), F.lit("#"), salt(i)).cast("binary"))
+        for i in range(4)
+    ]
+    return documents.filter(F.col("doc_id") < 100).select(
+        "doc_id", F.unhex(F.concat(*frames)).alias("payload")
+    )
+
+
+def mm_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over the varied payload
+    (operators/multimodal.py scene_cuts): per consecutive-frame
+    boundary, differing-byte count + cut flag (> 8 of 16 bytes)."""
+    return multimodal.scene_cuts(_varied_payload(spark, sf_dir)).orderBy(
+        "doc_id", "boundary"
+    )
+
+
+MM_SCENE_CUTS_SQL = """
+WITH d AS (
+  SELECT doc_id, text, (length(text) % 2 = 0) AS ev
+  FROM documents WHERE doc_id < 100
+), h AS (
+  SELECT doc_id,
+    md5(text || '#' || '0') AS f0,
+    md5(text || '#' || CASE WHEN ev THEN '1' ELSE '0' END) AS f1,
+    md5(text || '#' || '2') AS f2,
+    md5(text || '#' || CASE WHEN ev THEN '3' ELSE '2' END) AS f3
+  FROM d
+), b AS (
+  SELECT doc_id, 1 AS boundary, f0 AS fa, f1 AS fb FROM h
+  UNION ALL SELECT doc_id, 2, f1, f2 FROM h
+  UNION ALL SELECT doc_id, 3, f2, f3 FROM h
+), diffs AS (
+  SELECT doc_id, CAST(boundary AS BIGINT) AS boundary,
+    CAST(list_aggregate(list_transform(range(16),
+      k -> CASE WHEN substr(fa, 2*k+1, 2) <> substr(fb, 2*k+1, 2)
+           THEN 1 ELSE 0 END), 'sum') AS BIGINT) AS n_diff_bytes
+  FROM b
+)
+SELECT doc_id, boundary, n_diff_bytes, n_diff_bytes > 8 AS is_cut
+FROM diffs ORDER BY doc_id, boundary
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata": mm_metadata,
     "mm_audio_energy": mm_audio_energy,
+    "mm_scene_cuts": mm_scene_cuts,
     "mm_frame_sample": mm_frame_sample,
     "mm_dedup_by_checksum": mm_dedup_by_checksum,
     "mm_features": mm_features,
@@ -183,6 +242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "mm_metadata": MM_METADATA_SQL,
     "mm_audio_energy": MM_AUDIO_ENERGY_SQL,
+    "mm_scene_cuts": MM_SCENE_CUTS_SQL,
     "mm_frame_sample": MM_FRAME_SAMPLE_SQL,
     "mm_dedup_by_checksum": MM_DEDUP_SQL,
     "mm_features": MM_FEATURES_SQL,
