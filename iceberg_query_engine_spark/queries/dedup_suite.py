@@ -668,8 +668,61 @@ ORDER BY vec_a, vec_b
 """
 
 
+INCR_SPLIT = 300  # doc_id < SPLIT = existing corpus, >= SPLIT = new batch
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a NEW batch deduped against the EXISTING
+    corpus — the shape every production ingest runs (new crawl vs
+    historical corpus), distinct from whole-corpus dedup. Semi-join on
+    the content hash marks batch docs already present; reports
+    per-source new/dup/kept counts.
+
+    Scale notes (100 TB): the corpus side reduces to a distinct hash
+    column before the join — the exchange carries 16-byte hashes, not
+    documents; batch-sized side shuffles only its hashes too. With a
+    bounded corpus hash set this becomes a broadcast; at full scale
+    it's one hash-keyed shuffle, never a document-payload shuffle."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    corpus = (
+        documents.filter(F.col("doc_id") < INCR_SPLIT).select(fp.alias("fp")).distinct()
+    )
+    new = documents.filter(F.col("doc_id") >= INCR_SPLIT).select(
+        "source", fp.alias("fp")
+    )
+    flagged = new.join(
+        corpus.withColumn("dup", F.lit(1)), "fp", "left"
+    ).select("source", F.coalesce(F.col("dup"), F.lit(0)).alias("dup"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.sum("dup").cast("bigint").alias("n_dup"),
+            (F.count(F.lit(1)) - F.sum("dup")).cast("bigint").alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH corpus AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id < {INCR_SPLIT}
+), new AS (
+  SELECT source, md5(text) AS fp FROM documents WHERE doc_id >= {INCR_SPLIT}
+)
+SELECT n.source, CAST(COUNT(*) AS BIGINT) AS n_new,
+  CAST(SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(COUNT(*) - SUM(CASE WHEN c.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_kept
+FROM new n LEFT JOIN corpus c ON c.fp = n.fp
+GROUP BY n.source ORDER BY n.source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
     "dedup_clusters": dedup_clusters,
@@ -681,6 +734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
