@@ -95,6 +95,21 @@ class IcebergLiteTable:
     def current_snapshot_id(self) -> int | None:
         return self.metadata().get("current_snapshot_id")
 
+    def snapshot_as_of(self, timestamp_ms: int) -> int:
+        """Latest snapshot committed at or before `timestamp_ms` —
+        Iceberg's TIMESTAMP AS OF selection (commit timestamps are
+        strictly increasing by construction)."""
+        eligible = [
+            s["snapshot_id"]
+            for s in self.snapshots()
+            if s.get("timestamp_ms", 0) <= timestamp_ms
+        ]
+        if not eligible:
+            raise ValueError(
+                f"no snapshot at or before timestamp_ms={timestamp_ms}"
+            )
+        return max(eligible)
+
     def _snapshot(self, snapshot_id: int) -> dict:
         p = os.path.join(self.path, "metadata", f"snap-{snapshot_id}.snapshot.json")
         with open(p) as f:
@@ -134,8 +149,13 @@ class IcebergLiteTable:
         snapshot_id: int | None = None,
         partition_filters: list[PartitionFilter] | None = None,
         predicates: list[tuple[str, str, object]] | None = None,
+        as_of_timestamp_ms: int | None = None,
     ) -> DataFrame:
         """Scan with snapshot selection + partition/stats file pruning.
+
+        Snapshot selection: explicit `snapshot_id`, or
+        `as_of_timestamp_ms` (TIMESTAMP AS OF — latest snapshot
+        committed at or before the instant), else current.
 
         predicates: simple (column, op, value) conjuncts checked
         against per-file min/max bounds (op ∈ =, <, <=, >, >=),
@@ -151,6 +171,8 @@ class IcebergLiteTable:
         Both anti-joins broadcast the (small) delete side — the same
         physical shape the real Iceberg Spark reader produces.
         """
+        if snapshot_id is None and as_of_timestamp_ms is not None:
+            snapshot_id = self.snapshot_as_of(as_of_timestamp_ms)
         triples = self._files_with_meta(snapshot_id)
         files = [(e, seq) for e, seq, c in triples if c == "data"]
         pos_dels = [e for e, _s, c in triples if c == "position_deletes"]
@@ -343,6 +365,11 @@ def _append_snapshot_manifests(
     mlist_rel = f"metadata/manifest-list-{snapshot_id}.json"
     with open(os.path.join(path, mlist_rel), "w") as f:
         json.dump(manifests, f)
+    # strictly-increasing commit timestamps so as-of-timestamp reads
+    # are well-defined even for commits within one wall-clock ms
+    prev_ts = 0
+    if prev_id is not None:
+        prev_ts = table._snapshot(prev_id).get("timestamp_ms", 0)
     with open(
         os.path.join(path, "metadata", f"snap-{snapshot_id}.snapshot.json"), "w"
     ) as f:
@@ -353,7 +380,7 @@ def _append_snapshot_manifests(
                 "schema_id": 0,
                 "summary": {"operation": operation},
                 "manifest_list": mlist_rel,
-                "timestamp_ms": int(time.time() * 1000),
+                "timestamp_ms": max(int(time.time() * 1000), prev_ts + 1),
             },
             f,
         )

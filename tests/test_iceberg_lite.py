@@ -291,3 +291,19 @@ def test_temporal_stats_pruning(spark, sf_oracle, tmp_path):
     assert all(isinstance(v, str) and "T" in v for v in lows)
     t.read(spark, predicates=[("o_orderdate", "<", "1998-01-01T00:00:00")])
     assert t.metrics.files_pruned_by_stats >= 1
+
+
+def test_time_travel_as_of_timestamp(spark, table):
+    """TIMESTAMP AS OF: commit timestamps are strictly increasing, and
+    as-of reads select the latest snapshot at or before the instant."""
+    path, s1, s2 = table
+    t = IcebergLiteTable(path)
+    snaps = {s["snapshot_id"]: s["timestamp_ms"] for s in t.snapshots()}
+    assert snaps[s2] > snaps[s1]
+    assert t.snapshot_as_of(snaps[s1]) == s1
+    assert t.snapshot_as_of(snaps[s2] - 1) == s1
+    assert t.snapshot_as_of(snaps[s2]) == s2
+    assert t.read(spark, as_of_timestamp_ms=snaps[s1]).count() == 100
+    assert t.read(spark, as_of_timestamp_ms=snaps[s2]).count() == 200
+    with pytest.raises(ValueError, match="no snapshot"):
+        t.snapshot_as_of(snaps[s1] - 1)
