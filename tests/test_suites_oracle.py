@@ -24,3 +24,26 @@ def test_suite_query_matches_oracle(spark, sf_oracle, name, fn, oracle):
         res.mismatches[:5]
     )
     assert res.spark_rows > 0, f"{name}: empty result weakens the test"
+
+
+def test_stream_stateful_tws_gated(spark, sf_oracle):
+    """transformWithState twin: runs and matches the batch groupBy when
+    protobuf is present; raises a documented NotImplementedError here
+    (no protobuf wheel in the container — same policy as decode_image)."""
+    import pytest
+
+    from iceberg_query_engine_spark.streaming import stateful
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful.stream_stateful_tws(spark, sf_oracle)
+        return
+    df = stateful.stream_stateful_tws(spark, sf_oracle)
+    batch = (
+        spark.read.parquet(f"{sf_oracle}/events.parquet")
+        .groupBy("user_id")
+        .count()
+    )
+    assert df.count() == batch.count()
