@@ -34,7 +34,7 @@ def all_oracles() -> dict[str, str]:
 
 def _extension_modules():
     mods = []
-    for name in ("functions_suite", "subqueries", "setops", "windows", "dedup_suite",
+    for name in ("tpch_full", "functions_suite", "subqueries", "setops", "windows", "dedup_suite",
                  "similarity_suite", "text_suite", "events_suite", "streaming_suite",
                  "compat_suite", "multimodal_suite", "operators_suite",
                  "iceberg_suite", "edge_suite", "joins_suite"):

@@ -328,3 +328,310 @@ def _pick_exact(id_col: str, options: list[str]):
     """id-indexed (not hashed) pick — for the fixed region/nation lists."""
     arr = F.array(*[F.lit(o) for o in options])
     return F.element_at(arr, (F.col(id_col) % len(options) + 1).cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Full TPC-H schema generator (all 8 tables, every column, incl. partsupp)
+# ---------------------------------------------------------------------------
+#
+# Counterpart of the reference's full generator (/root/reference/src/tpch/
+# generator.rs) so the *unadapted* 22 query texts of
+# /root/reference/src/tpch/queries.rs run as-is (queries/tpch_full.py).
+#
+# Exactness contract with the DuckDB oracle: every monetary/rate column
+# is an exact binary fraction (multiples of 2^-4 or 2^-6), so products
+# like l_extendedprice*(1-l_discount)*(1+l_tax) are exactly
+# representable doubles and their SUMs are exact integers in units of
+# 2^-16 — order-independent and bit-identical across Spark's parallel
+# partial aggregation and DuckDB's sequential sum (numerators stay
+# < 2^53 through sf0.1). That is what lets the unadapted SQL pass a
+# value-hash compare without any dsum-style quantization.
+
+# Real TPC-H nationkey -> regionkey mapping (public spec, dbgen nations.tbl)
+TPCH_NATIONS = [
+    ("ALGERIA", 0), ("ARGENTINA", 1), ("BRAZIL", 1), ("CANADA", 1),
+    ("EGYPT", 4), ("ETHIOPIA", 0), ("FRANCE", 3), ("GERMANY", 3),
+    ("INDIA", 2), ("INDONESIA", 2), ("IRAN", 4), ("IRAQ", 4),
+    ("JAPAN", 2), ("JORDAN", 4), ("KENYA", 0), ("MOROCCO", 0),
+    ("MOZAMBIQUE", 0), ("PERU", 1), ("CHINA", 2), ("ROMANIA", 3),
+    ("SAUDI ARABIA", 4), ("VIETNAM", 2), ("RUSSIA", 3),
+    ("UNITED KINGDOM", 3), ("UNITED STATES", 1),
+]
+CONTAINERS = [
+    f"{a} {b}"
+    for a in ["SM", "LG", "MED", "JUMBO", "WRAP"]
+    for b in ["CASE", "BOX", "BAG", "JAR", "PKG", "PACK", "CAN", "DRUM"]
+]
+SHIPMODES = ["REG AIR", "AIR", "RAIL", "SHIP", "TRUCK", "MAIL", "FOB"]
+SHIPINSTRUCT = ["DELIVER IN PERSON", "COLLECT COD", "NONE", "TAKE BACK RETURN"]
+MFGRS = [f"Manufacturer#{i}" for i in range(1, 6)]
+BASE_DATE = "1992-01-01"
+ORDERDATE_DAYS = 2406  # 1992-01-01 .. 1998-08-03
+
+
+def _money16(id_col, salt: int, lo: int, hi: int):
+    """Exact 1/16-step double in [lo, hi) — binary-exact, sum-stable."""
+    return (
+        F.pmod(F.xxhash64(id_col, F.lit(salt), F.lit(SEED)), F.lit((hi - lo) * 16))
+        / 16.0
+        + F.lit(float(lo))
+    )
+
+
+def _date_col(id_col, salt: int, days: int, base: str = BASE_DATE):
+    """Deterministic DATE in [base, base + days)."""
+    return F.date_add(
+        F.lit(base).cast("date"),
+        F.pmod(F.xxhash64(id_col, F.lit(salt), F.lit(SEED)), F.lit(days)).cast("int"),
+    )
+
+
+def _words(id_col, salt: int, lo: int, hi: int):
+    """Deterministic comment text: lo..hi words from VOCAB."""
+    n = (F.pmod(F.xxhash64(id_col, F.lit(salt), F.lit(SEED)), F.lit(hi - lo)) + lo).cast(
+        "int"
+    )
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.element_at(
+                F.array(*[F.lit(w) for w in VOCAB]),
+                (
+                    F.pmod(
+                        F.xxhash64(id_col, i, F.lit(salt + 1), F.lit(SEED)),
+                        F.lit(len(VOCAB)),
+                    )
+                    + 1
+                ).cast("int"),
+            ),
+        ),
+        " ",
+    )
+
+
+def _phone(nationkey_col, id_col, salt: int):
+    """TPC-H phone 'CC-NNN-NNN-NNNN' with CC = 10 + nationkey (q22 contract)."""
+    return F.format_string(
+        "%02d-%03d-%03d-%04d",
+        (nationkey_col + 10).cast("int"),
+        (F.pmod(F.xxhash64(id_col, F.lit(salt), F.lit(SEED)), F.lit(900)) + 100).cast(
+            "int"
+        ),
+        (
+            F.pmod(F.xxhash64(id_col, F.lit(salt + 1), F.lit(SEED)), F.lit(900)) + 100
+        ).cast("int"),
+        (
+            F.pmod(F.xxhash64(id_col, F.lit(salt + 2), F.lit(SEED)), F.lit(9000)) + 1000
+        ).cast("int"),
+    )
+
+
+def _ps_suppkey(partkey_col, i_col, n_supp: int):
+    """Supplier i (0..3) of a part — pure formula shared by partsupp AND
+    lineitem generation, so every (l_partkey, l_suppkey) pair exists in
+    partsupp (the q9 join contract). The i*S4 stride keeps a part's 4
+    suppliers distinct (3*S4 < S)."""
+    s4 = max(1, n_supp // 4)
+    return F.pmod(partkey_col * 31 + i_col * s4, F.lit(n_supp))
+
+
+def _orderdate(orderkey_col):
+    """o_orderdate as a pure function of orderkey — recomputed inside
+    lineitem generation (no join) to keep ship/commit/receipt dates
+    consistent with the parent order."""
+    return _date_col(orderkey_col, 110, ORDERDATE_DAYS)
+
+
+def generate_tpch_full(spark: SparkSession, sf: float, out_dir: str) -> dict[str, int]:
+    """Write the genuine 8-table TPC-H schema at scale factor `sf`.
+
+    Row counts follow the spec ratios: supplier 10k*sf, customer
+    150k*sf, part 200k*sf, partsupp 4*part, orders 1.5M*sf,
+    lineitem 1..7 per order (~4x orders). Generation is the same
+    distributed spark.range + pure-hash-function shape as
+    generate_tpch — no driver-side data, scales to any sf.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    n_supp = max(4, int(10_000 * sf))
+    n_cust = max(1, int(150_000 * sf))
+    n_part = max(1, int(200_000 * sf))
+    n_ord = max(1, int(1_500_000 * sf))
+
+    def write(df: DataFrame, name: str) -> int:
+        tmp = os.path.join(out_dir, f"_tmp_{name}")
+        df.write.mode("overwrite").parquet(tmp)
+        return _finalize_single_file(tmp, os.path.join(out_dir, f"{name}.parquet"), [])
+
+    counts = {}
+    region = spark.range(5).select(
+        F.col("id").cast("int").alias("r_regionkey"),
+        _pick_exact("id", REGIONS).alias("r_name"),
+        _words(F.col("id"), 100, 3, 8).alias("r_comment"),
+    )
+    counts["region"] = write(region, "region")
+
+    nation_names = F.array(*[F.lit(n) for n, _ in TPCH_NATIONS])
+    nation_regions = F.array(*[F.lit(r) for _, r in TPCH_NATIONS])
+    nation = spark.range(25).select(
+        F.col("id").cast("int").alias("n_nationkey"),
+        F.element_at(nation_names, (F.col("id") + 1).cast("int")).alias("n_name"),
+        F.element_at(nation_regions, (F.col("id") + 1).cast("int"))
+        .cast("int")
+        .alias("n_regionkey"),
+        _words(F.col("id"), 102, 3, 8).alias("n_comment"),
+    )
+    counts["nation"] = write(nation, "nation")
+
+    s_nat = F.pmod(F.xxhash64("id", F.lit(104), F.lit(SEED)), F.lit(25))
+    supplier = spark.range(n_supp).select(
+        F.col("id").alias("s_suppkey"),
+        F.format_string("Supplier#%09d", F.col("id")).alias("s_name"),
+        F.concat(_words(F.col("id"), 105, 2, 5), F.lit(" st")).alias("s_address"),
+        s_nat.cast("int").alias("s_nationkey"),
+        _phone(s_nat, F.col("id"), 106).alias("s_phone"),
+        _money16(F.col("id"), 109, -999, 10000).alias("s_acctbal"),
+        _words(F.col("id"), 111, 5, 12).alias("s_comment"),
+    )
+    counts["supplier"] = write(supplier, "supplier")
+
+    c_nat = F.pmod(F.xxhash64("id", F.lit(112), F.lit(SEED)), F.lit(25))
+    customer = spark.range(n_cust).select(
+        F.col("id").alias("c_custkey"),
+        F.format_string("Customer#%09d", F.col("id")).alias("c_name"),
+        F.concat(_words(F.col("id"), 113, 2, 5), F.lit(" ave")).alias("c_address"),
+        c_nat.cast("int").alias("c_nationkey"),
+        _phone(c_nat, F.col("id"), 114).alias("c_phone"),
+        _money16(F.col("id"), 117, -999, 10000).alias("c_acctbal"),
+        _pick(F.col("id"), 118, SEGMENTS).alias("c_mktsegment"),
+        _words(F.col("id"), 119, 5, 12).alias("c_comment"),
+    )
+    counts["customer"] = write(customer, "customer")
+
+    part = spark.range(n_part).select(
+        F.col("id").alias("p_partkey"),
+        # 'Part N' — the reference generator's naming, which its q9/q20
+        # texts match with LIKE 'Part 1%'
+        F.format_string("Part %d", F.col("id")).alias("p_name"),
+        _pick(F.col("id"), 120, MFGRS).alias("p_mfgr"),
+        _pick(F.col("id"), 121, BRANDS).alias("p_brand"),
+        _pick(F.col("id"), 122, TYPES).alias("p_type"),
+        (F.pmod(F.xxhash64("id", F.lit(123), F.lit(SEED)), F.lit(50)) + 1)
+        .cast("int")
+        .alias("p_size"),
+        _pick(F.col("id"), 124, CONTAINERS).alias("p_container"),
+        _money16(F.col("id"), 125, 900, 2100).alias("p_retailprice"),
+        _words(F.col("id"), 126, 3, 8).alias("p_comment"),
+    )
+    counts["part"] = write(part, "part")
+
+    partsupp = (
+        spark.range(n_part)
+        .select(
+            F.col("id").alias("ps_partkey"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
+        )
+        .select(
+            "ps_partkey",
+            _ps_suppkey(F.col("ps_partkey"), F.col("i"), n_supp).alias("ps_suppkey"),
+            (
+                F.pmod(
+                    F.xxhash64("ps_partkey", "i", F.lit(127), F.lit(SEED)),
+                    F.lit(9999),
+                )
+                + 1
+            )
+            .cast("int")
+            .alias("ps_availqty"),
+            _money16(F.xxhash64("ps_partkey", "i"), 128, 1, 1001).alias(
+                "ps_supplycost"
+            ),
+            _words(F.xxhash64("ps_partkey", "i"), 129, 5, 12).alias("ps_comment"),
+        )
+    )
+    counts["partsupp"] = write(partsupp, "partsupp")
+
+    # TPC-H spec: only 2/3 of customers place orders (custkey % 3 != 0) —
+    # q13's c_count=0 spike and q22's NOT EXISTS selectivity depend on it.
+    n_with_orders = n_cust - (n_cust + 2) // 3
+    k = F.pmod(F.xxhash64("id", F.lit(130), F.lit(SEED)), F.lit(max(1, n_with_orders)))
+    orders = spark.range(n_ord).select(
+        F.col("id").alias("o_orderkey"),
+        ((k / 2).cast("long") * 3 + 1 + F.pmod(k, F.lit(2))).alias("o_custkey"),
+        _pick(F.col("id"), 131, STATUSES).alias("o_orderstatus"),
+        _money16(F.col("id"), 132, 900, 450000).alias("o_totalprice"),
+        _orderdate(F.col("id")).alias("o_orderdate"),
+        _pick(F.col("id"), 133, PRIORITIES).alias("o_orderpriority"),
+        F.format_string(
+            "Clerk#%09d",
+            F.pmod(F.xxhash64("id", F.lit(134), F.lit(SEED)), F.lit(1000)).cast("int"),
+        ).alias("o_clerk"),
+        F.lit(0).alias("o_shippriority"),
+        _words(F.col("id"), 135, 5, 15).alias("o_comment"),
+    )
+    counts["orders"] = write(orders, "orders")
+
+    lk = F.xxhash64("l_orderkey", "l_linenumber")
+    l_partkey = F.pmod(
+        F.xxhash64("l_orderkey", "l_linenumber", F.lit(136), F.lit(SEED)),
+        F.lit(n_part),
+    )
+    # ship/commit/receipt offsets relative to the parent order's date
+    odate = _orderdate(F.col("l_orderkey"))
+    ship = F.date_add(
+        odate,
+        (F.pmod(F.xxhash64(lk, F.lit(140), F.lit(SEED)), F.lit(121)) + 1).cast("int"),
+    )
+    commit = F.date_add(
+        odate,
+        (F.pmod(F.xxhash64(lk, F.lit(141), F.lit(SEED)), F.lit(61)) + 30).cast("int"),
+    )
+    receipt = F.date_add(
+        ship,
+        (F.pmod(F.xxhash64(lk, F.lit(142), F.lit(SEED)), F.lit(30)) + 1).cast("int"),
+    )
+    lineitem = (
+        spark.range(n_ord)
+        .select(
+            F.col("id").alias("l_orderkey"),
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    (F.pmod(F.xxhash64("id", F.lit(137), F.lit(SEED)), F.lit(7)) + 1)
+                    .cast("int"),
+                )
+            ).alias("l_linenumber"),
+        )
+        .select(
+            "l_orderkey",
+            l_partkey.alias("l_partkey"),
+            # one of the part's 4 partsupp suppliers (q9 join contract)
+            _ps_suppkey(
+                l_partkey,
+                F.pmod(F.xxhash64(lk, F.lit(138), F.lit(SEED)), F.lit(4)),
+                n_supp,
+            ).alias("l_suppkey"),
+            F.col("l_linenumber").cast("int").alias("l_linenumber"),
+            (F.pmod(F.xxhash64(lk, F.lit(139), F.lit(SEED)), F.lit(50)) + 1)
+            .cast("double")
+            .alias("l_quantity"),
+            _money16(lk, 143, 900, 105000).alias("l_extendedprice"),
+            # {0..6}/64: exact binary, 0..0.094; q6's [0.05,0.07] hits 4/64
+            (F.pmod(F.xxhash64(lk, F.lit(144), F.lit(SEED)), F.lit(7)) / F.lit(64.0)).alias(
+                "l_discount"
+            ),
+            # {0..5}/64: exact binary, 0..0.078
+            (F.pmod(F.xxhash64(lk, F.lit(145), F.lit(SEED)), F.lit(6)) / F.lit(64.0)).alias(
+                "l_tax"
+            ),
+            _pick(lk, 146, FLAGS).alias("l_returnflag"),
+            _pick(lk, 147, ["F", "O"]).alias("l_linestatus"),
+            ship.alias("l_shipdate"),
+            commit.alias("l_commitdate"),
+            receipt.alias("l_receiptdate"),
+            _pick(lk, 148, SHIPINSTRUCT).alias("l_shipinstruct"),
+            _pick(lk, 149, SHIPMODES).alias("l_shipmode"),
+            _words(lk, 150, 2, 6).alias("l_comment"),
+        )
+    )
+    counts["lineitem"] = write(lineitem, "lineitem")
+    return counts
