@@ -191,17 +191,50 @@ def test_partition_prune_reads_one_directory(spark, sf):
     assert "event_type" not in scan.split("ReadSchema:")[1]
 
 
-def test_simhash_single_udf_pass(spark, sf):
-    """The Arrow signature UDF runs exactly once (at the localCheckpoint
-    materialization); the self-join consumes the materialized rows, so
-    no Python evaluation node remains in the join plan and the corpus
-    is never broadcast."""
+def test_simhash_all_jvm_single_pass(spark, sf):
+    """SimHash signatures are 100% JVM (codegen'd md5+conv, partial-
+    aggregated bit votes — r3 fix removed the Python md5-per-token
+    loop): zero Python evaluation nodes anywhere; the signature table
+    is materialized once (checkpoint) and the self-join consumes the
+    materialized rows; the corpus is never broadcast."""
     df = dedup_suite.dedup_simhash(spark, sf)
     plan = pi.formatted_plan(df)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Scan ExistingRDD" in plan  # both sides read the checkpoint
     assert pi.broadcast_count(df) == 0
     assert not pi.has_cartesian(df)
+
+
+def test_containment_lsh_single_scan_no_self_join(spark, sf):
+    """Containment's scale path: candidates from minhash bands — one
+    corpus scan (signatures computed once), in-bucket pair expansion,
+    never a bucket-column self-join or cartesian."""
+    import re
+
+    df = dedup_suite.dedup_containment_lsh(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert not pi.has_cartesian(df)
+
+
+def test_clusters_lsh_edges_single_scan(spark, sf):
+    """dedup_clusters edge generation is LSH-fed (r3 fix): the documents
+    scan happens once per clustering run — no exact-jaccard
+    source-bucket self-join (the old 5.6s-of-5.8s edge pass)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from iceberg_query_engine_spark.queries.tpch import tables
+
+    (documents,) = tables(spark, sf, "documents")
+    cand = dedup_suite._lsh_candidate_pairs(
+        documents, dedup_suite.CLUSTER_BAND_SIZE, dedup_suite.CLUSTER_CAP
+    )
+    plan = pi.formatted_plan(cand)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
 
 
 def test_embedding_cosine_single_decode_pass(spark, sf):
