@@ -337,26 +337,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.query:
             print(_fmt_table(eng.sql(args.query)))
     elif args.cmd == "repl":
-        while True:
-            try:
-                line = input("sql> ").strip()
-            except EOFError:
-                break
-            if line in {".quit", ".exit", "exit", "quit"}:
-                break
-            if line == ".tables":
-                print("\n".join(eng.tables()))
-                continue
-            if line.startswith(".schema"):
-                for n, t in eng.schema(line.split()[1]):
-                    print(f"  {n}  {t}")
-                continue
-            if not line:
-                continue
-            try:
-                print(_fmt_table(eng.sql(line)))
-            except Exception as exc:  # noqa: BLE001 — REPL keeps going
-                print(f"error: {exc}", file=sys.stderr)
+        from .repl import Repl
+
+        Repl(eng).run()
     return 0
 
 

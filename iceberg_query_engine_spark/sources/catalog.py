@@ -5,24 +5,36 @@ Mirrors the reference's branching-metastore client surface
 `ColumnMetadata` descriptors (mod.rs:346-372), the data-type string →
 engine type mapping (parse_data_type, mod.rs:295-323), and the
 database/table listing API (list_databases / list_tables / get_table,
-mod.rs:172-227). The reference fetches these as JSON from a REST
-endpoint; here the SAME JSON payload shape loads from a local file or
-dict (the sandbox has no network — a real deployment would point
-`CatalogClient` at the REST base URL and add retry/backoff exactly as
-mod.rs:86-170 does; the payload handling below is identical either
-way).
+mod.rs:172-227). Two transports:
+
+- `CatalogClient` — the SAME JSON payload shape loaded from a local
+  file or dict (no server needed).
+- `HttpCatalogClient` — urllib GETs against the reference's branch-
+  scoped REST routes (`/branch/{b}/databases`,
+  `/branch/{b}/database/{db}/tables`, `/branch/{b}/table/{db}/{tbl}`,
+  mod.rs:172-227) with the reference's retry policy (mod.rs:86-170):
+  exponential backoff + jitter, 5xx/429/connection errors retryable,
+  other 4xx not, and 404 on get_table → immediate not-found
+  (mod.rs:210-246).
 
 Registration is Spark-idiomatic: each descriptor becomes an EXTERNAL
 table in the session catalog (`CREATE DATABASE` + createTable over the
 parquet location), so `spark.sql("SELECT … FROM db.tbl")` resolves
 through the catalog exactly as it would against a Hive metastore /
-Iceberg REST catalog in production. Schema comes from the descriptor
-and is validated against the parquet footer at registration.
+Iceberg REST catalog in production. The descriptor's column names AND
+types are validated against the parquet footer at registration — a
+type-drifted descriptor (BIGINT vs actual VARCHAR) fails fast, the
+same guarantee the reference gets by serving table_to_arrow_schema
+from the descriptor (mod.rs:282-291).
 """
 
 from __future__ import annotations
 
 import json
+import random
+import time
+import urllib.error
+import urllib.request
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,6 +77,16 @@ def parse_data_type(data_type: str) -> T.DataType:
     """Metastore type string → Spark type (default string for unknown,
     matching the reference's fallback)."""
     return _TYPE_MAP.get(data_type.upper(), T.StringType())
+
+
+@dataclass
+class MetastoreConfig:
+    """Retry/timeout knobs (MetastoreConfig, mod.rs:13-42)."""
+
+    max_retries: int = 3
+    retry_delay_ms: int = 100
+    max_retry_delay_ms: int = 5000
+    timeout_secs: float = 30.0
 
 
 @dataclass
@@ -148,6 +170,92 @@ class CatalogClient:
         raise KeyError(f"table {database_name}.{table_name} not in catalog")
 
 
+class TableNotFound(KeyError):
+    """get_table 404 — the reference's QueryError::TableNotFound
+    (mod.rs:234-239), not retryable."""
+
+
+class HttpCatalogClient:
+    """REST transport with the reference client's read API and retry
+    policy (BranchingMetastoreClient, mod.rs:45-246).
+
+    Same read surface as `CatalogClient` (list_databases / list_tables
+    / get_table), so `register_catalog` works over either transport.
+    stdlib urllib only — connection pooling is the JVM/infra layer's
+    job in a real deployment; semantics (routes, payloads, retry
+    classification) match the reference.
+    """
+
+    def __init__(self, base_url: str, branch_id: str = "main", config: MetastoreConfig | None = None):
+        self.base_url = base_url.rstrip("/")
+        self.branch_id = branch_id
+        self.config = config or MetastoreConfig()
+
+    def _get_json(self, url: str, context: str, raise_404: type[Exception] | None = None):
+        """GET with the reference's retry classification (mod.rs:86-170):
+        success → parse JSON; 4xx except 429 → fail now (404 optionally
+        as a typed not-found); 5xx/429/connection errors → exponential
+        backoff + jitter up to max_retries."""
+        cfg = self.config
+        delay = cfg.retry_delay_ms / 1000.0
+        last_error: Exception | None = None
+        for attempt in range(cfg.max_retries + 1):
+            try:
+                with urllib.request.urlopen(url, timeout=cfg.timeout_secs) as resp:
+                    return json.loads(resp.read().decode("utf-8"))
+            except urllib.error.HTTPError as e:
+                if e.code == 404 and raise_404 is not None:
+                    raise raise_404(f"{context}: HTTP 404 {url}") from None
+                if 400 <= e.code < 500 and e.code != 429:
+                    raise RuntimeError(
+                        f"{context}: HTTP {e.code} (client error, not retrying)"
+                    ) from None
+                last_error = RuntimeError(f"{context}: HTTP {e.code}")
+            except (urllib.error.URLError, TimeoutError, ConnectionError, OSError) as e:
+                last_error = RuntimeError(f"{context}: {e}")
+            if attempt < cfg.max_retries:
+                time.sleep(delay + random.uniform(0, 0.1))
+                delay = min(delay * 2, cfg.max_retry_delay_ms / 1000.0)
+        raise last_error or RuntimeError(f"{context}: max retries exceeded")
+
+    def list_databases(self) -> list[str]:
+        """GET /branch/{b}/databases (mod.rs:172-182)."""
+        url = f"{self.base_url}/branch/{self.branch_id}/databases"
+        return sorted(self._get_json(url, "list_databases")["databases"])
+
+    def get_database(self, database_name: str) -> dict:
+        """GET /branch/{b}/database/{db} (mod.rs:184-193)."""
+        url = f"{self.base_url}/branch/{self.branch_id}/database/{database_name}"
+        return self._get_json(url, "get_database")
+
+    def list_tables(self, database_name: str) -> list[str]:
+        """GET /branch/{b}/database/{db}/tables (mod.rs:196-209)."""
+        url = f"{self.base_url}/branch/{self.branch_id}/database/{database_name}/tables"
+        return sorted(t["table_name"] for t in self._get_json(url, "list_tables")["tables"])
+
+    def get_table(self, database_name: str, table_name: str) -> TableMetadata:
+        """GET /branch/{b}/table/{db}/{tbl} (mod.rs:211-246); 404 →
+        TableNotFound immediately (not retried)."""
+        url = f"{self.base_url}/branch/{self.branch_id}/table/{database_name}/{table_name}"
+        payload = self._get_json(url, "get_table", raise_404=TableNotFound)
+        return TableMetadata.from_dict({**payload, "database_name": database_name})
+
+
+def _type_family(dt: T.DataType) -> str:
+    """Coarse family for descriptor-vs-footer drift detection: width
+    differences within a family are benign reader upcasts; cross-family
+    drift (BIGINT descriptor over VARCHAR parquet) is corruption."""
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integral"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "fractional"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    return type(dt).__name__
+
+
 def register_table(spark: SparkSession, meta: TableMetadata) -> DataFrame:
     """Register one descriptor as an external table in the session
     catalog; returns the table DataFrame.
@@ -155,7 +263,8 @@ def register_table(spark: SparkSession, meta: TableMetadata) -> DataFrame:
     Uses `spark.catalog` (the production path for Hive/REST catalogs),
     so `db.tbl` resolves in any spark.sql query. The descriptor schema
     is validated against the parquet footer — a drifted descriptor
-    fails fast at registration, not mid-query.
+    (missing column OR cross-family type drift) fails fast at
+    registration, not mid-query.
     """
     if not meta.table_location:
         raise ValueError(f"{meta.table_name}: descriptor has no table_location")
@@ -173,6 +282,15 @@ def register_table(spark: SparkSession, meta: TableMetadata) -> DataFrame:
                 f"{db}.{meta.table_name}: descriptor columns {sorted(declared - actual)} "
                 f"missing from parquet footer {sorted(actual)}"
             )
+        footer_types = {f.name: f.dataType for f in df.schema.fields}
+        for c in meta.columns:
+            want, have = parse_data_type(c.data_type), footer_types[c.name]
+            if _type_family(want) != _type_family(have):
+                raise ValueError(
+                    f"{db}.{meta.table_name}.{c.name}: descriptor type {c.data_type} "
+                    f"({want.simpleString()}) incompatible with parquet footer type "
+                    f"{have.simpleString()}"
+                )
     spark.catalog.createTable(
         f"`{db}`.`{meta.table_name}`",
         path=meta.table_location,
