@@ -1,0 +1,126 @@
+"""Scale bench: genuine TPC-H over generated full-schema data at sf>=1.
+
+Answers BASELINE.md's SF=10 section (Q1 morsel 227-502 ms, vectorized
+250-265 ms, DuckDB 89-180 ms; 60M lineitem rows, 32 threads, NVMe) with
+the same-scale Spark numbers — the comparison BENCH_r*.json can't make
+because sf0.1 hides everything behind Spark's fixed job overhead.
+
+Methodology notes (learned profiling this VM):
+- The sandbox VM shows 2-4x run-to-run variance on shuffle-heavy
+  stages (same plan, same data: 2.1s..9.6s for one 60M-row sort;
+  single-thread CPU and multi-process scaling are stable, so it's
+  JVM/scheduler noise, not the plan). We report the MEDIAN of
+  --repeat runs and keep all samples in the JSON.
+- Three configs were measured head-to-head (medians of 3):
+  stock defaults 125s; shuffled-hash-preferred 119s (helps q5/q7,
+  hurts q9/q17/q18 where the build side is 8-15M rows); SMJ +
+  autoBroadcastJoinThreshold=64m + 64 partitions 80.5s. The 64m
+  broadcast threshold is the big lever: sf10's filtered dimensions
+  (customer 76MB, filtered orders, part) broadcast instead of
+  shuffling the 60M-row lineitem side to meet them (q5 41s -> 4.7s,
+  q7 17s -> 5.2s). SMJ stays the default join for skew robustness;
+  --prefer-hash switches to shuffled-hash for uniform-key corpora.
+- Runtime bloom-filter thresholds are scaled to the data: stock
+  applicationSideScanSizeThreshold=10GB means NO runtime filter ever
+  fires at sf10 (lineitem is 1.9GB) even though at the 100 TB design
+  point they all would. With creation<=100m/application>=100m, q9's
+  part filter reaches the partsupp+orders scans (21.9s -> ~9s) and
+  q17 collapses 4.9s -> 1.1s.
+- 24g heap (compressed oops stay enabled), 64 shuffle partitions
+  (~1M lineitem rows per task), AQE on (runtime coalesce + skew).
+
+Usage:
+    python bench_scale.py [--sf 10] [--queries all] [--repeat 3]
+
+Data: data/tpch_full/sf{N}/ generated on first run (distributed
+directory output, gitignored). Prints ONE JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf", type=float, default=10.0)
+    p.add_argument("--queries", default="q1,q6", help="comma list, or 'all' for the 22")
+    p.add_argument("--repeat", type=int, default=3)
+    p.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    p.add_argument(
+        "--prefer-hash", action="store_true",
+        help="prefer shuffled-hash joins over sort-merge (uniform-key corpora)",
+    )
+    args = p.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cpus}]")
+        .config("spark.sql.shuffle.partitions", str(2 * args.cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.join.preferSortMergeJoin", str(not args.prefer_hash).lower())
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100m")
+        .config(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "100m",
+        )
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from iceberg_query_engine_spark.queries import tpch_full
+
+    sf_name = f"sf{args.sf:g}"
+    t0 = time.perf_counter()
+    data_dir = tpch_full.ensure_full_data(spark, sf_name)
+    gen_s = time.perf_counter() - t0
+    tpch_full._register(spark, data_dir)
+    rows = {
+        t: spark.table(t).count() for t in ("lineitem", "orders", "partsupp")
+    }
+    print(f"data: {data_dir} (ensure took {gen_s:.1f}s) rows={rows}", file=sys.stderr)
+
+    names = (
+        [f"q{i}" for i in range(1, 23)]
+        if args.queries == "all"
+        else args.queries.split(",")
+    )
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    for name in names:
+        n = int(name.lstrip("q"))
+        runs = []
+        for _ in range(args.repeat):
+            t1 = time.perf_counter()
+            spark.sql(tpch_full.QUERY_TEXTS[n]).collect()
+            runs.append(round(time.perf_counter() - t1, 3))
+        samples[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+        print(f"{name:>4}: median {timings[name] * 1000:9.1f} ms  runs={runs}", file=sys.stderr)
+
+    out = {
+        "metric": f"tpch_full_{sf_name}",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "sf": args.sf,
+        "rows": rows,
+        "cpus": args.cpus,
+        "join_strategy": "shuffled-hash-preferred" if args.prefer_hash else "smj",
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join, range_join_bucketed
@@ -575,6 +575,65 @@ ORDER BY source
 """
 
 
+N_SHARDS = 8  # at real scale: thousands (bounds per-shard sort size)
+
+
+def op_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard layout: every document gets a
+    shard (hash-assigned — any engine/run reproduces it), a position
+    within the shard (hash order = a stable pseudo-random shuffle,
+    the property training dataloaders need), and the cumulative token
+    offset at which it starts — i.e. the index a shard writer emits.
+
+    Plan: shard assignment is map-only (md5 on the key); position +
+    offset are ONE window over (shard) — physically a shuffle into
+    N_SHARDS groups, then a per-shard sort: exactly the layout of a
+    distributed shard-writing job (one writer task per shard, stable
+    order). At 100 TB you raise N_SHARDS into the thousands so each
+    shard's sort stays executor-sized; assignment stays map-only.
+    Returns the head (first 20 docs) of every shard."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        documents.select(
+            "doc_id",
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+            h.alias("h"),
+        )
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(N_SHARDS)))
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn(
+            "tok_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("bigint"),
+        )
+        .filter(F.col("pos") <= 20)
+        .select("shard", "pos", "doc_id", "n_tokens", "tok_offset")
+        .orderBy("shard", "pos")
+    )
+
+
+OP_TRAIN_SHARDS_SQL = f"""
+WITH assigned AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM documents
+), positioned AS (
+  SELECT h % {N_SHARDS} AS shard, doc_id, n_tokens,
+         CAST(row_number() OVER w AS INTEGER) AS pos,
+         CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS tok_offset
+  FROM assigned
+  WINDOW w AS (PARTITION BY h % {N_SHARDS} ORDER BY h, doc_id)
+)
+SELECT shard, pos, doc_id, n_tokens, tok_offset
+FROM positioned WHERE pos <= 20
+ORDER BY shard, pos
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
@@ -590,6 +649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_arrow_batch": op_arrow_batch,
     "op_dedup_latest": op_dedup_latest,
     "op_partition_prune": op_partition_prune,
+    "op_train_shards": op_train_shards,
 }
 
 ORACLE: dict[str, str] = {
@@ -607,4 +667,5 @@ ORACLE: dict[str, str] = {
     "op_arrow_batch": OP_ARROW_BATCH_SQL,
     "op_dedup_latest": OP_DEDUP_LATEST_SQL,
     "op_partition_prune": OP_PARTITION_PRUNE_SQL,
+    "op_train_shards": OP_TRAIN_SHARDS_SQL,
 }

@@ -78,7 +78,10 @@ def ensure_full_data(spark: SparkSession, sf_dir: str) -> str:
         os.path.exists(os.path.join(out, f"{t}.parquet")) for t in FULL_TABLES
     ):
         return out
-    generate_tpch_full(spark, sf_of(sf_dir), out)
+    sf = sf_of(sf_dir)
+    # Bench-scale corpora keep Spark's distributed directory output —
+    # no driver-side single-file concat past sf0.1 (generator docstring).
+    generate_tpch_full(spark, sf, out, single_file=sf < 1)
     return out
 
 

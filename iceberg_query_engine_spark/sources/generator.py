@@ -442,7 +442,9 @@ def _orderdate(orderkey_col):
     return _date_col(orderkey_col, 110, ORDERDATE_DAYS)
 
 
-def generate_tpch_full(spark: SparkSession, sf: float, out_dir: str) -> dict[str, int]:
+def generate_tpch_full(
+    spark: SparkSession, sf: float, out_dir: str, single_file: bool = True
+) -> dict[str, int]:
     """Write the genuine 8-table TPC-H schema at scale factor `sf`.
 
     Row counts follow the spec ratios: supplier 10k*sf, customer
@@ -450,6 +452,14 @@ def generate_tpch_full(spark: SparkSession, sf: float, out_dir: str) -> dict[str
     lineitem 1..7 per order (~4x orders). Generation is the same
     distributed spark.range + pure-hash-function shape as
     generate_tpch — no driver-side data, scales to any sf.
+
+    single_file=True concatenates each table to one `<t>.parquet` file
+    (footer-compatible with the committed sf0.001/sf0.01 corpora); for
+    bench-scale corpora (sf>=1) pass False to keep Spark's distributed
+    directory output — `spark.read.parquet` reads `<t>.parquet/`
+    directories identically, generation stays executor-side end to
+    end, and the read side gets one task per split instead of one
+    giant row-group file.
     """
     os.makedirs(out_dir, exist_ok=True)
     n_supp = max(4, int(10_000 * sf))
@@ -458,9 +468,13 @@ def generate_tpch_full(spark: SparkSession, sf: float, out_dir: str) -> dict[str
     n_ord = max(1, int(1_500_000 * sf))
 
     def write(df: DataFrame, name: str) -> int:
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        if not single_file:
+            df.write.mode("overwrite").parquet(dest)
+            return spark.read.parquet(dest).count()
         tmp = os.path.join(out_dir, f"_tmp_{name}")
         df.write.mode("overwrite").parquet(tmp)
-        return _finalize_single_file(tmp, os.path.join(out_dir, f"{name}.parquet"), [])
+        return _finalize_single_file(tmp, dest, [])
 
     counts = {}
     region = spark.range(5).select(
