@@ -35,6 +35,8 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -327,6 +329,34 @@ def _append_snapshot_files(
     return _append_snapshot_manifests(path, [(entries, content)], operation, replace)
 
 
+@contextmanager
+def _commit_lock(path: str):
+    """Exclusive table-commit lock — the concurrency-control seam.
+
+    Real Iceberg commits are an atomic catalog swap (metadata-file CAS
+    against a catalog, HadoopTableOperations' version rename) with
+    re-read-and-retry on conflict; on this filesystem layout the
+    equivalent is an exclusive flock around read-state→write-snapshot→
+    advance-pointer. Without it, two concurrent writers both read
+    parent N, both write snapshot N+1, and the loser's commit silently
+    vanishes (last metadata write wins). State is RE-READ inside the
+    lock, so a waiting writer chains onto the winner's snapshot —
+    serialized commits, lost-update-free, the same guarantee the real
+    catalog CAS gives. Data-file writes stay outside the lock
+    (they're distributed Spark jobs touching uniquely-named staging
+    paths); only the metadata transaction serializes."""
+    import fcntl
+
+    os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+    lock_path = os.path.join(path, "metadata", "commit.lock")
+    with open(lock_path, "w") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
+
+
 def _append_snapshot_manifests(
     path: str,
     manifest_groups: list[tuple[list[dict], str]],
@@ -335,7 +365,21 @@ def _append_snapshot_manifests(
 ) -> int:
     """Commit ONE snapshot carrying several manifests (e.g. a MERGE's
     equality-delete manifest + data manifest, which must share a
-    sequence number so the delete exempts its own snapshot's rows)."""
+    sequence number so the delete exempts its own snapshot's rows).
+    The whole read-state→write→advance-pointer transaction runs under
+    the table commit lock (see _commit_lock)."""
+    with _commit_lock(path):
+        return _append_snapshot_manifests_locked(
+            path, manifest_groups, operation, replace
+        )
+
+
+def _append_snapshot_manifests_locked(
+    path: str,
+    manifest_groups: list[tuple[list[dict], str]],
+    operation: str,
+    replace: bool = False,
+) -> int:
     table = IcebergLiteTable(path)
     prev_id = (
         table.current_snapshot_id() if os.path.exists(table._meta_path()) else None
@@ -436,7 +480,7 @@ def write_position_deletes(
         "*",
     )
     keys = raw.filter(condition).select("file_path", "pos")
-    rel = f"data/delete-pos-{table.current_snapshot_id() + 1}"
+    rel = f"data/delete-pos-{table.current_snapshot_id() + 1}-{uuid.uuid4().hex[:8]}"
     n, size = _write_delete_file(keys, path, rel)
     entry = {
         "delete_file": {
@@ -458,7 +502,7 @@ def write_equality_deletes(
     (later appends are untouched — Iceberg v2 semantics)."""
     table = IcebergLiteTable(path)
     keys = keys_df.select(*columns).distinct()
-    rel = f"data/delete-eq-{table.current_snapshot_id() + 1}"
+    rel = f"data/delete-eq-{table.current_snapshot_id() + 1}-{uuid.uuid4().hex[:8]}"
     n, size = _write_delete_file(keys, path, rel)
     entry = {
         "delete_file": {
@@ -492,7 +536,7 @@ def upsert_snapshot(
     table = IcebergLiteTable(path)
     snapshot_id = (table.current_snapshot_id() or 0) + 1
     keys = df.select(*key_columns).distinct()
-    rel = f"data/delete-eq-{snapshot_id}"
+    rel = f"data/delete-eq-{snapshot_id}-{uuid.uuid4().hex[:8]}"
     n, size = _write_delete_file(keys, path, rel)
     del_entry = {
         "delete_file": {
@@ -603,9 +647,16 @@ def _write_data_entries(
     """
     import glob
     import shutil
+    import uuid
 
     stats_columns = stats_columns or []
-    staging = os.path.join(path, f"_staging-{snapshot_id}")
+    # Unique token so CONCURRENT writers never collide on staging dirs
+    # or data-file names: the snapshot id passed in is only a naming
+    # hint (the real id is assigned under the commit lock; a waiting
+    # writer gets a later id than it guessed here). Manifests reference
+    # files by path, so names never need to match the committed id.
+    token = f"{snapshot_id}-{uuid.uuid4().hex[:8]}"
+    staging = os.path.join(path, f"_staging-{token}")
     if partition_by:
         (
             df.withColumn("__part", F.col(partition_by))
@@ -635,7 +686,7 @@ def _write_data_entries(
     kept = nonempty or produced[:1]
     entries = []
     for i, (pval, src, n_rows, lowers, uppers) in enumerate(kept):
-        rel = f"data/snap{snapshot_id}-{i}.parquet"
+        rel = f"data/snap{token}-{i}.parquet"
         os.replace(src, os.path.join(path, rel))
         entries.append(
             {

@@ -307,3 +307,52 @@ def test_time_travel_as_of_timestamp(spark, table):
     assert t.read(spark, as_of_timestamp_ms=snaps[s2]).count() == 200
     with pytest.raises(ValueError, match="no snapshot"):
         t.snapshot_as_of(snaps[s1] - 1)
+
+
+def test_concurrent_appends_lose_no_commits(spark, sf_oracle, tmp_path):
+    """Optimistic-concurrency seam: N threads appending concurrently
+    must produce N snapshots in one unbroken parent chain with every
+    row present. Without the commit lock (_commit_lock), concurrent
+    writers both read parent K and both write K+1 — the loser's commit
+    silently vanishes (lost update). The lock serializes the
+    read-state->write->advance-pointer transaction; data-file writes
+    stay parallel (uuid-named staging, never under the lock)."""
+    import threading
+
+    path = str(tmp_path / "concurrent_lite")
+    nation = spark.read.parquet(f"{sf_oracle}/nation.parquet")
+    # seed snapshot so every writer starts from an existing table
+    write_snapshot(nation.filter(F.col("n_nationkey") == 0), path)
+
+    n_writers, per_writer = 4, 3
+    errors: list[Exception] = []
+
+    def writer(w: int) -> None:
+        try:
+            for i in range(per_writer):
+                key = 1 + w * per_writer + i
+                write_snapshot(nation.filter(F.col("n_nationkey") == key), path)
+        except Exception as exc:  # pragma: no cover - failure reporting
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+
+    t = IcebergLiteTable(path)
+    snaps = t.snapshots()
+    # every commit survived: seed + n_writers*per_writer snapshots
+    assert len(snaps) == 1 + n_writers * per_writer
+    ids = [s["snapshot_id"] for s in snaps]
+    assert ids == list(range(1, len(snaps) + 1))
+    # unbroken parent chain (serialized commits)
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent_snapshot_id"] == prev["snapshot_id"]
+    # all rows present exactly once
+    got = sorted(
+        r.n_nationkey for r in t.read(spark).select("n_nationkey").collect()
+    )
+    assert got == list(range(0, 1 + n_writers * per_writer))
