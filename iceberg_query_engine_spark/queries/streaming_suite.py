@@ -18,6 +18,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling": jobs.stream_tumbling,
     "stream_sliding": jobs.stream_sliding,
     "stream_join": jobs.stream_join,
+    "stream_static_enrich": jobs.stream_static_enrich,
     "stream_sessionize": jobs.stream_sessionize,
     "stream_dedup": jobs.stream_dedup,
     "stream_upsert_iceberg": jobs.stream_upsert_iceberg,
@@ -28,6 +29,7 @@ ORACLE: dict[str, str] = {
     "stream_tumbling": jobs.STREAM_TUMBLING_SQL,
     "stream_sliding": jobs.STREAM_SLIDING_SQL,
     "stream_join": jobs.STREAM_JOIN_SQL,
+    "stream_static_enrich": jobs.STREAM_STATIC_ENRICH_SQL,
     "stream_sessionize": jobs.STREAM_SESSIONIZE_SQL,
     "stream_dedup": jobs.STREAM_DEDUP_SQL,
     "stream_upsert_iceberg": jobs.STREAM_UPSERT_ICEBERG_SQL,

@@ -225,6 +225,58 @@ ORDER BY p.user_id
 """
 
 
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the streaming events feed joined to a
+    STATIC dimension (customer → market segment) before a windowless
+    aggregate — the most common production streaming shape (Kafka
+    facts + warehouse dims). The static side needs no watermark and no
+    state: Spark broadcasts it per micro-batch (re-read each batch, so
+    slowly-changing dims pick up updates between batches), keeping the
+    join map-side; only the small post-join aggregate is stateful.
+    Scale: state is bounded by |segments|, not |events| — this shape
+    runs indefinitely at any throughput."""
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    customers = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    enriched = purchases.join(F.broadcast(customers), "user_id")
+    agg = enriched.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    name = "mem_stream_static_enrich"
+    ckpt = os.path.join(tempfile.gettempdir(), "sg_ckpt", f"{name}-{uuid.uuid4().hex}")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("segment")
+
+
+STREAM_STATIC_ENRICH_SQL = """
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       round(SUM(e.value), 4) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+GROUP BY c.c_mktsegment
+ORDER BY segment
+"""
+
+
 def stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows (30-min gap) — stateful streaming session
     aggregation; per-user session stats."""
