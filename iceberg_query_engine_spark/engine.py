@@ -240,6 +240,11 @@ def main(argv: list[str] | None = None) -> int:
     q_p = sub.add_parser("query", help="run TPC-H query N")
     q_p.add_argument("--num", type=int, required=True)
     q_p.add_argument("--plan", action="store_true")
+    q_p.add_argument(
+        "--full", action="store_true",
+        help="run the verbatim TPC-H text over the full 8-table generated "
+        "schema (queries/tpch_full.py) instead of the testdata adaptation",
+    )
     sub.add_parser("tables", help="list registered tables")
     sub.add_parser("repl", help="interactive SQL loop")
     b_p = sub.add_parser(
@@ -287,9 +292,14 @@ def main(argv: list[str] | None = None) -> int:
             print(eng.explain(args.query))
         print(_FORMATS[args.format](eng.sql(args.query)))
     elif args.cmd == "query":
-        from .queries import tpch
+        if args.full:
+            from .queries import tpch_full as _tf
 
-        fn = tpch.QUERIES[f"q{args.num}"]
+            fn = _tf.QUERIES[f"tpchfull_q{args.num}"]
+        else:
+            from .queries import tpch
+
+            fn = tpch.QUERIES[f"q{args.num}"]
         df = fn(eng.spark, args.sf_dir)
         if args.plan:
             df.explain(mode="formatted")
