@@ -75,6 +75,7 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw = (
             spark.readStream.schema(_event_schema(T.LongType()))
             .option("pathGlobFilter", "events.parquet")
+            .option("recursiveFileLookup", "true")
             .parquet(sf_dir)
         )
         # Exact integer division (float loses µs precision on ns epochs).
@@ -83,9 +84,13 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # timestamp[us] (the testdata's encoding): declare TIMESTAMP and let
     # the vectorized reader decode natively. Watermarks require ltz.
+    # recursiveFileLookup: new files may arrive in dated subdirectories
+    # (the standard landing-zone layout); schema is explicit, so no
+    # partition inference is lost.
     return (
         spark.readStream.schema(_event_schema(T.TimestampType()))
         .option("pathGlobFilter", "events.parquet")
+        .option("recursiveFileLookup", "true")
         .parquet(sf_dir)
     )
 
