@@ -2,11 +2,17 @@
 
 North-star scope: image/audio/video payloads ride through the engine
 as `binary` columns with a metadata struct; decode / feature-extract /
-frame-sample run as Arrow-batched `mapInPandas` transforms. The
-container has no image/audio libraries, so the *codec* step is stubbed
-(`decode_image` raises unless Pillow appears); everything Spark-side —
-schema, batch iteration, partitioning, UDF signatures — is real and
-oracle-tested via a deterministic synthetic payload.
+frame-sample run as Arrow-batched `mapInPandas` transforms.
+
+Image decode is REAL for uncompressed formats (r4): `decode_image`
+parses 24-bit BI_RGB BMP and binary PPM (P6) in pure struct+numpy —
+public byte layouts, no codec library — with `encode_bmp` as the
+writer half and `resize_nearest` as the pixel kernel
+(oracle-exact end-to-end in mm_decode_stats). Compressed formats
+(PNG/JPEG) genuinely need a codec library, which this container
+lacks: that path falls back to Pillow if present, else raises the
+documented NotImplementedError. Everything Spark-side — schema, batch
+iteration, partitioning, UDF signatures — is real and oracle-tested.
 
 Scale notes: mapInPandas streams Arrow batches; peak memory is one
 batch per core regardless of table size. Binary payloads stay off the
@@ -47,14 +53,102 @@ def synthetic_payload(doc_id_col, text_col):
 
 
 def decode_image(payload: bytes):
-    """Real codec hook — stubbed: no imaging library in this env."""
+    """Decode an image payload to an (H, W, 3) uint8 RGB numpy array.
+
+    Uncompressed formats decode for REAL in pure numpy (public file
+    formats, no codec library): 24-bit BI_RGB BMP and binary PPM (P6).
+    Compressed formats (PNG/JPEG/...) need a codec library, which this
+    container lacks — those fall back to Pillow if present, else raise
+    the documented NotImplementedError.
+    """
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER
+        data_offset = struct.unpack_from("<I", payload, 10)[0]
+        width = struct.unpack_from("<i", payload, 18)[0]
+        height = struct.unpack_from("<i", payload, 22)[0]
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BMP decodes codec-free "
+                f"(got bpp={bpp}, compression={compression})"
+            )
+        flipped = height > 0  # positive height = bottom-up row order
+        height = abs(height)
+        row_stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=row_stride * height, offset=data_offset
+        ).reshape(height, row_stride)[:, : width * 3]
+        img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
+        return img[::-1] if flipped else img
+    if payload[:2] == b"P6":
+        # PPM: 'P6' <ws> width <ws> height <ws> maxval <single ws> data
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while payload[pos] in b" \t\r\n":
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end of line
+                while payload[pos] not in b"\r\n":
+                    pos += 1
+                continue
+            start = pos
+            while payload[pos] not in b" \t\r\n":
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # exactly one whitespace after maxval
+        width, height, maxval = fields
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        return np.frombuffer(
+            payload, dtype=np.uint8, count=width * height * 3, offset=pos
+        ).reshape(height, width, 3)
     try:
-        from PIL import Image  # noqa: F401
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
-            "image decode requires Pillow; payload plumbing is tested via "
-            "extract_metadata/sample_frames instead"
+            "compressed-image decode requires Pillow (absent in this "
+            "container); BMP/PPM decode codec-free above"
         ) from exc
+
+
+def encode_bmp(img) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as 24-bit BI_RGB BMP —
+    the writer half of the codec-free pair (used by tests and the
+    decode oracle query to build real files deterministically)."""
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    height, width = img.shape[:2]
+    row_stride = (width * 3 + 3) & ~3
+    bgr = img[:, :, ::-1]
+    rows = np.zeros((height, row_stride), dtype=np.uint8)
+    rows[:, : width * 3] = bgr.reshape(height, width * 3)
+    pixel_data = rows[::-1].tobytes()  # bottom-up
+    data_offset = 14 + 40
+    file_size = data_offset + len(pixel_data)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_offset)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_data), 2835, 2835, 0, 0
+    )
+    return header + info + pixel_data
+
+
+def resize_nearest(img, out_w: int, out_h: int):
+    """Nearest-neighbor resize on a decoded (H, W, 3) array — pure
+    numpy index mapping, the vectorized per-row kernel the pixel
+    pipeline runs inside mapInPandas."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys][:, xs]
 
 
 def extract_metadata(df: DataFrame) -> DataFrame:

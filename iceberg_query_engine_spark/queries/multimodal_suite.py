@@ -229,6 +229,83 @@ FROM diffs ORDER BY doc_id, boundary
 """
 
 
+DECODE_SCHEMA = "doc_id long, width int, height int, sum_r long, sum_g long, sum_b long"
+
+
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: per doc, build a 24-bit BMP file
+    (deterministic pixels), round-trip it through the pure-numpy codec
+    (encode_bmp → decode_image — actual BITMAPINFOHEADER parsing,
+    bottom-up row order, 4-byte row padding, BGR swap), and aggregate
+    exact per-channel pixel sums. The oracle recomputes the sums from
+    the pixel definition in closed form, so any decode bug (stride,
+    origin, channel order) breaks the hash match.
+
+    Pixels: W=8+doc_id%5, H=6+doc_id%4; R=(doc_id+x+y)%256,
+    G=(2*doc_id+3x)%256, B=(x*y+doc_id)%256.
+
+    Scale: mapInPandas, one Arrow batch per core; pixels never leave
+    the executor (only 6 small columns come back) — same
+    never-shuffle-pixels contract as the rest of the suite. Compressed
+    formats still require a codec lib (decode_image falls back to
+    Pillow / NotImplementedError — documented)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    ids = documents.filter(F.col("doc_id") < 100).select("doc_id")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                img = np.stack(
+                    [
+                        (d + x + y) % 256,
+                        (2 * d + 3 * x + 0 * y) % 256,
+                        (x * y + d) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                decoded = multimodal.decode_image(multimodal.encode_bmp(img))
+                assert decoded.shape == (h, w, 3)
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(int(decoded[:, :, 0].astype(np.int64).sum()))
+                out["sum_g"].append(int(decoded[:, :, 1].astype(np.int64).sum()))
+                out["sum_b"].append(int(decoded[:, :, 2].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(run, DECODE_SCHEMA).orderBy("doc_id")
+
+
+MM_DECODE_STATS_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < 100
+), px AS (
+  SELECT doc_id, w, h,
+         unnest(range(w * h)) AS i
+  FROM dims
+), vals AS (
+  SELECT doc_id, w, h, i % w AS x, i // w AS y FROM px
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(SUM((doc_id + x + y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((2 * doc_id + 3 * x) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((x * y + doc_id) % 256) AS BIGINT) AS sum_b
+FROM vals
+GROUP BY doc_id, w, h
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata": mm_metadata,
     "mm_audio_energy": mm_audio_energy,
@@ -237,6 +314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_dedup_by_checksum": mm_dedup_by_checksum,
     "mm_features": mm_features,
     "mm_resize": mm_resize,
+    "mm_decode_stats": mm_decode_stats,
 }
 
 ORACLE: dict[str, str] = {
@@ -247,4 +325,5 @@ ORACLE: dict[str, str] = {
     "mm_dedup_by_checksum": MM_DEDUP_SQL,
     "mm_features": MM_FEATURES_SQL,
     "mm_resize": MM_RESIZE_SQL,
+    "mm_decode_stats": MM_DECODE_STATS_SQL,
 }
