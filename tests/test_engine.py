@@ -75,11 +75,24 @@ def test_engine_explain_shows_pushdown(engine):
     assert "PushedFilters" in plan and "GreaterThan(l_quantity,10.0)" in plan
 
 
-def test_multimodal_decode_is_stubbed():
-    from iceberg_query_engine_spark.operators.multimodal import decode_image
+def test_multimodal_decode_boundary():
+    """Uncompressed formats decode for real (pure-numpy BMP/PPM codec,
+    tests/test_image_codec.py); unknown/compressed bytes still raise
+    the documented gate when no codec library is present."""
+    from iceberg_query_engine_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp,
+    )
 
-    with pytest.raises((NotImplementedError, ImportError)):
-        decode_image(b"\x00" * 64)
+    import numpy as np
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        with pytest.raises((NotImplementedError, ImportError)):
+            decode_image(b"\x00" * 64)
 
 
 def test_engine_bad_sql_raises_cleanly(engine):
