@@ -306,6 +306,73 @@ ORDER BY doc_id
 """
 
 
+def mm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pixel pipeline on the REAL codec: build BMP → decode →
+    nearest-neighbor resize to 4x4 → exact channel sums of the resized
+    image. Nearest-neighbor picks source pixel (x*w//4, y*h//4) for
+    output (x, y) — deterministic index math the oracle reproduces, so
+    a resize bug (axis swap, rounding mode) breaks the hash."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    ids = documents.filter(F.col("doc_id") < 100).select("doc_id")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "sum_r", "sum_g", "sum_b")}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                img = np.stack(
+                    [
+                        (d + x + y) % 256,
+                        (2 * d + 3 * x + 0 * y) % 256,
+                        (x * y + d) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                small = multimodal.resize_nearest(
+                    multimodal.decode_image(multimodal.encode_bmp(img)), 4, 4
+                )
+                assert small.shape == (4, 4, 3)
+                out["doc_id"].append(d)
+                out["sum_r"].append(int(small[:, :, 0].astype(np.int64).sum()))
+                out["sum_g"].append(int(small[:, :, 1].astype(np.int64).sum()))
+                out["sum_b"].append(int(small[:, :, 2].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(
+        run, "doc_id long, sum_r long, sum_g long, sum_b long"
+    ).orderBy("doc_id")
+
+
+MM_DECODE_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < 100
+), px AS (
+  SELECT doc_id, w, h, unnest(range(16)) AS i FROM dims
+), src AS (
+  -- output (ox, oy) samples source (ox*w//4, oy*h//4)
+  SELECT doc_id,
+         ((i % 4) * w) // 4 AS x,
+         ((i // 4) * h) // 4 AS y
+  FROM px
+)
+SELECT doc_id,
+       CAST(SUM((doc_id + x + y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((2 * doc_id + 3 * x) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((x * y + doc_id) % 256) AS BIGINT) AS sum_b
+FROM src
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata": mm_metadata,
     "mm_audio_energy": mm_audio_energy,
@@ -315,6 +382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_features": mm_features,
     "mm_resize": mm_resize,
     "mm_decode_stats": mm_decode_stats,
+    "mm_decode_resize": mm_decode_resize,
 }
 
 ORACLE: dict[str, str] = {
@@ -326,4 +394,5 @@ ORACLE: dict[str, str] = {
     "mm_features": MM_FEATURES_SQL,
     "mm_resize": MM_RESIZE_SQL,
     "mm_decode_stats": MM_DECODE_STATS_SQL,
+    "mm_decode_resize": MM_DECODE_RESIZE_SQL,
 }
