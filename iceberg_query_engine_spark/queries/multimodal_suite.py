@@ -373,6 +373,103 @@ ORDER BY doc_id
 """
 
 
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup on REAL pixels: per doc, decode the
+    deterministic BMP, dHash it (nearest-resize to 8x8 integer luma,
+    bit j = gray[y][x] > gray[y][x+1] — 7 comparisons x 8 rows = 56
+    bits, kept under the signed-64 sign bit so Spark LONG and DuckDB
+    BIGINT hex identically), then group — docs whose pixel patterns
+    differ only by a brightness offset collapse to one hash (dHash
+    compares neighbors, so constant shifts cancel except at mod-256
+    wraps). Output: one row per distinct hash with its population and
+    representative doc.
+
+    Scale: hashing is map-only (pixels never shuffle — 8 bytes per
+    image cross the exchange); the group-by is a tiny aggregate. The
+    standard near-dup image pipeline (dHash → hamming buckets) at any
+    corpus size."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    ids = documents.filter(F.col("doc_id") < 100).select("doc_id")
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            out = {"doc_id": [], "dhash": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 8 + d % 5, 6 + d % 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                img = np.stack(
+                    [
+                        (d + x + y) % 256,
+                        (2 * d + 3 * x + 0 * y) % 256,
+                        (x * y + d) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                px = multimodal.resize_nearest(
+                    multimodal.decode_image(multimodal.encode_bmp(img)), 8, 8
+                ).astype(np.int64)
+                gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+                bits = gray[:, :-1] > gray[:, 1:]  # 8 rows x 7 comparisons
+                hval = 0
+                for j, b in enumerate(bits.flatten()):
+                    if b:
+                        hval |= 1 << j
+                out["doc_id"].append(d)
+                out["dhash"].append(hval)
+            yield pd.DataFrame(out)
+
+    hashed = ids.mapInPandas(run, "doc_id long, dhash long")
+    return (
+        hashed.groupBy("dhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+        .select(F.lower(F.hex("dhash")).alias("dhash_hex"), "n_docs", "keep_doc")
+        .orderBy("dhash_hex")
+    )
+
+
+MM_PHASH_DEDUP_SQL = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 4 AS h
+  FROM documents WHERE doc_id < 100
+), cell AS (
+  -- dHash grid: 8 columns x 8 rows, nearest-sampled from (w, h)
+  SELECT doc_id, w, h, i % 8 AS ox, i // 8 AS oy
+  FROM dims CROSS JOIN (SELECT unnest(range(64)) AS i) g
+), gray AS (
+  SELECT doc_id, ox, oy,
+    (  299 * ((doc_id + (ox * w) // 8 + (oy * h) // 8) % 256)
+     + 587 * ((2 * doc_id + 3 * ((ox * w) // 8)) % 256)
+     + 114 * ((((ox * w) // 8) * ((oy * h) // 8) + doc_id) % 256)
+    ) // 1000 AS gv
+  FROM cell
+), bits AS (
+  SELECT a.doc_id,
+         CAST(SUM(CASE WHEN a.gv > b.gv
+             THEN CAST(1 AS BIGINT) << (a.oy * 7 + a.ox) ELSE 0 END) AS BIGINT)
+           AS hval
+  FROM gray a JOIN gray b
+    ON a.doc_id = b.doc_id AND a.oy = b.oy AND b.ox = a.ox + 1
+  WHERE a.ox < 7
+  GROUP BY a.doc_id
+)
+SELECT lower(hex(hval)) AS dhash_hex,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_doc
+FROM bits
+GROUP BY hval
+ORDER BY dhash_hex
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata": mm_metadata,
     "mm_audio_energy": mm_audio_energy,
@@ -383,6 +480,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_resize": mm_resize,
     "mm_decode_stats": mm_decode_stats,
     "mm_decode_resize": mm_decode_resize,
+    "mm_phash_dedup": mm_phash_dedup,
 }
 
 ORACLE: dict[str, str] = {
@@ -395,4 +493,5 @@ ORACLE: dict[str, str] = {
     "mm_resize": MM_RESIZE_SQL,
     "mm_decode_stats": MM_DECODE_STATS_SQL,
     "mm_decode_resize": MM_DECODE_RESIZE_SQL,
+    "mm_phash_dedup": MM_PHASH_DEDUP_SQL,
 }
