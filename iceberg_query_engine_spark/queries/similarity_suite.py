@@ -102,7 +102,7 @@ ORDER BY q_id, rk
 
 
 # --------------------------------------------------------------------------
-N_CENTROIDS_MOD = 127  # vec_id % 127 == 0 → deterministic "centroids"
+K_CENTROIDS = 32  # fixed centroid budget, independent of corpus size
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,8 +112,23 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate results, oracle-checkable."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    centroids = e.filter(F.col("vec_id") % N_CENTROIDS_MOD == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv")
+    # Fixed centroid budget K_CENTROIDS regardless of corpus size: every
+    # ceil(n/K)-th vec_id. The r4 scale bench caught the previous
+    # vec_id % CONST rule growing |centroids| WITH the corpus, making
+    # assignment O(n^2/CONST) — 59x wall for 10x data. With K fixed,
+    # assignment is n*K (linear) and mean probe-bucket size is n/K.
+    # localCheckpoint: the tiny centroid table is materialized once, so
+    # the count subquery never re-scans the corpus per downstream use.
+    nrow = e.agg(F.count(F.lit(1)).alias("n_all"))
+    mod = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n_all") / F.lit(K_CENTROIDS)).cast("long"),
+    )
+    centroids = (
+        e.join(F.broadcast(nrow))
+        .filter(F.pmod(F.col("vec_id"), mod) == 0)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .localCheckpoint()
     )
 
     # assignment: argmax cosine over centroids (broadcast), tie → min
@@ -171,7 +186,9 @@ WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), centroids AS (
-  SELECT vec_id AS c_id, v AS cv FROM vecs WHERE vec_id % {N_CENTROIDS_MOD} = 0
+  SELECT vec_id AS c_id, v AS cv FROM vecs
+  WHERE vec_id % GREATEST(1,
+    CAST(CEIL((SELECT COUNT(*) FROM vecs) / {K_CENTROIDS}.0) AS BIGINT)) = 0
 ), assigned AS (
   SELECT vec_id, v, bucket FROM (
     SELECT e.vec_id, e.v, c.c_id AS bucket,
