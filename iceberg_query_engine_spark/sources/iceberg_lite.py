@@ -414,30 +414,42 @@ def _append_snapshot_manifests_locked(
     prev_ts = 0
     if prev_id is not None:
         prev_ts = table._snapshot(prev_id).get("timestamp_ms", 0)
-    with open(
-        os.path.join(path, "metadata", f"snap-{snapshot_id}.snapshot.json"), "w"
-    ) as f:
-        json.dump(
-            {
-                "snapshot_id": snapshot_id,
-                "parent_snapshot_id": prev_id,
-                "schema_id": 0,
-                "summary": {"operation": operation},
-                "manifest_list": mlist_rel,
-                "timestamp_ms": max(int(time.time() * 1000), prev_ts + 1),
-            },
-            f,
-        )
-    with open(table._meta_path(), "w") as f:
-        json.dump(
-            {
-                "format_version": 2,
-                "uuid": f"lite-{os.path.basename(path)}",
-                "current_snapshot_id": snapshot_id,
-            },
-            f,
-        )
+    _atomic_json(
+        os.path.join(path, "metadata", f"snap-{snapshot_id}.snapshot.json"),
+        {
+            "snapshot_id": snapshot_id,
+            "parent_snapshot_id": prev_id,
+            "schema_id": 0,
+            "summary": {"operation": operation},
+            "manifest_list": mlist_rel,
+            "timestamp_ms": max(int(time.time() * 1000), prev_ts + 1),
+        },
+    )
+    # The pointer advance MUST be atomic (write-temp + rename): readers
+    # do NOT take the commit lock, and a plain open('w') truncates the
+    # file first — a concurrent reader would see partial JSON. With
+    # os.replace, every reader sees either the old or the new pointer,
+    # never an in-between state (the filesystem analogue of the
+    # catalog's atomic swap).
+    _atomic_json(
+        table._meta_path(),
+        {
+            "format_version": 2,
+            "uuid": f"lite-{os.path.basename(path)}",
+            "current_snapshot_id": snapshot_id,
+        },
+    )
     return snapshot_id
+
+
+def _atomic_json(dest: str, payload: dict) -> None:
+    """Write JSON to `dest` atomically: temp file in the same directory
+    + os.replace (atomic on POSIX), so concurrent readers never observe
+    a truncated file."""
+    tmp = f"{dest}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, dest)
 
 
 def _write_delete_file(df: DataFrame, path: str, rel: str) -> tuple[int, int]:
