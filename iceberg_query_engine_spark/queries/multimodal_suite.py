@@ -470,6 +470,74 @@ ORDER BY dhash_hex
 """
 
 
+VAD_THRESHOLD = 18500.0  # ~median frame RMS of the varied payload
+
+
+def mm_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection: frames whose PCM16 RMS clears the
+    energy threshold, merged into maximal CONSECUTIVE segments — the
+    speech-segmentation step an ASR training pipeline runs before
+    cutting audio into utterances. Gaps-and-islands via the classic
+    frame_id - row_number() grouping key (consecutive flagged frames
+    share it), so segmentation is one window + one aggregate per doc —
+    no self-joins, scales as a single shuffle on doc_id."""
+    from pyspark.sql import Window
+
+    rms = multimodal.audio_frame_energy(_varied_payload(spark, sf_dir))
+    flagged = rms.filter(F.col("rms") > VAD_THRESHOLD)
+    w = Window.partitionBy("doc_id").orderBy("frame_id")
+    seg = flagged.withColumn(
+        "grp", F.col("frame_id") - F.row_number().over(w)
+    )
+    return (
+        seg.groupBy("doc_id", "grp")
+        .agg(
+            F.min("frame_id").alias("seg_start"),
+            F.max("frame_id").alias("seg_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_frames"),
+            F.round(F.avg("rms"), 6).alias("mean_rms"),
+        )
+        .select("doc_id", "seg_start", "seg_end", "n_frames", "mean_rms")
+        .orderBy("doc_id", "seg_start")
+    )
+
+
+# varied payload frame hex (same CTE as MM_SCENE_CUTS_SQL), then the
+# MM_AUDIO_ENERGY sample extraction, threshold, and islands grouping.
+MM_AUDIO_VAD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, (length(text) % 2 = 0) AS ev
+  FROM documents WHERE doc_id < 100
+), p AS (
+  SELECT doc_id,
+    md5(text || '#' || '0')
+    || md5(text || '#' || CASE WHEN ev THEN '1' ELSE '0' END)
+    || md5(text || '#' || '2')
+    || md5(text || '#' || CASE WHEN ev THEN '3' ELSE '2' END) AS h4
+  FROM d
+), s AS (
+  SELECT doc_id, g.i,
+    CAST(('0x' || substr(h4, 4 * g.i + 3, 2) || substr(h4, 4 * g.i + 1, 2))
+         AS INTEGER) AS u
+  FROM p CROSS JOIN (SELECT unnest(range(32)) AS i) g
+), fr AS (
+  SELECT doc_id, i // 8 AS frame_id,
+    sqrt(avg(CAST(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS DOUBLE)
+             * CASE WHEN u >= 32768 THEN u - 65536 ELSE u END)) AS rms
+  FROM s GROUP BY doc_id, i // 8
+), flagged AS (
+  SELECT doc_id, frame_id, rms,
+         frame_id - row_number() OVER (PARTITION BY doc_id ORDER BY frame_id) AS grp
+  FROM fr WHERE rms > {VAD_THRESHOLD}
+)
+SELECT doc_id, MIN(frame_id) AS seg_start, MAX(frame_id) AS seg_end,
+       CAST(COUNT(*) AS BIGINT) AS n_frames, round(AVG(rms), 6) AS mean_rms
+FROM flagged
+GROUP BY doc_id, grp
+ORDER BY doc_id, seg_start
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_metadata": mm_metadata,
     "mm_audio_energy": mm_audio_energy,
@@ -481,6 +549,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mm_decode_stats": mm_decode_stats,
     "mm_decode_resize": mm_decode_resize,
     "mm_phash_dedup": mm_phash_dedup,
+    "mm_audio_vad": mm_audio_vad,
 }
 
 ORACLE: dict[str, str] = {
@@ -494,4 +563,5 @@ ORACLE: dict[str, str] = {
     "mm_decode_stats": MM_DECODE_STATS_SQL,
     "mm_decode_resize": MM_DECODE_RESIZE_SQL,
     "mm_phash_dedup": MM_PHASH_DEDUP_SQL,
+    "mm_audio_vad": MM_AUDIO_VAD_SQL,
 }

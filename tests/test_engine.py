@@ -256,7 +256,7 @@ def test_query_registry_surface_pinned():
     from iceberg_query_engine_spark.queries import catalog
 
     qs, osql = catalog.all_queries(), catalog.all_oracles()
-    assert len(qs) >= 192
+    assert len(qs) >= 193
     assert set(osql) <= set(qs)
     # only genuinely non-SQL-expressible ops may omit an oracle
     assert set(qs) - set(osql) == {"f_approx"}
