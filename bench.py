@@ -29,9 +29,13 @@ def main() -> None:
     show_plan = os.environ.get("BENCH_PLAN") == "1"
 
     from iceberg_query_engine_spark.queries import tpch
-    from iceberg_query_engine_spark.session import get_spark
+    from iceberg_query_engine_spark.session import get_spark, tune_for_corpus
 
     spark = get_spark(app_name="bench")
+    # size-aware runtime confs (bloom-filter thresholds scaled to the
+    # corpus; broadcast/partition levers engage at >=1 GB) — the same
+    # tuner bench_scale.py and any engine user inherits
+    tune_for_corpus(spark, sf_dir)
     # warm the JVM, codegen paths (incl. decimal agg), parquet footers
     tpch.q6(spark, sf_dir).collect()
     tpch.q1(spark, sf_dir).collect()
@@ -106,7 +110,7 @@ def main() -> None:
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     tpch_total = sum(
-        v for k, v in times.items() if k.startswith("q") and not k.startswith("qfull")
+        v for k, v in times.items() if k.startswith("q")  # adapted q1..q22 only
     )
     tpch_full_total = sum(v for k, v in times.items() if k.startswith("tpchfull_"))
     print(

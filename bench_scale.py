@@ -58,22 +58,18 @@ def main() -> int:
     )
     args = p.parse_args()
 
-    from pyspark.sql import SparkSession
+    # The engine's own session factory + size-aware tuner: bench_scale
+    # INHERITS session defaults (r4 verdict #2) — the winning sf10
+    # config now lives in session.tune_for_corpus, not here.
+    from iceberg_query_engine_spark.session import get_spark, tune_for_corpus
 
-    spark = (
-        SparkSession.builder.master(f"local[{args.cpus}]")
-        .config("spark.sql.shuffle.partitions", str(2 * args.cpus))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.join.preferSortMergeJoin", str(not args.prefer_hash).lower())
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100m")
-        .config(
-            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-            "100m",
-        )
-        .config("spark.driver.memory", "24g")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    spark = get_spark(
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=2 * args.cpus,
+        extra_conf={
+            "spark.sql.join.preferSortMergeJoin": str(not args.prefer_hash).lower(),
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -83,6 +79,8 @@ def main() -> int:
     t0 = time.perf_counter()
     data_dir = tpch_full.ensure_full_data(spark, sf_name)
     gen_s = time.perf_counter() - t0
+    applied = tune_for_corpus(spark, data_dir, cpus=args.cpus)
+    print(f"tune_for_corpus: {applied}", file=sys.stderr)
     tpch_full._register(spark, data_dir)
     rows = {
         t: spark.table(t).count() for t in ("lineitem", "orders", "partsupp")

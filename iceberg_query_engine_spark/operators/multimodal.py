@@ -65,6 +65,8 @@ def decode_image(payload: bytes):
 
     if payload[:2] == b"BM":
         # BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER
+        if len(payload) < 54:  # both headers must be present
+            raise ValueError("truncated BMP payload (header incomplete)")
         data_offset = struct.unpack_from("<I", payload, 10)[0]
         width = struct.unpack_from("<i", payload, 18)[0]
         height = struct.unpack_from("<i", payload, 22)[0]
@@ -78,29 +80,40 @@ def decode_image(payload: bytes):
         flipped = height > 0  # positive height = bottom-up row order
         height = abs(height)
         row_stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+        if width < 0 or data_offset + row_stride * height > len(payload):
+            raise ValueError("truncated BMP payload (pixel data incomplete)")
         rows = np.frombuffer(
             payload, dtype=np.uint8, count=row_stride * height, offset=data_offset
         ).reshape(height, row_stride)[:, : width * 3]
         img = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR -> RGB
         return img[::-1] if flipped else img
     if payload[:2] == b"P6":
-        # PPM: 'P6' <ws> width <ws> height <ws> maxval <single ws> data
-        fields, pos = [], 2
+        # PPM: 'P6' <ws> width <ws> height <ws> maxval <single ws> data.
+        # Every scan is bounded by len(payload): a truncated or malformed
+        # header raises the documented ValueError, never IndexError.
+        fields, pos, end = [], 2, len(payload)
         while len(fields) < 3:
-            while payload[pos] in b" \t\r\n":
+            while pos < end and payload[pos] in b" \t\r\n":
                 pos += 1
+            if pos >= end:
+                raise ValueError("truncated PPM payload (header incomplete)")
             if payload[pos : pos + 1] == b"#":  # comment to end of line
-                while payload[pos] not in b"\r\n":
+                while pos < end and payload[pos] not in b"\r\n":
                     pos += 1
                 continue
             start = pos
-            while payload[pos] not in b" \t\r\n":
+            while pos < end and payload[pos] not in b" \t\r\n":
                 pos += 1
-            fields.append(int(payload[start:pos]))
+            try:
+                fields.append(int(payload[start:pos]))
+            except ValueError:
+                raise ValueError("malformed PPM header (non-integer field)")
         pos += 1  # exactly one whitespace after maxval
         width, height, maxval = fields
         if maxval > 255:
             raise NotImplementedError("16-bit PPM not supported")
+        if pos + width * height * 3 > end:
+            raise ValueError("truncated PPM payload (pixel data incomplete)")
         return np.frombuffer(
             payload, dtype=np.uint8, count=width * height * 3, offset=pos
         ).reshape(height, width, 3)

@@ -42,7 +42,7 @@ def _tokens():
     return F.split(F.col("text"), " ")
 
 
-def _cap_buckets(df: DataFrame, key: str) -> DataFrame:
+def _cap_buckets(df: DataFrame, key: str, observation=None) -> DataFrame:
     """Drop rows in join buckets larger than PAIR_BUCKET_CAP.
 
     The count window partitions on the same key the self-join shuffles
@@ -61,7 +61,7 @@ def _cap_buckets(df: DataFrame, key: str) -> DataFrame:
     return (
         df.withColumn("_bn", F.count(F.lit(1)).over(Window.partitionBy(key)))
         .observe(
-            f"pair_bucket_cap_{key}",
+            observation if observation is not None else f"pair_bucket_cap_{key}",
             F.sum(F.when(F.col("_bn") > PAIR_BUCKET_CAP, 1).otherwise(0)).alias(
                 "rows_dropped_by_cap"
             ),
@@ -234,7 +234,7 @@ ORDER BY doc_a, doc_b
 
 # --------------------------------------------------------------------------
 def _lsh_candidate_pairs(
-    documents: DataFrame, band_size: int, cap: int
+    documents: DataFrame, band_size: int, cap: int, observation=None
 ) -> DataFrame:
     """MinHash-LSH candidate pairs — the corpus-scale candidate
     generator shared by the containment and clusters paths.
@@ -276,9 +276,21 @@ def _lsh_candidate_pairs(
             )
         ).alias("band"),
     )
-    capped = bands.withColumn(
-        "bn", F.count(F.lit(1)).over(Window.partitionBy("band"))
-    ).filter((F.col("bn") >= 2) & (F.col("bn") <= cap))
+    # The cap drop is not silent: an observe metric (same contract as
+    # _cap_buckets') counts band rows excluded by degenerate mega-buckets
+    # so a production operator sees skipped volume. The bn<2 singleton
+    # filter is NOT counted — singletons have no candidate pair to lose.
+    capped = (
+        bands.withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("band")))
+        .observe(
+            observation if observation is not None else f"lsh_band_cap_b{band_size}_c{cap}",
+            F.sum(F.when(F.col("bn") > cap, 1).otherwise(0)).alias(
+                "rows_dropped_by_cap"
+            ),
+            F.count(F.lit(1)).alias("rows_total"),
+        )
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= cap))
+    )
     buckets = capped.groupBy("band").agg(
         F.collect_list(F.struct("doc_id", "toks", "sz")).alias("docs")
     )
@@ -504,9 +516,11 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval set) — the benchmark-leakage scrub every pretraining corpus
     gets. Reports per-source contamination counts.
 
-    Scale notes (100 TB): shingling is a map-side explode; the overlap
-    test is one semi-join shuffled on the shingle string (hash the
-    shingle to 64-bit in production to shrink the exchange). No
+    Scale notes (100 TB): shingling is a map-side explode; the eval
+    side (one held-out split's distinct shingles) is small by
+    construction, so it is BROADCAST into a left-semi hash join — the
+    train shingle stream never crosses an exchange, making the whole
+    op map-only over the corpus (pinned in tests/test_plans.py). No
     pairwise comparison anywhere — cost is O(corpus shingles), not
     O(docs²)."""
     (documents,) = tables(spark, sf_dir, "documents")
@@ -536,7 +550,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (
         train.select("doc_id", "source", F.explode("shingles").alias("sh"))
         .select("doc_id", "source", F.xxhash64("sh").alias("shx"))
-        .join(eval_shingles, "shx", "semi")
+        .join(F.broadcast(eval_shingles), "shx", "semi")
         .select("doc_id", "source")
         .distinct()
     )
@@ -647,9 +661,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nested explode — never a join.
     from pyspark.sql import Window
 
-    capped = bands.withColumn(
-        "bn", F.count(F.lit(1)).over(Window.partitionBy("band"))
-    ).filter((F.col("bn") >= 2) & (F.col("bn") <= BUCKET_CAP))
+    capped = (
+        bands.withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("band")))
+        .observe(
+            "lsh_band_cap_minhash",
+            F.sum(F.when(F.col("bn") > BUCKET_CAP, 1).otherwise(0)).alias(
+                "rows_dropped_by_cap"
+            ),
+            F.count(F.lit(1)).alias("rows_total"),
+        )
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= BUCKET_CAP))
+    )
     buckets = capped.groupBy("band").agg(
         F.collect_list(F.struct("doc_id", "toks")).alias("docs")
     )

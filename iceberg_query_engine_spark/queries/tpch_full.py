@@ -79,9 +79,10 @@ def ensure_full_data(spark: SparkSession, sf_dir: str) -> str:
     ):
         return out
     sf = sf_of(sf_dir)
-    # Bench-scale corpora keep Spark's distributed directory output —
-    # no driver-side single-file concat past sf0.1 (generator docstring).
-    generate_tpch_full(spark, sf, out, single_file=sf < 1)
+    # Driver-side single-file concat only for the small committed
+    # corpora (<= sf0.1); bench-scale corpora keep Spark's distributed
+    # directory output (generator docstring; threshold aligned ADVICE r4).
+    generate_tpch_full(spark, sf, out, single_file=sf <= 0.1)
     return out
 
 

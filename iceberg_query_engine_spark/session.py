@@ -75,3 +75,62 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def corpus_bytes(data_dir: str) -> int:
+    """Total bytes under a data directory (parquet files only) — the
+    size signal `tune_for_corpus` keys its thresholds off."""
+    total = 0
+    for root, _dirs, files in os.walk(data_dir):
+        for f in files:
+            if f.endswith(".parquet") or f.endswith(".snappy.parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return total
+
+
+def tune_for_corpus(spark: SparkSession, data_dir: str, cpus: int | None = None) -> dict:
+    """Set size-aware runtime confs for a corpus — the levers the sf10
+    config sweep proved out (BENCH_SCALE.md), promoted into the engine
+    so ANY session gets them, not just the bench harness.
+
+    All three are runtime-settable SQL confs, so this works on an
+    already-created session (local or cluster):
+
+    - ``autoBroadcastJoinThreshold`` 64 MB once the corpus is over
+      ~1 GB: filtered dimensions (customer, part, filtered orders)
+      broadcast instead of shuffling the fact side to meet them —
+      q5 went 41.4 s → 4.7 s at sf10 on exactly this. Below 1 GB the
+      stock 10 MB already broadcasts every dimension, so stay put.
+    - runtime bloom-filter thresholds scaled to the corpus: the stock
+      application-side threshold (10 GB) assumes TB-scale scans — at
+      100 TB the filters fire out of the box, but on any corpus under
+      10 GB they NEVER fire even when they'd pay for themselves.
+      Scaling both thresholds to ~5% of corpus bytes (floored at the
+      stock creation-side 10 MB) restores the design point: q9's part
+      filter reaches the partsupp/orders scans (21.9 s → ~9 s), q17
+      collapses 4.9 s → 1.1 s.
+    - ``shuffle.partitions`` = 2× cores (AQE coalesces down) — ~1M
+      fact rows per task at sf10, the same rows-per-task a cluster
+      deployment targets.
+
+    Returns the conf dict it applied (for logging/tests).
+    """
+    total = corpus_bytes(data_dir)
+    scaled = max(total // 20, 10 * 1024 * 1024)  # ~5% of corpus, >= 10 MB
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": str(scaled),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": str(
+            scaled
+        ),
+    }
+    if total >= 1 << 30:
+        conf["spark.sql.autoBroadcastJoinThreshold"] = str(64 * 1024 * 1024)
+        conf["spark.sql.shuffle.partitions"] = str(
+            2 * int(cpus or DEFAULT_CPUS)
+        )
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    return conf

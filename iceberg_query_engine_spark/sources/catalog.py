@@ -34,6 +34,7 @@ import json
 import random
 import time
 import urllib.error
+import urllib.parse
 import urllib.request
 from dataclasses import dataclass, field
 
@@ -218,25 +219,32 @@ class HttpCatalogClient:
                 delay = min(delay * 2, cfg.max_retry_delay_ms / 1000.0)
         raise last_error or RuntimeError(f"{context}: max retries exceeded")
 
+    def _route(self, *segments: str) -> str:
+        """Compose a branch-scoped route with each path segment
+        percent-encoded (safe='') so names containing '/', spaces, or
+        non-ASCII cannot confuse the route (ADVICE r4)."""
+        q = [urllib.parse.quote(s, safe="") for s in (self.branch_id, *segments)]
+        return f"{self.base_url}/branch/" + "/".join(q)
+
     def list_databases(self) -> list[str]:
         """GET /branch/{b}/databases (mod.rs:172-182)."""
-        url = f"{self.base_url}/branch/{self.branch_id}/databases"
+        url = self._route("databases")
         return sorted(self._get_json(url, "list_databases")["databases"])
 
     def get_database(self, database_name: str) -> dict:
         """GET /branch/{b}/database/{db} (mod.rs:184-193)."""
-        url = f"{self.base_url}/branch/{self.branch_id}/database/{database_name}"
+        url = self._route("database", database_name)
         return self._get_json(url, "get_database")
 
     def list_tables(self, database_name: str) -> list[str]:
         """GET /branch/{b}/database/{db}/tables (mod.rs:196-209)."""
-        url = f"{self.base_url}/branch/{self.branch_id}/database/{database_name}/tables"
+        url = self._route("database", database_name) + "/tables"
         return sorted(t["table_name"] for t in self._get_json(url, "list_tables")["tables"])
 
     def get_table(self, database_name: str, table_name: str) -> TableMetadata:
         """GET /branch/{b}/table/{db}/{tbl} (mod.rs:211-246); 404 →
         TableNotFound immediately (not retried)."""
-        url = f"{self.base_url}/branch/{self.branch_id}/table/{database_name}/{table_name}"
+        url = self._route("table", database_name, table_name)
         payload = self._get_json(url, "get_table", raise_404=TableNotFound)
         return TableMetadata.from_dict({**payload, "database_name": database_name})
 

@@ -344,17 +344,26 @@ def _commit_lock(path: str):
     serialized commits, lost-update-free, the same guarantee the real
     catalog CAS gives. Data-file writes stay outside the lock
     (they're distributed Spark jobs touching uniquely-named staging
-    paths); only the metadata transaction serializes."""
-    import fcntl
+    paths); only the metadata transaction serializes.
+
+    flock is POSIX-only; on platforms without fcntl (Windows) the lock
+    degrades to a no-op — single-writer use stays correct, concurrent
+    writers need a POSIX filesystem (documented limitation, ADVICE r4)."""
+    try:
+        import fcntl
+    except ImportError:  # pragma: no cover - non-POSIX platforms
+        fcntl = None
 
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
     lock_path = os.path.join(path, "metadata", "commit.lock")
     with open(lock_path, "w") as lf:
-        fcntl.flock(lf, fcntl.LOCK_EX)
+        if fcntl is not None:
+            fcntl.flock(lf, fcntl.LOCK_EX)
         try:
             yield
         finally:
-            fcntl.flock(lf, fcntl.LOCK_UN)
+            if fcntl is not None:
+                fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def _append_snapshot_manifests(

@@ -276,3 +276,19 @@ def test_schema_drift_fails_fast(spark, sf_oracle, tmp_path):
     with pytest.raises(ValueError, match="no_such_col"):
         register_catalog(spark, client)
     spark.sql("DROP DATABASE IF EXISTS d2 CASCADE")
+
+
+def test_route_segments_percent_encoded():
+    """Names containing '/', spaces, or non-ASCII are percent-encoded
+    per path segment (safe='') so they cannot confuse the branch-scoped
+    routes (ADVICE r4) — a 'db/evil' database cannot masquerade as an
+    extra route segment."""
+    from iceberg_query_engine_spark.sources.catalog import HttpCatalogClient
+
+    c = HttpCatalogClient("http://example.invalid:9", branch_id="my branch")
+    assert c._route("databases") == (
+        "http://example.invalid:9/branch/my%20branch/databases"
+    )
+    assert c._route("table", "db/evil", "naïve tbl") == (
+        "http://example.invalid:9/branch/my%20branch/table/db%2Fevil/na%C3%AFve%20tbl"
+    )

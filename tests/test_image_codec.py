@@ -80,3 +80,28 @@ def test_resize_nearest_semantics():
     assert up.shape == (12, 16, 3)
     # each source pixel repeated 2x2
     assert np.array_equal(up[::2, ::2], img)
+
+
+def test_truncated_payloads_raise_valueerror():
+    """Malformed/truncated payloads raise the documented ValueError,
+    never IndexError/struct.error (ADVICE r4): scans are bounded by
+    len(payload)."""
+    img = _img(4, 3)
+    bmp = encode_bmp(img)
+    ppm = b"P6\n4 3\n255\n" + img.tobytes()
+    # header cut short
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_image(bmp[:20])
+    with pytest.raises(ValueError, match="truncated PPM"):
+        decode_image(b"P6\n4 3")
+    # header complete, pixel data cut short
+    with pytest.raises(ValueError, match="truncated BMP"):
+        decode_image(bmp[:-5])
+    with pytest.raises(ValueError, match="truncated PPM"):
+        decode_image(ppm[:-5])
+    # unterminated comment (never reaches 3 header fields)
+    with pytest.raises(ValueError, match="truncated PPM"):
+        decode_image(b"P6 # comment never ends")
+    # non-integer header field
+    with pytest.raises(ValueError, match="malformed PPM"):
+        decode_image(b"P6\nfour 3\n255\n" + img.tobytes())

@@ -308,3 +308,18 @@ def test_q2_q15_no_cartesian_broadcast_dims(spark, sf):
         df = q(spark, sf)
         assert not pi.has_cartesian(df)
         assert pi.broadcast_count(df) >= 2
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf):
+    """The eval split's distinct shingles broadcast into a left-semi
+    hash join — the train shingle stream (the corpus-sized side) never
+    crosses an exchange. At 100 TB this is the difference between
+    shuffling every training token and shuffling nothing."""
+    df = dedup_suite.dedup_decontaminate(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # no SortMergeJoin/ShuffledHashJoin semi anywhere: the only joins are
+    # the broadcast semi + the tiny per-source totals/hits join
+    assert "SortMergeJoin LeftSemi" not in plan
+    assert "ShuffledHashJoin LeftSemi" not in plan
+    assert not pi.has_cartesian(df)
