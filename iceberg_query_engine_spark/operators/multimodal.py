@@ -152,6 +152,17 @@ def encode_bmp(img) -> bytes:
     return header + info + pixel_data
 
 
+def encode_ppm(img) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as binary PPM (P6) — the
+    second codec-free format (public layout), used by the media-table
+    generator so the corpus exercises both decode branches."""
+    import numpy as np
+
+    img = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
 def resize_nearest(img, out_w: int, out_h: int):
     """Nearest-neighbor resize on a decoded (H, W, 3) array — pure
     numpy index mapping, the vectorized per-row kernel the pixel

@@ -10,6 +10,7 @@ mapInPandas plumbing.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,6 +18,31 @@ from pyspark.sql import functions as F
 
 from ..operators import multimodal
 from .tpch import tables
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+MEDIA_DATA_ROOT = os.path.join(_REPO_ROOT, "data", "media")
+
+
+def ensure_media_data(spark: SparkSession, sf_dir: str) -> str:
+    """Path of the media table (real encoded BMP/PPM bytes in a BINARY
+    parquet column) for sf_dir's scale — committed for sf0.001/sf0.01,
+    generated deterministically (pure function of doc_id, distributed)
+    for larger scales. See sources/generator.generate_media."""
+    from ..sources.generator import generate_media
+
+    base = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(MEDIA_DATA_ROOT, base, "media.parquet")
+    if not os.path.exists(dest):
+        generate_media(
+            spark,
+            os.path.join(sf_dir, "documents.parquet"),
+            os.path.join(MEDIA_DATA_ROOT, base),
+        )
+    return dest
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(ensure_media_data(spark, sf_dir))
 
 
 def _payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,56 +259,50 @@ DECODE_SCHEMA = "doc_id long, width int, height int, sum_r long, sum_g long, sum
 
 
 def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image decode, end to end: per doc, build a 24-bit BMP file
-    (deterministic pixels), round-trip it through the pure-numpy codec
-    (encode_bmp → decode_image — actual BITMAPINFOHEADER parsing,
-    bottom-up row order, 4-byte row padding, BGR swap), and aggregate
-    exact per-channel pixel sums. The oracle recomputes the sums from
-    the pixel definition in closed form, so any decode bug (stride,
-    origin, channel order) breaks the hash match.
+    """REAL image decode over a REAL binary parquet column: scan the
+    committed media table (`data/media/<sf>/media.parquet` — genuine
+    BMP and PPM files in a BINARY column, see generate_media), decode
+    each payload through the pure-numpy codec (actual
+    BITMAPINFOHEADER/P6 parsing, bottom-up rows, stride padding, BGR
+    swap), and aggregate exact per-channel pixel sums. The oracle
+    recomputes the sums from the generator's pixel definition in
+    closed form, so any decode OR generation bug (stride, origin,
+    channel order, format dispatch) breaks the hash match.
 
     Pixels: W=8+doc_id%5, H=6+doc_id%4; R=(doc_id+x+y)%256,
-    G=(2*doc_id+3x)%256, B=(x*y+doc_id)%256.
+    G=(2*doc_id+3x)%256, B=(x*y+doc_id)%256. Even doc_ids are BMP,
+    odd are PPM — both decode branches run on every batch.
 
-    Scale: mapInPandas, one Arrow batch per core; pixels never leave
-    the executor (only 6 small columns come back) — same
-    never-shuffle-pixels contract as the rest of the suite. Compressed
-    formats still require a codec lib (decode_image falls back to
-    Pillow / NotImplementedError — documented)."""
+    Scale: the doc_id<100 predicate is PUSHED to the parquet scan
+    (row-group pruning skips payload bytes of non-matching groups —
+    pinned); decode is mapInPandas, one Arrow batch per core; pixels
+    never leave the executor (only 6 small columns come back)."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    (documents,) = tables(spark, sf_dir, "documents")
-    ids = documents.filter(F.col("doc_id") < 100).select("doc_id")
+    media = _media(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        "doc_id", "payload", "width", "height"
+    )
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 + d % 5, 6 + d % 4
-                x = np.arange(w)[None, :]
-                y = np.arange(h)[:, None]
-                img = np.stack(
-                    [
-                        (d + x + y) % 256,
-                        (2 * d + 3 * x + 0 * y) % 256,
-                        (x * y + d) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
-                decoded = multimodal.decode_image(multimodal.encode_bmp(img))
-                assert decoded.shape == (h, w, 3)
-                out["doc_id"].append(d)
-                out["width"].append(w)
-                out["height"].append(h)
+            for doc_id, payload, w, h in zip(
+                pdf["doc_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                decoded = multimodal.decode_image(bytes(payload))
+                # metadata columns must agree with the actual bytes
+                assert decoded.shape == (int(h), int(w), 3)
+                out["doc_id"].append(int(doc_id))
+                out["width"].append(int(w))
+                out["height"].append(int(h))
                 out["sum_r"].append(int(decoded[:, :, 0].astype(np.int64).sum()))
                 out["sum_g"].append(int(decoded[:, :, 1].astype(np.int64).sum()))
                 out["sum_b"].append(int(decoded[:, :, 2].astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(run, DECODE_SCHEMA).orderBy("doc_id")
+    return media.mapInPandas(run, DECODE_SCHEMA).orderBy("doc_id")
 
 
 MM_DECODE_STATS_SQL = """
@@ -311,41 +331,32 @@ def mm_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-neighbor resize to 4x4 → exact channel sums of the resized
     image. Nearest-neighbor picks source pixel (x*w//4, y*h//4) for
     output (x, y) — deterministic index math the oracle reproduces, so
-    a resize bug (axis swap, rounding mode) breaks the hash."""
+    a resize bug (axis swap, rounding mode) breaks the hash. Reads the
+    media table's BINARY column (decode from committed bytes, both BMP
+    and PPM branches)."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    (documents,) = tables(spark, sf_dir, "documents")
-    ids = documents.filter(F.col("doc_id") < 100).select("doc_id")
+    media = _media(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        "doc_id", "payload"
+    )
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "sum_r", "sum_g", "sum_b")}
-            for doc_id in pdf["doc_id"]:
-                d = int(doc_id)
-                w, h = 8 + d % 5, 6 + d % 4
-                x = np.arange(w)[None, :]
-                y = np.arange(h)[:, None]
-                img = np.stack(
-                    [
-                        (d + x + y) % 256,
-                        (2 * d + 3 * x + 0 * y) % 256,
-                        (x * y + d) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 small = multimodal.resize_nearest(
-                    multimodal.decode_image(multimodal.encode_bmp(img)), 4, 4
+                    multimodal.decode_image(bytes(payload)), 4, 4
                 )
                 assert small.shape == (4, 4, 3)
-                out["doc_id"].append(d)
+                out["doc_id"].append(int(doc_id))
                 out["sum_r"].append(int(small[:, :, 0].astype(np.int64).sum()))
                 out["sum_g"].append(int(small[:, :, 1].astype(np.int64).sum()))
                 out["sum_b"].append(int(small[:, :, 2].astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(
+    return media.mapInPandas(
         run, "doc_id long, sum_r long, sum_g long, sum_b long"
     ).orderBy("doc_id")
 
@@ -387,32 +398,22 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: hashing is map-only (pixels never shuffle — 8 bytes per
     image cross the exchange); the group-by is a tiny aggregate. The
     standard near-dup image pipeline (dHash → hamming buckets) at any
-    corpus size."""
+    corpus size. Reads the media table's BINARY column."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
 
-    (documents,) = tables(spark, sf_dir, "documents")
-    ids = documents.filter(F.col("doc_id") < 100).select("doc_id")
+    media = _media(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        "doc_id", "payload"
+    )
 
     def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             out = {"doc_id": [], "dhash": []}
-            for doc_id in pdf["doc_id"]:
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 d = int(doc_id)
-                w, h = 8 + d % 5, 6 + d % 4
-                x = np.arange(w)[None, :]
-                y = np.arange(h)[:, None]
-                img = np.stack(
-                    [
-                        (d + x + y) % 256,
-                        (2 * d + 3 * x + 0 * y) % 256,
-                        (x * y + d) % 256,
-                    ],
-                    axis=-1,
-                ).astype(np.uint8)
                 px = multimodal.resize_nearest(
-                    multimodal.decode_image(multimodal.encode_bmp(img)), 8, 8
+                    multimodal.decode_image(bytes(payload)), 8, 8
                 ).astype(np.int64)
                 gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
                 bits = gray[:, :-1] > gray[:, 1:]  # 8 rows x 7 comparisons
@@ -424,7 +425,7 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["dhash"].append(hval)
             yield pd.DataFrame(out)
 
-    hashed = ids.mapInPandas(run, "doc_id long, dhash long")
+    hashed = media.mapInPandas(run, "doc_id long, dhash long")
     return (
         hashed.groupBy("dhash")
         .agg(
@@ -538,7 +539,56 @@ ORDER BY doc_id, seg_start
 """
 
 
+def mm_media_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only media inventory: per mime type, file count, total
+    pixels, and total encoded bytes — WITHOUT touching the payload
+    column. The scan's ReadSchema must exclude `payload` (pinned in
+    tests/test_plans.py): at 100 TB of media, cataloging that reads
+    the bytes is a 1000× overscan, so column pruning on BINARY columns
+    is the property this query exists to exercise.
+
+    `size_bytes` is derived from the typed metadata alone
+    (width/height/mime) via the exact container formulas (BMP: 54-byte
+    headers + 4-byte-aligned rows; PPM: text header + 3wh). The oracle
+    instead sums DuckDB's octet_length over the REAL payload bytes —
+    so the driver's hash compare proves the formulas match the
+    committed files byte-for-byte, while the Spark side demonstrably
+    never reads them."""
+    media = _media(spark, sf_dir)
+    bmp_size = 54 + (((3 * F.col("width") + 3) / 4).cast("long") * 4) * F.col("height")
+    ppm_size = (
+        8
+        + F.length(F.concat_ws(" ", F.col("width"), F.col("height")))
+        + 3 * F.col("width") * F.col("height")
+    )
+    size = F.when(F.col("mime") == "image/bmp", bmp_size).otherwise(ppm_size)
+    return (
+        media.select("mime", "width", "height", size.alias("sz"))
+        .groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(F.col("width").cast("long") * F.col("height")).alias("total_px"),
+            F.sum("sz").cast("bigint").alias("size_bytes"),
+        )
+        .orderBy("mime")
+    )
+
+
+def _mm_media_catalog_sql(sf_dir_base: str = "sf0.01") -> str:
+    media_path = os.path.join(MEDIA_DATA_ROOT, sf_dir_base, "media.parquet")
+    return f"""
+SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(width * height) AS BIGINT) AS total_px,
+       CAST(SUM(octet_length(payload)) AS BIGINT) AS size_bytes
+FROM '{media_path}' GROUP BY mime ORDER BY mime
+"""
+
+
+MM_MEDIA_CATALOG_SQL = _mm_media_catalog_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "mm_media_catalog": mm_media_catalog,
     "mm_metadata": mm_metadata,
     "mm_audio_energy": mm_audio_energy,
     "mm_scene_cuts": mm_scene_cuts,
@@ -553,6 +603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "mm_media_catalog": MM_MEDIA_CATALOG_SQL,
     "mm_metadata": MM_METADATA_SQL,
     "mm_audio_energy": MM_AUDIO_ENERGY_SQL,
     "mm_scene_cuts": MM_SCENE_CUTS_SQL,

@@ -323,3 +323,28 @@ def test_decontaminate_broadcasts_eval_side(spark, sf):
     assert "SortMergeJoin LeftSemi" not in plan
     assert "ShuffledHashJoin LeftSemi" not in plan
     assert not pi.has_cartesian(df)
+
+
+def test_media_catalog_never_reads_payload(spark, sf):
+    """Binary-column pruning: the media inventory derives sizes from
+    typed metadata, so the parquet scan's ReadSchema must EXCLUDE the
+    payload column — at 100 TB of media the difference between a
+    metadata-only catalog pass and a full-corpus byte scan."""
+    from iceberg_query_engine_spark.queries import multimodal_suite as mm
+
+    df = mm.mm_media_catalog(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert "media.parquet" in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    assert schemas and all("payload" not in s for s in schemas), schemas
+
+
+def test_decode_stats_pushes_id_filter_to_media_scan(spark, sf):
+    """The doc_id predicate reaches the media parquet scan, so
+    row-group pruning can skip payload bytes of non-matching groups."""
+    from iceberg_query_engine_spark.queries import multimodal_suite as mm
+
+    df = mm.mm_decode_stats(spark, sf)
+    assert pi.has_pushed_filter(df, "LessThan(doc_id,100)")
