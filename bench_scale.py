@@ -56,6 +56,12 @@ def main() -> int:
         "--prefer-hash", action="store_true",
         help="prefer shuffled-hash joins over sort-merge (uniform-key corpora)",
     )
+    p.add_argument(
+        "--layout", choices=["flat", "bucketed"], default="bucketed",
+        help="bucketed = fact tables as co-located bucketed catalog tables "
+        "+ CBO column stats (the deployment layout; q9's winning shape); "
+        "flat = plain temp views over the parquet directories",
+    )
     args = p.parse_args()
 
     # The engine's own session factory + size-aware tuner: bench_scale
@@ -81,7 +87,16 @@ def main() -> int:
     gen_s = time.perf_counter() - t0
     applied = tune_for_corpus(spark, data_dir, cpus=args.cpus)
     print(f"tune_for_corpus: {applied}", file=sys.stderr)
-    tpch_full._register(spark, data_dir)
+    if args.layout == "bucketed":
+        t0 = time.perf_counter()
+        db = tpch_full.register_catalog_layout(spark, data_dir, sf_name)
+        print(
+            f"layout: bucketed catalog db={db} "
+            f"(register+analyze took {time.perf_counter() - t0:.1f}s)",
+            file=sys.stderr,
+        )
+    else:
+        tpch_full._register(spark, data_dir)
     rows = {
         t: spark.table(t).count() for t in ("lineitem", "orders", "partsupp")
     }
@@ -115,6 +130,7 @@ def main() -> int:
         "rows": rows,
         "cpus": args.cpus,
         "join_strategy": "shuffled-hash-preferred" if args.prefer_hash else "smj",
+        "layout": args.layout,
     }
     print(json.dumps(out))
     return 0

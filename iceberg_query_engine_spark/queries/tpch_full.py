@@ -91,6 +91,92 @@ def _register(spark: SparkSession, data_dir: str) -> None:
         spark.read.parquet(os.path.join(data_dir, f"{t}.parquet")).createOrReplaceTempView(t)
 
 
+# Storage-partitioned (bucketed) deployment layout: the fact tables a
+# 100 TB warehouse co-locates on their join keys. lineitem/orders
+# bucket on the orderkey (the 1:N fact-fact join q3/q4/q9/q12/q18/q21
+# hit); partsupp buckets on its compound PK, which lineitem meets with
+# (l_suppkey, l_partkey) in q9.
+BUCKET_SPECS: dict[str, list[str]] = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey"],
+    "partsupp": ["ps_suppkey", "ps_partkey"],
+}
+
+
+def register_catalog_layout(
+    spark: SparkSession,
+    data_dir: str,
+    sf_name: str,
+    buckets: int = 64,
+    analyze: bool = True,
+) -> str:
+    """Register the full schema as CATALOG tables — fact tables
+    bucketed+sorted on their join keys, dimensions external — and feed
+    the CBO with column statistics. Returns the database name (set as
+    current; temp views are dropped so the verbatim texts resolve to
+    the catalog tables).
+
+    This is the Spark answer to the reference's JoinReorder rule
+    (join_reorder.rs; CLAUDE.md's Q9 336 s → 2.4 s): instead of a
+    hand-built greedy order over in-memory hash joins, give Catalyst's
+    CBO real NDV/row statistics and a co-located storage layout, and
+    it reorders q9 to (lineitem ⋈ orders) first — an EXCHANGE-FREE
+    sort-merge join over co-bucketed scans — with the part runtime
+    bloom filter reaching the lineitem scan, leaving ONE big exchange
+    (the joined stream meeting bucketed partsupp). Measured at sf10:
+    the same shape a 1000-executor cluster wants, since bucketed scans
+    shard by bucket file.
+
+    Idempotent per process; the bucketed write happens once per
+    warehouse (re-registered from the existing files on later
+    sessions via CREATE TABLE ... CLUSTERED BY ... LOCATION).
+    """
+    db = f"tpch_{sf_name.replace('.', '_')}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for t in FULL_TABLES:
+        full = f"{db}.{t}"
+        if spark.catalog.tableExists(full):
+            continue
+        path = os.path.join(data_dir, f"{t}.parquet")
+        if t in BUCKET_SPECS:
+            cols = BUCKET_SPECS[t]
+            warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix(
+                "file:"
+            )
+            loc = os.path.join(warehouse, f"{db}.db", t)
+            src = spark.read.parquet(path)
+            if os.path.isdir(loc) and any(
+                f.endswith(".parquet") for f in os.listdir(loc)
+            ):
+                # files from a prior session: re-attach with the bucket spec
+                ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+                spark.sql(
+                    f"CREATE TABLE {full} ({ddl}) USING parquet "
+                    f"CLUSTERED BY ({', '.join(cols)}) "
+                    f"SORTED BY ({', '.join(cols)}) INTO {buckets} BUCKETS "
+                    f"LOCATION '{loc}'"
+                )
+            else:
+                # one file per bucket so sorted-bucket scans stay sorted
+                (
+                    src.repartition(buckets, *cols)
+                    .write.bucketBy(buckets, *cols)
+                    .sortBy(*cols)
+                    .saveAsTable(full)
+                )
+        else:
+            spark.sql(f"CREATE TABLE {full} USING parquet LOCATION '{path}'")
+        if analyze:
+            spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.catalog.setCurrentDatabase(db)
+    for t in FULL_TABLES:
+        try:
+            spark.catalog.dropTempView(t)
+        except Exception:
+            pass
+    return db
+
+
 def _run(n: int):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         _register(spark, ensure_full_data(spark, sf_dir))

@@ -1,0 +1,87 @@
+"""Plan pin for q9's storage-partitioned shape (r4 verdict #1).
+
+Over the bucketed catalog layout (register_catalog_layout) with CBO
+column stats, the verbatim q9 text must plan to the shape measured
+fastest at sf10:
+
+- runtime bloom filters (might_contain) reach AT LEAST TWO fact scans
+  (lineitem + partsupp), i.e. the part predicate prunes the fact reads;
+- lineitem joins orders with NO exchange on either side (co-bucketed
+  scan-to-scan sort-merge join);
+- at most ONE exchange carries fact-scale data (the joined stream
+  meeting bucketed partsupp) — the remaining exchanges are the
+  aggregation/sort/bloom singletons.
+
+The test mimics sf10's RELATIVE sizes at sf0.1 by shrinking the
+broadcast and bloom thresholds (at sf0.1's absolute sizes everything
+would broadcast and nothing would bloom — the same reason
+tune_for_corpus scales thresholds by corpus bytes).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from iceberg_query_engine_spark.queries import tpch_full
+
+
+@pytest.fixture(scope="module")
+def bucketed_q9_plan(spark):
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.expectedNumItems",
+        )
+    }
+    data_dir = tpch_full.ensure_full_data(spark, "/root/testdata/sf0.1")
+    tpch_full.register_catalog_layout(spark, data_dir, "sf0.1", buckets=16)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1 << 20))
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "8m"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "64KB",
+        )
+        df = spark.sql(tpch_full.QUERY_TEXTS[9])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        yield plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.catalog.setCurrentDatabase("default")
+
+
+def test_q9_runtime_filters_reach_two_fact_scans(bucketed_q9_plan):
+    scans_with_bloom = re.findall(
+        r"might_contain", bucketed_q9_plan
+    )
+    assert len(scans_with_bloom) >= 2, bucketed_q9_plan
+
+
+def test_q9_lineitem_orders_join_is_exchange_free(bucketed_q9_plan):
+    """The SMJ on l_orderkey/o_orderkey reads both bucketed scans
+    directly: no hash exchange on the orderkey exists anywhere in the
+    plan (the only Exchanges are the joined-stream→partsupp hash, the
+    aggregation/sort repartitions, and the bloom build's
+    SinglePartition)."""
+    plan = bucketed_q9_plan
+    assert re.search(r"SortMergeJoin \[l_orderkey[^\]]*\], \[o_orderkey", plan), plan
+    assert not re.search(r"Exchange hashpartitioning\(l_orderkey", plan), plan
+    assert not re.search(r"Exchange hashpartitioning\(o_orderkey", plan), plan
+    # both fact scans are bucketed scans, every bucket selected
+    assert plan.count("Bucketed: true") >= 3, plan  # lineitem, orders, partsupp
+
+
+def test_q9_single_fact_exchange(bucketed_q9_plan):
+    """Exchanges in the final plan: joined-stream→partsupp (1), the
+    two aggregation/sort exchanges, and the bloom's SinglePartition —
+    no second fact-scale hash exchange (the flat layout has three)."""
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", bucketed_q9_plan)
+    assert len(hash_exchanges) <= 2, bucketed_q9_plan  # joined stream + partial agg

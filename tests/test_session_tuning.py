@@ -12,13 +12,12 @@ def test_corpus_bytes_counts_parquet(sf_oracle):
     assert n > 100_000  # sf0.01 corpus is several MB of parquet
 
 
-def test_small_corpus_scales_bloom_only(spark, sf_oracle):
+def test_small_corpus_untouched(spark, sf_oracle):
     before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     applied = S.tune_for_corpus(spark, sf_oracle)
-    # sub-GB corpus: bloom thresholds floor at 10 MB, broadcast and
-    # partition levers untouched (stock already broadcasts every dim)
-    assert applied["spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"] == str(10 * 1024 * 1024)
-    assert "spark.sql.autoBroadcastJoinThreshold" not in applied
+    # sub-GB corpus: stock confs already behave right (measured: firing
+    # blooms on ~10 MB scans costs more than it saves) — no changes
+    assert applied == {}
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
 
 
@@ -31,7 +30,7 @@ def test_large_corpus_engages_all_levers(spark, sf_oracle, monkeypatch):
         # ~5% of 20 GB = 1 GB
         assert applied[
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
-        ] == str((20 << 30) // 20)
+        ] == str(max((20 << 30) // 20, 64 * 1024 * 1024))
     finally:  # restore test-session confs
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
