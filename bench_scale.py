@@ -46,6 +46,75 @@ import sys
 import time
 
 
+PIPELINE_OPS = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_decontaminate",
+    "dedup_clusters",
+    "sim_brute_topk",
+    "sim_ivf_topk",
+    "sim_lsh_topk",
+    "sim_recall_eval",
+    "text_stats",
+    "text_tfidf",
+    "text_repetition",
+    "op_train_shards",
+    "op_mixture_weights",
+]
+
+
+def pipeline_bench(args) -> int:
+    """Time the headline pipeline ops at data/gen/sf{N} scale (50k docs
+    per sf unit — sf1 = the r4 10x point, sf10 = 500k docs / 10M events,
+    the corpus the sf100 TPC-H point pairs with). Medians of --repeat;
+    all samples kept. This sweep exists to expose superlinear ops the
+    toy scales hide (it caught sim_ivf_topk's O(n^2) centroid bug)."""
+    import statistics
+
+    from iceberg_query_engine_spark.queries.catalog import all_queries
+    from iceberg_query_engine_spark.session import get_spark, tune_for_corpus
+    from iceberg_query_engine_spark.sources.generator import generate_tpch
+
+    spark = get_spark(
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=2 * args.cpus,
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_name = f"sf{args.sf:g}"
+    gen_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "gen", sf_name)
+    if not os.path.exists(os.path.join(gen_dir, "documents.parquet")):
+        t0 = time.perf_counter()
+        generate_tpch(spark, args.sf, gen_dir)
+        print(f"generated {gen_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    tune_for_corpus(spark, gen_dir, cpus=args.cpus)
+    n_docs = spark.read.parquet(os.path.join(gen_dir, "documents.parquet")).count()
+    queries = all_queries()
+    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    for name in PIPELINE_OPS:
+        runs = []
+        for _ in range(args.repeat):
+            t1 = time.perf_counter()
+            queries[name](spark, gen_dir).collect()
+            runs.append(round(time.perf_counter() - t1, 3))
+        samples[name] = runs
+        timings[name] = round(statistics.median(runs), 3)
+        print(f"{name:>22}: median {timings[name]:8.2f} s  runs={runs}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"pipeline_ops_{sf_name}",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "samples": samples,
+        "sf": args.sf,
+        "n_docs": n_docs,
+        "cpus": args.cpus,
+    }))
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--sf", type=float, default=10.0)
@@ -62,7 +131,16 @@ def main() -> int:
         "+ CBO column stats (the deployment layout; q9's winning shape); "
         "flat = plain temp views over the parquet directories",
     )
+    p.add_argument(
+        "--pipeline", action="store_true",
+        help="bench the LLM-pipeline ops instead of TPC-H: generates the "
+        "testdata-shaped corpus at data/gen/sf{N} (50k docs x N, 1M "
+        "events x N) and times the 14 headline dedup/sim/text/op queries "
+        "— the sf-scaling sweep that caught the IVF O(n^2) bug in r4",
+    )
     args = p.parse_args()
+    if args.pipeline:
+        return pipeline_bench(args)
 
     # The engine's own session factory + size-aware tuner: bench_scale
     # INHERITS session defaults (r4 verdict #2) — the winning sf10
