@@ -103,11 +103,31 @@ BUCKET_SPECS: dict[str, list[str]] = {
 }
 
 
+def pick_bucket_count(data_dir: str, floor: int = 64) -> int:
+    """Size-aware bucket count: target ~256 MB of lineitem parquet per
+    bucket file, floored at 64 and rounded to a power of two. sf10
+    (1.9 GB lineitem) stays at the measured-best 64; sf100 (~19 GB)
+    doubles to 128 so the one-file-per-bucket sorted write and the
+    per-bucket scan tasks keep the same ~constant rows-per-task a
+    cluster deployment targets, instead of growing with sf."""
+    path = os.path.join(data_dir, "lineitem.parquet")
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    elif os.path.exists(path):
+        total = os.path.getsize(path)
+    buckets = floor
+    while buckets * 256 * 1024 * 1024 < total:
+        buckets *= 2
+    return buckets
+
+
 def register_catalog_layout(
     spark: SparkSession,
     data_dir: str,
     sf_name: str,
-    buckets: int = 64,
+    buckets: int | None = None,
     analyze: bool = True,
 ) -> str:
     """Register the full schema as CATALOG tables — fact tables
@@ -131,6 +151,8 @@ def register_catalog_layout(
     warehouse (re-registered from the existing files on later
     sessions via CREATE TABLE ... CLUSTERED BY ... LOCATION).
     """
+    if buckets is None:
+        buckets = pick_bucket_count(data_dir)
     db = f"tpch_{sf_name.replace('.', '_')}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     for t in FULL_TABLES:
@@ -145,10 +167,17 @@ def register_catalog_layout(
             )
             loc = os.path.join(warehouse, f"{db}.db", t)
             src = spark.read.parquet(path)
-            if os.path.isdir(loc) and any(
-                f.endswith(".parquet") for f in os.listdir(loc)
-            ):
-                # files from a prior session: re-attach with the bucket spec
+            existing = (
+                [f for f in os.listdir(loc) if f.endswith(".parquet")]
+                if os.path.isdir(loc)
+                else []
+            )
+            if existing:
+                # Files from a prior session: re-attach with the bucket
+                # spec they were WRITTEN with (one file per bucket, so
+                # the file count is the bucket count) — a mismatched
+                # declared count would silently mis-bucket every join.
+                buckets = len(existing)
                 ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
                 spark.sql(
                     f"CREATE TABLE {full} ({ddl}) USING parquet "

@@ -115,11 +115,28 @@ def tune_for_corpus(spark: SparkSession, data_dir: str, cpus: int | None = None)
     - ``shuffle.partitions`` = 2× cores (AQE coalesces down) — ~1M
       fact rows per task at sf10, the same rows-per-task a cluster
       deployment targets.
+    - ``files.maxPartitionBytes`` targeting ~3 scan splits per core
+      over the corpus's largest table (clamp [16 MB, 128 MB]): the
+      stock 128 MB under-splits mid-size corpora (sf10's 1.9 GB
+      lineitem → ~15 tasks on 32 cores, half the machine idle in
+      q1/q6); at 100 TB the clamp returns it to the stock default.
 
     Returns the conf dict it applied (for logging/tests).
     """
     total = corpus_bytes(data_dir)
     conf: dict[str, str] = {}
+    n_cpus = int(cpus or DEFAULT_CPUS)
+    if total >= 1 << 28:
+        # Scan parallelism: the stock 128 MB maxPartitionBytes gives a
+        # 1.9 GB sf10 lineitem only ~15 scan tasks on 32 cores — half
+        # the machine idles through q1/q6. Target ~3 splits per core
+        # over the corpus's LARGEST table (~40% of corpus bytes for
+        # TPC-H), clamped to [16 MB, 128 MB]. At sf100 (and at 100 TB)
+        # this converges back to the stock 128 MB; it only kicks in on
+        # corpora small enough to under-split. Parquet is row-group
+        # splittable, so this works regardless of file layout.
+        split = max(16 * 1024 * 1024, min(128 * 1024 * 1024, (total * 2 // 5) // (3 * n_cpus)))
+        conf["spark.sql.files.maxPartitionBytes"] = str(split)
     if total >= 1 << 30:
         # ~5% of corpus, floored at 64 MB: at sf10 (2.5 GB) this is the
         # measured-best ~125 MB; at 100 TB it converges on the stock
@@ -133,7 +150,18 @@ def tune_for_corpus(spark: SparkSession, data_dir: str, cpus: int | None = None)
                 scaled
             ),
             "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
-            "spark.sql.shuffle.partitions": str(2 * int(cpus or DEFAULT_CPUS)),
+            "spark.sql.shuffle.partitions": str(2 * n_cpus),
+            # AQE-idiomatic scaling past sf10: start shuffles at
+            # ~64 MB-of-corpus per partition (floored at 2x cores) and
+            # let AQE coalesce down per-stage. At sf10 this equals
+            # 2x cores (no behavior change vs the measured config); at
+            # sf100 it stops 600M-row exchanges landing 9M rows per
+            # task; on a real cluster it grows with the data exactly
+            # like shuffle.partitions should.
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+                max(2 * n_cpus, total // (64 * 1024 * 1024))
+            ),
+            **conf,
         }
     for k, v in conf.items():
         spark.conf.set(k, v)

@@ -85,3 +85,21 @@ def test_q9_single_fact_exchange(bucketed_q9_plan):
     no second fact-scale hash exchange (the flat layout has three)."""
     hash_exchanges = re.findall(r"Exchange hashpartitioning", bucketed_q9_plan)
     assert len(hash_exchanges) <= 2, bucketed_q9_plan  # joined stream + partial agg
+
+
+def test_pick_bucket_count_scales_with_lineitem_bytes(tmp_path):
+    """64 buckets up to ~16 GB of lineitem (sf10 keeps the measured-best
+    64); past 256 MB/bucket the count doubles (sf100 ~19 GB -> 128)."""
+    from iceberg_query_engine_spark.queries.tpch_full import pick_bucket_count
+
+    li = tmp_path / "lineitem.parquet"
+    li.mkdir()
+    probe = li / "part-00000.parquet"
+
+    probe.write_bytes(b"\0" * 1024)  # tiny corpus: floor
+    assert pick_bucket_count(str(tmp_path)) == 64
+
+    # fake a 19 GB corpus with a sparse file (no disk actually used)
+    with open(probe, "wb") as f:
+        f.truncate(19 * 1024**3)
+    assert pick_bucket_count(str(tmp_path)) == 128

@@ -31,6 +31,26 @@ def test_large_corpus_engages_all_levers(spark, sf_oracle, monkeypatch):
         assert applied[
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         ] == str(max((20 << 30) // 20, 64 * 1024 * 1024))
+        # scan-split lever: ~3 splits/core over the largest table
+        # ((20 GB * 2/5) / 96 ≈ 85 MB, inside the [16M,128M] clamp)
+        assert applied["spark.sql.files.maxPartitionBytes"] == str(
+            ((20 << 30) * 2 // 5) // 96
+        )
     finally:  # restore test-session confs
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
+
+
+def test_sf10_corpus_floors_split_at_16m(spark, sf_oracle, monkeypatch):
+    """sf10 (~2.5 GB corpus): the 3-splits-per-core target lands below
+    the 16 MB floor — 1.9 GB lineitem / 16 MB ≈ 120 scan tasks instead
+    of the stock ~15, so q1/q6 use all 32 cores."""
+    monkeypatch.setattr(S, "corpus_bytes", lambda d: int(2.5 * (1 << 30)))
+    applied = S.tune_for_corpus(spark, sf_oracle, cpus=32)
+    try:
+        assert applied["spark.sql.files.maxPartitionBytes"] == str(16 * 1024 * 1024)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
