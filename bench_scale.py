@@ -153,6 +153,14 @@ def main() -> int:
         extra_conf={
             "spark.sql.join.preferSortMergeJoin": str(not args.prefer_hash).lower(),
             "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+            # zstd shuffle/spill compression (static conf, so set at
+            # session creation): ~2-3x denser than the stock lz4 on this
+            # text-heavy schema. At sf100 the fact-scale exchanges
+            # (q5/q9/q10) write tens of GB of transient shuffle —
+            # past this VM's free disk under lz4 — and on a cluster the
+            # same ratio is bandwidth saved. The CPU cost is noise at
+            # these shuffle sizes.
+            "spark.io.compression.codec": "zstd",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -163,7 +171,11 @@ def main() -> int:
     t0 = time.perf_counter()
     data_dir = tpch_full.ensure_full_data(spark, sf_name)
     gen_s = time.perf_counter() - t0
-    applied = tune_for_corpus(spark, data_dir, cpus=args.cpus)
+    warehouse_db = os.path.dirname(tpch_full.warehouse_table_dir(sf_name, "lineitem"))
+    applied = tune_for_corpus(
+        spark, data_dir, cpus=args.cpus,
+        extra_dirs=[warehouse_db] if os.path.isdir(warehouse_db) else None,
+    )
     print(f"tune_for_corpus: {applied}", file=sys.stderr)
     if args.layout == "bucketed":
         t0 = time.perf_counter()

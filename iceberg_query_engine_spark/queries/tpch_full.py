@@ -34,6 +34,7 @@ uniform by construction. See SCALE.md §TPC-H.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -68,21 +69,51 @@ def sf_of(sf_dir: str) -> float:
     return 0.01
 
 
+def warehouse_table_dir(sf_name: str, table: str) -> str:
+    """Path of a fact table's bucketed warehouse copy (may not exist)."""
+    warehouse = os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/sg_warehouse")
+    db = f"tpch_{sf_name.replace('.', '_')}"
+    return os.path.join(warehouse, f"{db}.db", table)
+
+
+def _warehouse_has(sf_name: str, table: str) -> bool:
+    loc = warehouse_table_dir(sf_name, table)
+    return os.path.isdir(loc) and any(
+        f.endswith(".parquet") for f in os.listdir(loc)
+    )
+
+
 def ensure_full_data(spark: SparkSession, sf_dir: str) -> str:
     """Return the full-schema data dir for sf_dir's scale, generating it
     (deterministically) if absent. sf0.001/sf0.01 ship committed in the
-    repo, so the driver never generates."""
+    repo, so the driver never generates.
+
+    A fact table counts as present if its bucketed warehouse copy
+    exists even when the flat parquet doesn't: at bench scale the flat
+    fact files are reclaimed once the catalog layout is built (sf100's
+    flat+bucketed facts together exceed this VM's disk), and only the
+    genuinely missing tables are regenerated."""
     base = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(FULL_DATA_ROOT, base)
-    if all(
-        os.path.exists(os.path.join(out, f"{t}.parquet")) for t in FULL_TABLES
-    ):
+    missing = {
+        t
+        for t in FULL_TABLES
+        if not os.path.exists(os.path.join(out, f"{t}.parquet"))
+        and not (t in BUCKET_SPECS and _warehouse_has(base, t))
+    }
+    if not missing:
         return out
     sf = sf_of(sf_dir)
     # Driver-side single-file concat only for the small committed
     # corpora (<= sf0.1); bench-scale corpora keep Spark's distributed
     # directory output (generator docstring; threshold aligned ADVICE r4).
-    generate_tpch_full(spark, sf, out, single_file=sf <= 0.1)
+    generate_tpch_full(
+        spark,
+        sf,
+        out,
+        single_file=sf <= 0.1,
+        only=missing if missing != set(FULL_TABLES) else None,
+    )
     return out
 
 
@@ -101,6 +132,32 @@ BUCKET_SPECS: dict[str, list[str]] = {
     "orders": ["o_orderkey"],
     "partsupp": ["ps_suppkey", "ps_partkey"],
 }
+
+# Above this size the bucketed write skips the one-file-per-bucket
+# repartition: the exchange needs ~2x the table's parquet bytes in
+# transient shuffle disk, which neither this VM nor a sane ingest
+# pipeline pays for a layout nicety (see the write path below).
+BUCKET_SHUFFLE_MAX_BYTES = 8 << 30
+
+
+def _table_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+        return total
+    return os.path.getsize(path) if os.path.exists(path) else 0
+
+
+def _bucket_count_of(files: list[str]) -> int:
+    """Infer the bucket count a table was WRITTEN with from its file
+    names (`part-*-<uuid>_NNNNN.c000.*.parquet` — NNNNN is the bucket
+    id). Works for both one-file-per-bucket and shuffle-free
+    (multi-file-per-bucket) layouts, where len(files) would overcount."""
+    ids = [
+        int(m.group(1)) for f in files if (m := re.search(r"_(\d{5})\.c\d+", f))
+    ]
+    return (max(ids) + 1) if ids else len(files)
 
 
 def pick_bucket_count(data_dir: str, floor: int = 64) -> int:
@@ -166,7 +223,6 @@ def register_catalog_layout(
                 "file:"
             )
             loc = os.path.join(warehouse, f"{db}.db", t)
-            src = spark.read.parquet(path)
             existing = (
                 [f for f in os.listdir(loc) if f.endswith(".parquet")]
                 if os.path.isdir(loc)
@@ -174,21 +230,43 @@ def register_catalog_layout(
             )
             if existing:
                 # Files from a prior session: re-attach with the bucket
-                # spec they were WRITTEN with (one file per bucket, so
-                # the file count is the bucket count) — a mismatched
-                # declared count would silently mis-bucket every join.
-                buckets = len(existing)
-                ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields)
+                # spec they were WRITTEN with — a mismatched declared
+                # count would silently mis-bucket every join. Schema
+                # comes from the warehouse files themselves (the flat
+                # parquet may have been reclaimed).
+                buckets = _bucket_count_of(existing)
+                schema = spark.read.parquet(loc).schema
+                ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
                 spark.sql(
                     f"CREATE TABLE {full} ({ddl}) USING parquet "
                     f"CLUSTERED BY ({', '.join(cols)}) "
                     f"SORTED BY ({', '.join(cols)}) INTO {buckets} BUCKETS "
                     f"LOCATION '{loc}'"
                 )
-            else:
+            elif _table_bytes(path) <= BUCKET_SHUFFLE_MAX_BYTES:
                 # one file per bucket so sorted-bucket scans stay sorted
+                src = spark.read.parquet(path)
                 (
                     src.repartition(buckets, *cols)
+                    .write.bucketBy(buckets, *cols)
+                    .sortBy(*cols)
+                    .saveAsTable(full)
+                )
+            else:
+                # Big facts (sf100 lineitem = 19 GB parquet): the
+                # repartition exchange row-serializes the whole table
+                # (~2x parquet bytes of transient shuffle disk), which a
+                # single-disk bench box can't hold and a 1000-executor
+                # ingest wouldn't pay either. Write SHUFFLE-FREE: each
+                # input task buckets+sorts its own rows, yielding
+                # n_tasks files per bucket. Joins stay exchange-free
+                # (bucketed scan → one task per bucket); the only cost
+                # is an in-task merge sort before SMJ, which AQE-size
+                # tasks absorb. coalesce bounds the per-bucket file
+                # count without any shuffle.
+                src = spark.read.parquet(path)
+                (
+                    src.coalesce(2 * int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
                     .write.bucketBy(buckets, *cols)
                     .sortBy(*cols)
                     .saveAsTable(full)

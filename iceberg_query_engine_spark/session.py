@@ -91,7 +91,12 @@ def corpus_bytes(data_dir: str) -> int:
     return total
 
 
-def tune_for_corpus(spark: SparkSession, data_dir: str, cpus: int | None = None) -> dict:
+def tune_for_corpus(
+    spark: SparkSession,
+    data_dir: str,
+    cpus: int | None = None,
+    extra_dirs: list[str] | None = None,
+) -> dict:
     """Set size-aware runtime confs for a corpus — the levers the sf10
     config sweep proved out (BENCH_SCALE.md), promoted into the engine
     so ANY session gets them, not just the bench harness.
@@ -123,7 +128,12 @@ def tune_for_corpus(spark: SparkSession, data_dir: str, cpus: int | None = None)
 
     Returns the conf dict it applied (for logging/tests).
     """
-    total = corpus_bytes(data_dir)
+    # extra_dirs: additional storage roots that are part of the same
+    # corpus (e.g. the bucketed warehouse copies of fact tables whose
+    # flat parquet was reclaimed) — size thresholds must see them.
+    total = corpus_bytes(data_dir) + sum(
+        corpus_bytes(d) for d in (extra_dirs or [])
+    )
     conf: dict[str, str] = {}
     n_cpus = int(cpus or DEFAULT_CPUS)
     if total >= 1 << 28:

@@ -443,7 +443,11 @@ def _orderdate(orderkey_col):
 
 
 def generate_tpch_full(
-    spark: SparkSession, sf: float, out_dir: str, single_file: bool = True
+    spark: SparkSession,
+    sf: float,
+    out_dir: str,
+    single_file: bool = True,
+    only: set[str] | None = None,
 ) -> dict[str, int]:
     """Write the genuine 8-table TPC-H schema at scale factor `sf`.
 
@@ -468,6 +472,12 @@ def generate_tpch_full(
     n_ord = max(1, int(1_500_000 * sf))
 
     def write(df: DataFrame, name: str) -> int:
+        # `only` regenerates a subset (tables are independent pure
+        # functions of spark.range, so any subset is self-consistent) —
+        # used when a fact's flat parquet was reclaimed after its
+        # bucketed warehouse copy was built (tpch_full.ensure_full_data).
+        if only is not None and name not in only:
+            return -1
         dest = os.path.join(out_dir, f"{name}.parquet")
         if not single_file:
             df.write.mode("overwrite").parquet(dest)

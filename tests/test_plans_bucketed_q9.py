@@ -103,3 +103,17 @@ def test_pick_bucket_count_scales_with_lineitem_bytes(tmp_path):
     with open(probe, "wb") as f:
         f.truncate(19 * 1024**3)
     assert pick_bucket_count(str(tmp_path)) == 128
+
+
+def test_bucket_count_inferred_from_file_names():
+    """Re-attach must infer the WRITTEN bucket count from the _NNNNN
+    file-name suffix — with the shuffle-free multi-file-per-bucket
+    layout, len(files) overcounts (64 tasks x 128 buckets)."""
+    from iceberg_query_engine_spark.queries.tpch_full import _bucket_count_of
+
+    files = [
+        f"part-{t:05d}-deadbeef_{b:05d}.c000.snappy.parquet"
+        for t in range(4)
+        for b in range(128)
+    ]
+    assert _bucket_count_of(files) == 128
