@@ -203,6 +203,12 @@ def main() -> int:
         n = int(name.lstrip("q"))
         runs = []
         for _ in range(args.repeat):
+            # Force a JVM GC so ContextCleaner releases the previous
+            # query's shuffle/spill files NOW: with a 48g heap, GC is
+            # rare and finished-query shuffle files otherwise accumulate
+            # on disk across the suite (measured: 41 GB reclaimed by one
+            # GC at sf100 — the difference between finishing and ENOSPC).
+            spark.sparkContext._jvm.System.gc()
             t1 = time.perf_counter()
             spark.sql(tpch_full.QUERY_TEXTS[n]).collect()
             runs.append(round(time.perf_counter() - t1, 3))
