@@ -20,12 +20,14 @@ Methodology notes (learned profiling this VM):
   shuffling the 60M-row lineitem side to meet them (q5 41s -> 4.7s,
   q7 17s -> 5.2s). SMJ stays the default join for skew robustness;
   --prefer-hash switches to shuffled-hash for uniform-key corpora.
-- Runtime bloom-filter thresholds are scaled to the data: stock
-  applicationSideScanSizeThreshold=10GB means NO runtime filter ever
-  fires at sf10 (lineitem is 1.9GB) even though at the 100 TB design
-  point they all would. With creation<=100m/application>=100m, q9's
-  part filter reaches the partsupp+orders scans (21.9s -> ~9s) and
-  q17 collapses 4.9s -> 1.1s.
+- Runtime bloom-filter APPLICATION-side threshold is scaled to the
+  data: stock applicationSideScanSizeThreshold=10GB means NO runtime
+  filter ever fires at sf10 (lineitem is 1.9GB) even though at the
+  100 TB design point they all would (q17 4.9s -> 1.1s when they do).
+  The CREATION-side threshold stays at the stock 10MB: the sf100
+  sweep showed that scaling it admits month-filtered lineitem
+  subtrees (600M-row rescans) as bloom builders for 40x smaller
+  scans — q14 44s -> 4-7s, q21 60s -> 24-44s once capped.
 - 24g heap (compressed oops stay enabled), 64 shuffle partitions
   (~1M lineitem rows per task), AQE on (runtime coalesce + skew).
 

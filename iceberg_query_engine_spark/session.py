@@ -109,14 +109,24 @@ def tune_for_corpus(
       broadcast instead of shuffling the fact side to meet them —
       q5 went 41.4 s → 4.7 s at sf10 on exactly this. Below 1 GB the
       stock 10 MB already broadcasts every dimension, so stay put.
-    - runtime bloom-filter thresholds scaled to the corpus: the stock
-      application-side threshold (10 GB) assumes TB-scale scans — at
-      100 TB the filters fire out of the box, but on any corpus under
-      10 GB they NEVER fire even when they'd pay for themselves.
-      Scaling both thresholds to ~5% of corpus bytes (floored at the
-      stock creation-side 10 MB) restores the design point: q9's part
-      filter reaches the partsupp/orders scans (21.9 s → ~9 s), q17
-      collapses 4.9 s → 1.1 s.
+    - runtime bloom-filter APPLICATION-side threshold scaled to the
+      corpus: the stock 10 GB assumes TB-scale scans — at 100 TB the
+      filters fire out of the box, but on any corpus under 10 GB they
+      NEVER fire even when they'd pay for themselves. ~5% of corpus
+      bytes restores the design point (q17 4.9 s → 1.1 s at sf10).
+      The CREATION-side threshold stays at Spark's stock 10 MB and is
+      deliberately NOT scaled: it bounds the cost of the extra scan
+      that builds the filter — an absolute cost, not corpus-relative.
+      Scaling it linearly was the r4 rule, and the sf100 sweep showed
+      it admitting month-filtered *lineitem* subtrees (output est
+      128-512 MB, but a 600M-row rescan underneath) as creation sides
+      to filter 40x smaller part/orders scans: q14 ran 69x the sf10
+      wall (44 s; 4-7 s without the bloom), q21 59.8 s vs 24-44 s,
+      q12/q5/q8 similar. A size-of-output threshold cannot see the
+      scan cost below the creation side, so only genuinely small
+      (dimension-filter) creation sides are safe — which is exactly
+      what the stock 10 MB expresses, and q17's beneficial bloom
+      still fires under it at every sf measured.
     - ``shuffle.partitions`` = 2× cores (AQE coalesces down) — ~1M
       fact rows per task at sf10, the same rows-per-task a cluster
       deployment targets.
@@ -148,14 +158,16 @@ def tune_for_corpus(
         split = max(16 * 1024 * 1024, min(128 * 1024 * 1024, (total * 2 // 5) // (3 * n_cpus)))
         conf["spark.sql.files.maxPartitionBytes"] = str(split)
     if total >= 1 << 30:
-        # ~5% of corpus, floored at 64 MB: at sf10 (2.5 GB) this is the
-        # measured-best ~125 MB; at 100 TB it converges on the stock
-        # defaults' design point. Below 1 GB the stock thresholds stay —
-        # measured at sf0.1, firing blooms on a 10 MB scan costs ~0.3 s
-        # of filter-build per query and saves nothing.
+        # Application side ~5% of corpus, floored at 64 MB: scans big
+        # enough to be worth filtering, corpus-relative; at 100 TB it
+        # converges on the stock 10 GB design point. Below 1 GB the
+        # stock thresholds stay — measured at sf0.1, firing blooms on a
+        # 10 MB scan costs ~0.3 s of filter-build per query and saves
+        # nothing. Creation side: stock 10 MB, deliberately untouched
+        # (see docstring — scaling it let fact-rescan blooms through,
+        # the sf100 sweep's 69x q14 find).
         scaled = max(total // 20, 64 * 1024 * 1024)
         conf = {
-            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": str(scaled),
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": str(
                 scaled
             ),

@@ -31,6 +31,12 @@ def test_large_corpus_engages_all_levers(spark, sf_oracle, monkeypatch):
         assert applied[
             "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
         ] == str(max((20 << 30) // 20, 64 * 1024 * 1024))
+        # Creation side must stay at Spark's stock 10 MB: scaling it
+        # with the corpus admitted fact-rescan blooms (sf100's 69x q14).
+        assert (
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold"
+            not in applied
+        )
         # scan-split lever: ~3 splits/core over the largest table
         # ((20 GB * 2/5) / 96 ≈ 85 MB, inside the [16M,128M] clamp)
         assert applied["spark.sql.files.maxPartitionBytes"] == str(
