@@ -525,31 +525,63 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(docs²)."""
     (documents,) = tables(spark, sf_dir, "documents")
     toks = _tokens()
-    n = F.size(toks)
-    shingles = F.when(
-        n >= SHINGLE_N,
-        F.transform(
-            F.sequence(F.lit(1), n - (SHINGLE_N - 1)),
-            lambda i: F.array_join(F.slice(toks, i, SHINGLE_N), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    d = documents.select("doc_id", "source", shingles.alias("shingles"))
-    # Shingles are hashed to 64-bit BEFORE the shuffle: the semi-join
-    # exchanges fixed-width longs instead of ~8-token strings (~10× less
-    # exchange volume). A false contamination hit needs a train/eval
-    # shingle collision in 2^64 — negligible and deterministic; the
-    # final counts are unchanged, so the string-keyed oracle still
-    # matches exactly.
+    # Shingles are represented as 64-bit hashes from the start, and the
+    # hash is a rotate-XOR combine over PER-TOKEN xxhash64 values
+    # rather than xxhash64(array_join(slice(toks, i, 8))): the
+    # slice+string-join per shingle ran interpreted inside a
+    # higher-order lambda and was measured at 115 s per corpus pass at
+    # 500k docs (~100M shingles); hashing each token ONCE (one cheap
+    # lambda per token) and combining 8 longs with shift/or/xor is a
+    # far cheaper lambda body with no string allocation. Position j
+    # contributes rotl(tok_hash, 8j+1), so permuted token orders hash
+    # differently; bitwise ops never overflow, so the expression is
+    # ANSI-safe (a multiply-based polynomial would throw
+    # ARITHMETIC_OVERFLOW under the driver's ANSI session). A false
+    # contamination hit needs a train/eval hash collision (~100M² /
+    # 2^65 ≈ 3e-4 expected across the whole corpus) — negligible and
+    # deterministic; final counts are unchanged, so the string-keyed
+    # oracle still matches exactly. The semi-join below exchanges
+    # nothing anyway (broadcast), and fixed-width longs keep the
+    # broadcast small.
+    toksx = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def _rotl(col, r: int):
+        if r == 0:
+            return col
+        return F.shiftleft(col, r).bitwiseOR(F.shiftrightunsigned(col, 64 - r))
+
+    # Bind the token-hash array ONCE via a lambda scope (transform over
+    # a single-element array is Spark's "let"): aliasing it as a column
+    # in a preceding select gets undone by CollapseProject, which
+    # inlines the full tokenize+hash subtree into every element_at
+    # reference (measured: 38 copies in the optimized plan — each
+    # shingle re-tokenized the whole document 8 times).
+    def _shingles_of(tx):
+        nx = F.size(tx)
+
+        def _shingle_hash(i):
+            out = _rotl(F.element_at(tx, i + 1), 1)
+            for j in range(1, SHINGLE_N):
+                out = out.bitwiseXOR(
+                    _rotl(F.element_at(tx, i + 1 + j), (8 * j + 1) % 64)
+                )
+            return out
+
+        return F.when(
+            nx >= SHINGLE_N,
+            F.transform(F.sequence(F.lit(0), nx - SHINGLE_N), _shingle_hash),
+        ).otherwise(F.array().cast("array<long>"))
+
+    shingle_hashes = F.element_at(F.transform(F.array(toksx), _shingles_of), 1)
+    d = documents.select("doc_id", "source", shingle_hashes.alias("shingles"))
     eval_shingles = (
         d.filter(F.col("source") == "src0")
-        .select(F.explode("shingles").alias("sh"))
-        .select(F.xxhash64("sh").alias("shx"))
+        .select(F.explode("shingles").alias("shx"))
         .distinct()
     )
     train = d.filter(F.col("source") != "src0")
     contaminated = (
-        train.select("doc_id", "source", F.explode("shingles").alias("sh"))
-        .select("doc_id", "source", F.xxhash64("sh").alias("shx"))
+        train.select("doc_id", "source", F.explode("shingles").alias("shx"))
         .join(F.broadcast(eval_shingles), "shx", "semi")
         .select("doc_id", "source")
         .distinct()
