@@ -251,30 +251,11 @@ def _lsh_candidate_pairs(
     from pyspark.sql import Window
 
     toks = F.array_distinct(_tokens())
-    sig = _minhash_sig(toks)
-    n_bands = N_HASHES // band_size
-    d = documents.select(
+    bands = documents.select(
         "doc_id",
         toks.alias("toks"),
         F.size(toks).alias("sz"),
-        *[s.alias(f"h{i}") for i, s in enumerate(sig)],
-    )
-    bands = d.select(
-        "doc_id",
-        "toks",
-        "sz",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(bi)),
-                        *[F.col(f"h{bi * band_size + j}") for j in range(band_size)],
-                    )
-                    for bi in range(n_bands)
-                ]
-            )
-        ).alias("band"),
+        F.explode(_minhash_band_expr(toks, band_size)).alias("band"),
     )
     # The cap drop is not silent: an observe metric (same contract as
     # _cap_buckets') counts band rows excluded by degenerate mega-buckets
@@ -634,24 +615,59 @@ GROUP BY t.source, c.n ORDER BY t.source
 
 
 # --------------------------------------------------------------------------
-def _minhash_sig(toks):
-    """MinHash signature: min over slices of md5(token ⊕ salt).
+def _minhash_band_expr(toks, band_size: int):
+    """Array of LSH band-key strings from the MinHash signature:
+    sig_i = min over tokens of a 32-bit slice of md5(token ⊕ salt);
+    band key bi = "bi|sig_{bi*band_size}|...". Values are identical to
+    computing each signature column separately (same md5, same
+    substring, same array_min), so every DuckDB oracle that mirrors
+    the salted-md5 construction is unchanged.
 
-    md5 is the shared hash both engines implement bit-identically; the
-    i-th permutation is a salted concatenation (public MinHash trick).
-    One md5 yields 32 hex chars = four independent 8-char (32-bit)
-    slices, so 8 signature rows cost TWO md5 invocations per token,
-    not eight — 4× less hash work in every LSH path (this is the
-    dominant map-stage cost at corpus scale). Mins compare fixed-width
-    hex strings: lexicographic == numeric order.
+    Why this shape (the 500k-doc sweep's lesson): one md5 yields 32
+    hex chars = four independent 8-char (32-bit) slices, so the 8
+    signature values need TWO md5 invocations per token, not eight —
+    but expressing the signature as 8 separate `array_min(transform(
+    toks, md5...))` columns evaluates md5 inside 8 interpreted lambda
+    bodies anyway (HOF lambdas don't share subexpressions across
+    columns). The two md5 arrays are therefore computed ONCE and bound
+    through a single-element-array transform (Spark's "let" scope —
+    an aliased column would be un-shared again by CollapseProject
+    inlining, measured 38× on the decontaminate path); the 8 mins then
+    run cheap substring lambdas over the bound arrays. Mins compare
+    fixed-width hex strings: lexicographic == numeric order.
     """
-    def salted(i):
-        salt, piece = divmod(i, 4)
-        return lambda t: F.substring(
-            F.md5(F.concat(t, F.lit(f"#{salt}")).cast("binary")), 1 + 8 * piece, 8
+
+    def salted_md5(salt: int):
+        return lambda t: F.md5(F.concat(t, F.lit(f"#{salt}")).cast("binary"))
+
+    md5s = F.array(
+        F.transform(toks, salted_md5(0)),
+        F.transform(toks, salted_md5(1)),
+    )
+    n_bands = N_HASHES // band_size
+
+    def bands_of(ms):
+        def sub_of(piece: int):
+            return lambda h: F.substring(h, 1 + 8 * piece, 8)
+
+        sig = []
+        for i in range(N_HASHES):
+            salt, piece = divmod(i, 4)
+            sig.append(
+                F.array_min(F.transform(F.element_at(ms, salt + 1), sub_of(piece)))
+            )
+        return F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    F.lit(str(bi)),
+                    *[sig[bi * band_size + j] for j in range(band_size)],
+                )
+                for bi in range(n_bands)
+            ]
         )
 
-    return [F.array_min(F.transform(toks, salted(i))) for i in range(N_HASHES)]
+    return F.element_at(F.transform(F.array(md5s), bands_of), 1)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,25 +675,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification of candidates only (the 100 TB path)."""
     (documents,) = tables(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens())
-    sig = _minhash_sig(toks)
-    d = documents.select(
-        "doc_id", toks.alias("toks"), *[s.alias(f"h{i}") for i, s in enumerate(sig)]
-    )
-    bands = d.select(
+    bands = documents.select(
         "doc_id",
-        "toks",
-        F.explode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        F.lit(str(bi)),
-                        *[F.col(f"h{bi * BAND_SIZE + j}") for j in range(BAND_SIZE)],
-                    )
-                    for bi in range(N_HASHES // BAND_SIZE)
-                ]
-            )
-        ).alias("band"),
+        toks.alias("toks"),
+        F.explode(_minhash_band_expr(toks, BAND_SIZE)).alias("band"),
     )
     # Bucket-size cap: a band bucket holding B docs yields B(B-1)/2
     # candidate pairs; degenerate mega-buckets (boilerplate-heavy
