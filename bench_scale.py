@@ -81,23 +81,38 @@ def pipeline_bench(args) -> int:
     spark = get_spark(
         master=f"local[{args.cpus}]",
         shuffle_partitions=2 * args.cpus,
-        extra_conf={"spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g")},
+        extra_conf={
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "24g"),
+            # same disk lesson as the TPC-H loop: zstd shuffle/spill
+            # (the 5M-doc dedup ops shuffle token streams)
+            "spark.io.compression.codec": "zstd",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     sf_name = f"sf{args.sf:g}"
     gen_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "gen", sf_name)
     if not os.path.exists(os.path.join(gen_dir, "documents.parquet")):
         t0 = time.perf_counter()
-        generate_tpch(spark, args.sf, gen_dir)
+        # The 14 ops read only documents+embeddings; directory output
+        # past sf1 (no driver-side concat of a multi-GB corpus).
+        generate_tpch(
+            spark, args.sf, gen_dir,
+            single_file=args.sf <= 1,
+            only={"documents", "embeddings"},
+        )
         print(f"generated {gen_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     tune_for_corpus(spark, gen_dir, cpus=args.cpus)
     n_docs = spark.read.parquet(os.path.join(gen_dir, "documents.parquet")).count()
     queries = all_queries()
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
-    for name in PIPELINE_OPS:
+    ops = args.ops.split(",") if args.ops else PIPELINE_OPS
+    for name in ops:
         runs = []
         for _ in range(args.repeat):
+            # Same cross-query shuffle-file lesson as the TPC-H loop:
+            # force GC so ContextCleaner frees the previous op's files.
+            spark.sparkContext._jvm.System.gc()
             t1 = time.perf_counter()
             queries[name](spark, gen_dir).collect()
             runs.append(round(time.perf_counter() - t1, 3))
@@ -139,6 +154,10 @@ def main() -> int:
         "testdata-shaped corpus at data/gen/sf{N} (50k docs x N, 1M "
         "events x N) and times the 14 headline dedup/sim/text/op queries "
         "— the sf-scaling sweep that caught the IVF O(n^2) bug in r4",
+    )
+    p.add_argument(
+        "--ops", default=None,
+        help="comma list to restrict --pipeline to a subset (targeted reruns)",
     )
     args = p.parse_args()
     if args.pipeline:

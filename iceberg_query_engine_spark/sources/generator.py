@@ -120,9 +120,25 @@ def _finalize_single_file(
     return table.num_rows
 
 
-def generate_tpch(spark: SparkSession, sf: float, out_dir: str) -> dict[str, int]:
+def generate_tpch(
+    spark: SparkSession,
+    sf: float,
+    out_dir: str,
+    single_file: bool = True,
+    only: set[str] | None = None,
+) -> dict[str, int]:
     """Write all ten tables at scale factor `sf`; returns row counts.
-    Row counts mirror /root/testdata (TESTDATA.md): lineitem ≈ 6M·sf."""
+    Row counts mirror /root/testdata (TESTDATA.md): lineitem ≈ 6M·sf.
+
+    single_file=True concatenates each table to one `<t>.parquet` file
+    (footer-compatible with /root/testdata); past sf~1 the driver-side
+    concat stops paying — pass False to keep Spark's distributed
+    directory output (epoch-long ts columns are cast to real
+    timestamps Spark-side instead of in the Arrow finalize).
+    `only` restricts to a subset — every table is an independent pure
+    function of spark.range, so any subset is self-consistent (the
+    pipeline sweeps need just documents+embeddings, not a 600M-row
+    lineitem rebuild)."""
     os.makedirs(out_dir, exist_ok=True)
     n_supp = max(1, int(10_000 * sf))
     n_cust = max(1, int(150_000 * sf))
@@ -132,11 +148,18 @@ def generate_tpch(spark: SparkSession, sf: float, out_dir: str) -> dict[str, int
     n_doc = max(1, int(50_000 * sf))
 
     def write(df: DataFrame, name: str) -> int:
+        if only is not None and name not in only:
+            return -1
+        dest = os.path.join(out_dir, f"{name}.parquet")
+        if not single_file:
+            for c, unit in _TS_COLS.get(name, []):
+                to_ts = {"us": F.timestamp_micros, "ms": F.timestamp_millis}[unit]
+                df = df.withColumn(c, to_ts(F.col(c)))
+            df.write.mode("overwrite").parquet(dest)
+            return spark.read.parquet(dest).count()
         tmp = os.path.join(out_dir, f"_tmp_{name}")
         df.write.mode("overwrite").parquet(tmp)
-        return _finalize_single_file(
-            tmp, os.path.join(out_dir, f"{name}.parquet"), _TS_COLS.get(name, [])
-        )
+        return _finalize_single_file(tmp, dest, _TS_COLS.get(name, []))
 
     counts = {}
     region = spark.range(5).select(
