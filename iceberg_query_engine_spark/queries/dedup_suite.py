@@ -981,8 +981,108 @@ GROUP BY n.source ORDER BY n.source
 """
 
 
+# --------------------------------------------------------------------------
+SEMANTIC_TAU = 0.3  # near-dup threshold on pair cosine
+SEMANTIC_WINDOW = 8  # predecessors compared per doc within a cluster
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic near-dup removal: cluster the embedding
+    space (shared seeded assignment), then inside each cluster compare
+    every vector only against its SEMANTIC_WINDOW predecessors in
+    centroid-similarity order, dropping pairs with cosine >= tau.
+    Vectors near-identical to each other sit near-identically close to
+    their centroid, so sorting by that one scalar lands near-dups
+    adjacent — the sorted-neighborhood trick that turns the published
+    SemDeDup's per-cluster O(m²) pairwise pass into O(m·W).
+
+    Scale shape: assignment is one linear corpus pass (broadcast
+    centroids, partial-agg argmax); the neighborhood pass is ONE
+    shuffle on cluster + a running-window collect of the last W
+    (id, vector) structs — candidate volume is exactly n·W, no
+    self-join, no quadratic bucket risk. Returns one row per dropped
+    doc with its kept duplicate (best-cosine predecessor, tie → lowest
+    id). At 100 TB: W and K are the recall/cost dials; the argmax and
+    the window both partial-agg/sort-shuffle on bounded keys."""
+    from pyspark.sql import Window
+
+    from .similarity_suite import seeded_assignment
+
+    assigned, _ = seeded_assignment(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy(F.col("c_cos").desc(), "vec_id")
+    ranked = assigned.withColumn(
+        "preds",
+        F.collect_list(F.struct("vec_id", "v")).over(
+            w.rowsBetween(-SEMANTIC_WINDOW, -1)
+        ),
+    )
+    # One ArrowEvalPython pass: nondeterministic blocks the filter
+    # substitution that would evaluate the cosine twice per pair (same
+    # fix as dedup_embedding_cosine; pinned in test_plans.py).
+    from ..functions.vector import cosine_similarity
+
+    pair_cos = F.round(
+        cosine_similarity.asNondeterministic()(F.col("v"), F.col("p.v")), 6
+    )
+    pairs = (
+        ranked.select("vec_id", "cluster", "v", F.explode("preds").alias("p"))
+        .select(
+            "vec_id",
+            "cluster",
+            F.struct(
+                pair_cos.alias("cosine"), (-F.col("p.vec_id")).alias("neg_id")
+            ).alias("cand"),
+        )
+        .filter(F.col("cand.cosine") >= SEMANTIC_TAU)
+    )
+    # best surviving predecessor per dropped doc: partial-agg max, not
+    # a window sort (one row per doc crosses the exchange)
+    return (
+        pairs.groupBy("vec_id", "cluster")
+        .agg(F.max("cand").alias("best"))
+        .select(
+            "vec_id",
+            "cluster",
+            (-F.col("best.neg_id")).alias("dup_of"),
+            F.col("best.cosine").alias("cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _dedup_semantic_oracle() -> str:
+    from .similarity_suite import _ASSIGNED_CTES
+
+    return f"""
+WITH {_ASSIGNED_CTES},
+ranked AS (
+  SELECT vec_id, cluster, v, c_cos,
+    row_number() OVER (PARTITION BY cluster ORDER BY c_cos DESC, vec_id) AS rk
+  FROM assigned
+), pairs AS (
+  SELECT a.vec_id, a.cluster, b.vec_id AS dup_of,
+    round(
+      list_aggregate(list_transform(generate_series(1, length(a.v)),
+                                    i -> a.v[i] * b.v[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+         * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
+      AS cosine
+  FROM ranked a JOIN ranked b
+    ON a.cluster = b.cluster
+   AND b.rk BETWEEN a.rk - {SEMANTIC_WINDOW} AND a.rk - 1
+)
+SELECT vec_id, cluster, dup_of, cosine FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY vec_id ORDER BY cosine DESC, dup_of) AS prk
+  FROM pairs WHERE cosine >= {SEMANTIC_TAU}
+) WHERE prk = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
+    "dedup_semantic": dedup_semantic,
     "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_containment": dedup_containment,
@@ -1003,6 +1103,7 @@ ORACLE: dict[str, str] = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_semantic": _dedup_semantic_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,
 }

@@ -103,6 +103,156 @@ ORDER BY q_id, rk
 
 # --------------------------------------------------------------------------
 K_CENTROIDS = 32  # fixed centroid budget, independent of corpus size
+EMBED_DIM = 64  # embeddings.embedding width (TESTDATA.md contract)
+
+
+def _seed_centroids(e: DataFrame) -> DataFrame:
+    """Deterministic seed centroids: every ceil(n/K)-th vec_id.
+
+    Fixed centroid budget K_CENTROIDS regardless of corpus size: the r4
+    scale bench caught the previous vec_id % CONST rule growing
+    |centroids| WITH the corpus, making assignment O(n^2/CONST) — 59x
+    wall for 10x data. With K fixed, assignment is n*K (linear).
+    localCheckpoint: the tiny centroid table is materialized once, so
+    the count subquery never re-scans the corpus per downstream use."""
+    nrow = e.agg(F.count(F.lit(1)).alias("n_all"))
+    mod = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n_all") / F.lit(K_CENTROIDS)).cast("long"),
+    )
+    return (
+        e.join(F.broadcast(nrow))
+        .filter(F.pmod(F.col("vec_id"), mod) == 0)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .localCheckpoint()
+    )
+
+
+def seeded_assignment(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids): every vector labeled with its nearest seed
+    centroid (argmax cosine, tie → min c_id) and that cosine.
+
+    The argmax is a partial+final hash aggregate over max(struct(c_cos,
+    -c_id)) — one candidate per vector per task crosses the shuffle
+    instead of a window sort over the |corpus|×K expansion (the same
+    partial-agg-beats-window choice as sim_ivf_topk / op_dedup_latest).
+    Shared base for sim_kmeans and dedup_semantic."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    centroids = _seed_centroids(e)
+    scored = e.join(F.broadcast(centroids)).select(
+        "vec_id",
+        "v",
+        F.struct(
+            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
+            (-F.col("c_id")).alias("neg_id"),
+        ).alias("cand"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.max("cand").alias("best"), F.any_value("v").alias("v"))
+        .select(
+            "vec_id",
+            "v",
+            (-F.col("best.neg_id")).alias("cluster"),
+            F.col("best.c_cos").alias("c_cos"),
+        )
+    )
+    return assigned, centroids
+
+
+# Oracle CTE fragment shared by the kmeans/semantic-dedup oracles: the
+# seeded assignment (identical semantics to SIM_IVF_TOPK_SQL's CTEs).
+_ASSIGNED_CTES = f"""
+vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS c_id, v AS cv FROM vecs
+  WHERE vec_id % GREATEST(1,
+    CAST(CEIL((SELECT COUNT(*) FROM vecs) / {K_CENTROIDS}.0) AS BIGINT)) = 0
+), assigned AS (
+  SELECT vec_id, v, cluster, c_cos FROM (
+    SELECT e.vec_id, e.v, c.c_id AS cluster,
+      round(
+        list_aggregate(list_transform(generate_series(1, length(e.v)),
+                                      i -> e.v[i] * c.cv[i]), 'sum')
+        / (sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))
+           * sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))), 6)
+        AS c_cos,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY round(
+          list_aggregate(list_transform(generate_series(1, length(e.v)),
+                                        i -> e.v[i] * c.cv[i]), 'sum')
+          / (sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))
+             * sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))), 6) DESC,
+          c.c_id) AS rk
+    FROM vecs e CROSS JOIN centroids c
+  ) WHERE rk = 1
+)"""
+
+
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic Lloyd step of k-means over the embeddings:
+    seed centroids → nearest-centroid assignment → element-wise mean
+    update, reporting per-cluster size, mean member cosine, and the
+    drift (cosine between seed and updated centroid) — the convergence
+    readout an iterative driver loop would monitor.
+
+    Scale shape: assignment is the shared partial-agg argmax (one
+    corpus scan, |corpus| rows through one exchange); the Lloyd update
+    is 64 F.avg aggregates in the SAME hash aggregate — partial means
+    per task, a K×64-value exchange — never a posexplode of the corpus
+    (which would shuffle |corpus|×dim rows for the identical result).
+    Iterating = re-running assignment against the updated (tiny,
+    broadcast) centroid table: each step is one linear pass at 100 TB."""
+    assigned, centroids = seeded_assignment(spark, sf_dir)
+    aggs = [
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("c_cos"), 6).alias("mean_cos"),
+    ] + [F.avg(F.col("v")[i]).alias(f"_m{i}") for i in range(EMBED_DIM)]
+    stats = assigned.groupBy("cluster").agg(*aggs)
+    nv = F.array(*[F.col(f"_m{i}") for i in range(EMBED_DIM)])
+    return (
+        stats.join(
+            F.broadcast(centroids), F.col("cluster") == F.col("c_id")
+        )
+        .select(
+            "cluster",
+            "n_members",
+            "mean_cos",
+            F.round(_cosine(nv, F.col("cv")), 6).alias("drift"),
+        )
+        .orderBy("cluster")
+    )
+
+
+SIM_KMEANS_SQL = f"""
+WITH {_ASSIGNED_CTES},
+dims AS (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i),
+newc AS (
+  SELECT cluster, i, avg(v[i]) AS m
+  FROM assigned CROSS JOIN dims GROUP BY 1, 2
+), newvec AS (
+  SELECT cluster, list(m ORDER BY i) AS nv FROM newc GROUP BY 1
+), stats AS (
+  SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+         round(avg(c_cos), 6) AS mean_cos
+  FROM assigned GROUP BY 1
+)
+SELECT s.cluster, s.n_members, s.mean_cos,
+  round(
+    list_aggregate(list_transform(generate_series(1, length(n.nv)),
+                                  i -> n.nv[i] * c.cv[i]), 'sum')
+    / (sqrt(list_aggregate(list_transform(n.nv, x -> x*x), 'sum'))
+       * sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))), 6)
+  AS drift
+FROM stats s
+JOIN newvec n ON n.cluster = s.cluster
+JOIN centroids c ON c.c_id = s.cluster
+ORDER BY s.cluster
+"""
 
 
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,24 +262,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate results, oracle-checkable."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    # Fixed centroid budget K_CENTROIDS regardless of corpus size: every
-    # ceil(n/K)-th vec_id. The r4 scale bench caught the previous
-    # vec_id % CONST rule growing |centroids| WITH the corpus, making
-    # assignment O(n^2/CONST) — 59x wall for 10x data. With K fixed,
-    # assignment is n*K (linear) and mean probe-bucket size is n/K.
-    # localCheckpoint: the tiny centroid table is materialized once, so
-    # the count subquery never re-scans the corpus per downstream use.
-    nrow = e.agg(F.count(F.lit(1)).alias("n_all"))
-    mod = F.greatest(
-        F.lit(1).cast("long"),
-        F.ceil(F.col("n_all") / F.lit(K_CENTROIDS)).cast("long"),
-    )
-    centroids = (
-        e.join(F.broadcast(nrow))
-        .filter(F.pmod(F.col("vec_id"), mod) == 0)
-        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
-        .localCheckpoint()
-    )
+    centroids = _seed_centroids(e)
 
     # assignment: argmax cosine over centroids (broadcast), tie → min
     # c_id. Expressed as max(struct(c_cos, -c_id)) so Spark runs a
@@ -546,6 +679,7 @@ GROUP BY 1 ORDER BY 1
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_kmeans": sim_kmeans,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_recall_eval": sim_recall_eval,
     "sim_quantize_int8": sim_quantize_int8,
@@ -554,6 +688,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
+    "sim_kmeans": SIM_KMEANS_SQL,
     "sim_ivf_topk": SIM_IVF_TOPK_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
     "sim_recall_eval": SIM_RECALL_EVAL_SQL,

@@ -348,3 +348,33 @@ def test_decode_stats_pushes_id_filter_to_media_scan(spark, sf):
 
     df = mm.mm_decode_stats(spark, sf)
     assert pi.has_pushed_filter(df, "LessThan(doc_id,100)")
+
+
+def test_kmeans_partial_agg_no_window(spark, sf):
+    """The Lloyd step's 64 per-dimension means run inside ONE partial+
+    final hash aggregate (K x 64 values cross the exchange) — never a
+    posexplode of the corpus or a window sort; centroids broadcast."""
+    df = similarity_suite.sim_kmeans(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert "partial_avg" in pi.executed_plan(df)
+    assert "Window" not in plan
+    assert "Generate" not in plan  # no corpus explode
+    assert pi.broadcast_count(df) >= 1
+    assert not pi.has_cartesian(df) or pi.broadcast_count(df) >= 1
+
+
+def test_dedup_semantic_windowed_neighbors_one_udf_pass(spark, sf):
+    """SemDeDup neighborhood pass: candidate pairs come from a running
+    window over cluster order (n*W rows), not a self-join — exactly two
+    ArrowEvalPython nodes (one assignment-cosine pass, one pair-cosine
+    pass; the nondeterministic guard blocks the filter substitution
+    that would add a third), no SortMergeJoin of the corpus against
+    itself, no cartesian."""
+    import re
+
+    df = dedup_suite.dedup_semantic(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
+    assert "Window" in plan  # the collect_list neighborhood
+    assert plan.count("SortMergeJoin") == 0
+    assert not pi.has_cartesian(df)
