@@ -44,3 +44,60 @@ def dot_product(a: pd.Series, b: pd.Series) -> pd.Series:
 def l2_norm(a: pd.Series) -> pd.Series:
     ma = np.vstack([np.asarray(x, dtype=np.float64) for x in a])
     return pd.Series(np.sqrt(np.einsum("ij,ij->i", ma, ma)))
+
+
+def nearest_centroid_udf(centroid_vecs: np.ndarray, centroid_ids: np.ndarray):
+    """Factory: pandas UDF mapping a vector column to its nearest
+    centroid `struct<bucket bigint, c_cos double>` (argmax rounded
+    cosine, tie → lowest centroid id).
+
+    The K×dim centroid matrix is captured in the UDF closure (collected
+    once — K centroids are a few KB at any corpus size), so assignment
+    is ONE Arrow pass over the corpus: each vector crosses the channel
+    once and meets all K centroids inside one vectorized numpy kernel.
+    The previous shape — broadcast-join the centroid table then a
+    pairwise cosine UDF — pushed n×K (vector, centroid) pairs through
+    Arrow: ~160 GB of duplicated vectors at 5M docs × K=32, measured
+    221 s vs ~20 s for this kernel at the same scale (r5 sf100 sweep).
+
+    Determinism: the dot/norm sums accumulate dimension-by-dimension in
+    strict left-to-right order — bit-identical to a sequential fold
+    (DuckDB's `list_aggregate(.., 'sum')`, Spark's `F.aggregate`) and
+    independent of Arrow batch size. A BLAS matmul is NOT: its blocked
+    summation order varies with the batch's row count, which moved
+    borderline cosines across the round(·,6) boundary and flipped
+    downstream aggregates between runs (caught by the sim_kmeans
+    oracle). The per-dimension loop is 64 vectorized (n×K) FMAs — same
+    asymptotics as the matmul, no channel duplication.
+
+    Tie semantics match the DuckDB oracle: rows are rounded to 6
+    decimals first; np.argmax returns the FIRST maximum and the
+    centroid matrix is ordered by ascending id → lowest id wins ties.
+    """
+    c = np.ascontiguousarray(centroid_vecs, dtype=np.float64)
+    ids = np.asarray(centroid_ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    c, ids = c[order], ids[order]
+    k, dim = c.shape
+    cn2 = np.zeros(k)
+    for i in range(dim):  # sequential fold, same order as the oracle
+        cn2 += c[:, i] * c[:, i]
+    cn = np.sqrt(cn2)
+
+    @pandas_udf("struct<bucket: bigint, c_cos: double>")
+    def nearest(v: pd.Series) -> pd.DataFrame:
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        n = m.shape[0]
+        dots = np.zeros((n, k))
+        vn2 = np.zeros(n)
+        for i in range(dim):  # strict left-to-right accumulation
+            col = m[:, i]
+            dots += col[:, None] * c[None, :, i]
+            vn2 += col * col
+        cos = np.round(dots / (np.sqrt(vn2)[:, None] * cn[None, :]), 6)
+        idx = np.argmax(cos, axis=1)  # first max = lowest id on ties
+        return pd.DataFrame(
+            {"bucket": ids[idx], "c_cos": cos[np.arange(len(idx)), idx]}
+        )
+
+    return nearest

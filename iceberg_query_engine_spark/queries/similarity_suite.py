@@ -128,36 +128,46 @@ def _seed_centroids(e: DataFrame) -> DataFrame:
     )
 
 
+def _nearest_assign(centroids: DataFrame):
+    """Build the one-Arrow-pass assignment kernel from a (tiny) centroid
+    DataFrame: collects the K×dim matrix once (K centroids are KBs at
+    any corpus scale — the same tiny-side exception as the clusters
+    convergence aggregate) and returns fn(df) labeling each vector.
+
+    Each corpus vector crosses the Arrow channel ONCE and meets all K
+    centroids inside a single numpy matmul. The previous shape —
+    broadcast-join centroids, pairwise-cosine UDF, partial-agg argmax —
+    was plan-optimal on the JVM side but pushed n×K duplicated vectors
+    through Arrow: 221 s at 5M docs (r5 sf100 sweep) vs ~20 s for this
+    kernel. Nondeterministic marks the call so no optimizer rule can
+    substitute (and re-evaluate) the UDF into downstream predicates."""
+    import numpy as np
+
+    from ..functions.vector import nearest_centroid_udf
+
+    rows = centroids.collect()
+    kernel = nearest_centroid_udf(
+        np.array([r.cv for r in rows]), np.array([r.c_id for r in rows])
+    ).asNondeterministic()
+
+    def assign(df: DataFrame, out: str = "cluster") -> DataFrame:
+        return df.withColumn("_a", kernel(F.col("v"))).select(
+            *df.columns,
+            F.col("_a.bucket").alias(out),
+            F.col("_a.c_cos").alias("c_cos"),
+        )
+
+    return assign
+
+
 def seeded_assignment(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(assigned, centroids): every vector labeled with its nearest seed
-    centroid (argmax cosine, tie → min c_id) and that cosine.
-
-    The argmax is a partial+final hash aggregate over max(struct(c_cos,
-    -c_id)) — one candidate per vector per task crosses the shuffle
-    instead of a window sort over the |corpus|×K expansion (the same
-    partial-agg-beats-window choice as sim_ivf_topk / op_dedup_latest).
-    Shared base for sim_kmeans and dedup_semantic."""
+    centroid (argmax rounded cosine, tie → min c_id) and that cosine.
+    Shared base for sim_kmeans, dedup_semantic, and sim_ivf_topk."""
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     centroids = _seed_centroids(e)
-    scored = e.join(F.broadcast(centroids)).select(
-        "vec_id",
-        "v",
-        F.struct(
-            F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
-            (-F.col("c_id")).alias("neg_id"),
-        ).alias("cand"),
-    )
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(F.max("cand").alias("best"), F.any_value("v").alias("v"))
-        .select(
-            "vec_id",
-            "v",
-            (-F.col("best.neg_id")).alias("cluster"),
-            F.col("best.c_cos").alias("c_cos"),
-        )
-    )
+    assigned = _nearest_assign(centroids)(e)
     return assigned, centroids
 
 
@@ -208,9 +218,18 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Iterating = re-running assignment against the updated (tiny,
     broadcast) centroid table: each step is one linear pass at 100 TB."""
     assigned, centroids = seeded_assignment(spark, sf_dir)
+    # mean_cos sums EXACTLY in integer micro-units: c_cos values are
+    # 1e-6 multiples, so their float mean lands ON a .5e-6 rounding
+    # boundary for ~1 in 10 clusters and the partial-agg summation tree
+    # (which varies with partitioning) flips round(avg,6)'s last digit
+    # between runs. An integer SUM is associative — bit-identical for
+    # any partitioning and to the oracle's identical integer form.
+    micro_sum = F.sum(F.round(F.col("c_cos") * 1e6).cast("long"))
     aggs = [
         F.count(F.lit(1)).alias("n_members"),
-        F.round(F.avg("c_cos"), 6).alias("mean_cos"),
+        F.round(
+            micro_sum.cast("double") / (F.count(F.lit(1)) * F.lit(1e6)), 6
+        ).alias("mean_cos"),
     ] + [F.avg(F.col("v")[i]).alias(f"_m{i}") for i in range(EMBED_DIM)]
     stats = assigned.groupBy("cluster").agg(*aggs)
     nv = F.array(*[F.col(f"_m{i}") for i in range(EMBED_DIM)])
@@ -237,8 +256,11 @@ newc AS (
 ), newvec AS (
   SELECT cluster, list(m ORDER BY i) AS nv FROM newc GROUP BY 1
 ), stats AS (
+  -- integer micro-unit sum: exact + order-independent, matches the
+  -- Spark side bit-for-bit (see sim_kmeans mean_cos comment)
   SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
-         round(avg(c_cos), 6) AS mean_cos
+         round(CAST(sum(CAST(round(c_cos * 1e6) AS BIGINT)) AS DOUBLE)
+               / (COUNT(*) * 1e6), 6) AS mean_cos
   FROM assigned GROUP BY 1
 )
 SELECT s.cluster, s.n_members, s.mean_cos,
@@ -264,36 +286,17 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     centroids = _seed_centroids(e)
 
-    # assignment: argmax cosine over centroids (broadcast), tie → min
-    # c_id. Expressed as max(struct(c_cos, -c_id)) so Spark runs a
-    # partial+final hash aggregate (one candidate per vec per task
-    # crosses the shuffle) instead of a window sort over the whole
-    # vec×centroid expansion — the same partial-agg-beats-window choice
-    # as op_dedup_latest, and the difference between shuffling
-    # |corpus|×|centroids| rows and |corpus| rows at scale.
-    def _assign(vecs: DataFrame) -> DataFrame:
-        scored = vecs.join(F.broadcast(centroids)).select(
-            "vec_id",
-            "v",
-            F.struct(
-                F.round(_cosine(F.col("v"), F.col("cv")), 6).alias("c_cos"),
-                (-F.col("c_id")).alias("neg_id"),
-            ).alias("cand"),
-        )
-        return (
-            scored.groupBy("vec_id")
-            .agg(F.max("cand").alias("best"), F.any_value("v").alias("v"))
-            .select(
-                "vec_id", "v", (-F.col("best.neg_id")).alias("bucket")
-            )
-        )
+    # assignment: the one-Arrow-pass matmul kernel (see _nearest_assign)
+    # — each vector crosses the Python channel once, argmax over all K
+    # centroids happens inside numpy.
+    _assign = _nearest_assign(centroids)
 
     # Assign the (tiny) query set separately: broadcasting a filter of the
     # full-corpus assignment would recompute the whole assignment lineage
     # just to extract N_QUERIES rows — at 100 TB that is a second pass over
-    # the corpus. Assigning the pruned query scan costs N_QUERIES×centroids.
-    assigned = _assign(e.filter(F.col("vec_id") >= N_QUERIES))
-    queries = _assign(e.filter(F.col("vec_id") < N_QUERIES)).select(
+    # the corpus. Assigning the pruned query scan costs N_QUERIES rows.
+    assigned = _assign(e.filter(F.col("vec_id") >= N_QUERIES), out="bucket")
+    queries = _assign(e.filter(F.col("vec_id") < N_QUERIES), out="bucket").select(
         F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), F.col("bucket").alias("qb")
     )
     scored = (

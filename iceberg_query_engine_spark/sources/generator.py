@@ -115,7 +115,13 @@ def _finalize_single_file(
     # drop Spark's embedded row-metadata: it still declares the epoch
     # longs as LONG, and Spark trusts it over the parquet logical type
     table = table.replace_schema_metadata(None)
-    pq.write_table(table, dest)
+    # Bounded row groups: pyarrow's default (1Mi rows) can put an entire
+    # multi-hundred-MB table into ONE row group, and Spark cannot split
+    # inside a row group — every downstream scan stage then runs on ONE
+    # task no matter how many cores the session has. (Found by the r5
+    # sf100 pipeline sweep: 10x the data ran FASTER than the sf10
+    # single-file corpus because the directory output parallelized.)
+    pq.write_table(table, dest, row_group_size=65536)
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return table.num_rows
 

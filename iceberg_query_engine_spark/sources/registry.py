@@ -69,10 +69,68 @@ def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
     return df
 
 
+def _parse_bytes(v: str) -> int:
+    """Spark size-conf string → bytes ('134217728b', '16m', '128MB')."""
+    s = v.strip().lower()
+    mult = 1
+    for suffix, m in (("tb", 1 << 40), ("gb", 1 << 30), ("mb", 1 << 20),
+                      ("kb", 1 << 10), ("t", 1 << 40), ("g", 1 << 30),
+                      ("m", 1 << 20), ("k", 1 << 10), ("b", 1)):
+        if s.endswith(suffix):
+            s, mult = s[: -len(suffix)], m
+            break
+    return int(s) * mult
+
+
+def _respread_if_unsplittable(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Redistribute inputs whose parquet layout defeats scan parallelism.
+
+    Spark splits parquet scans at ROW-GROUP boundaries; a file written
+    as one giant row group (pyarrow's default row_group_size is 1Mi
+    rows) is scanned by ONE task regardless of cores, serializing every
+    downstream map-side stage (tokenize/hash/decode). When the footer
+    shows a row group materially larger than the session's own target
+    split size (`spark.sql.files.maxPartitionBytes`), one round-robin
+    repartition restores parallelism — the shuffle moves only the
+    pruned columns once, vs every per-row operator running 1-wide.
+    Well-laid-out inputs (many files or bounded row groups — anything a
+    100 TB ingest would produce) never trigger this; it is a guard for
+    pathological layouts, found when the r5 sf100 sweep outran the
+    single-row-group sf10 corpus 10x its size."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        if not files:
+            return df
+        worst = 0  # largest bytes-per-row-group over a sample of files
+        for f in files[:16]:
+            n_rg = pq.ParquetFile(f).metadata.num_row_groups
+            worst = max(worst, os.path.getsize(f) // max(1, n_rg))
+        target = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        )
+        if worst <= target * 3 // 2:
+            return df
+        total = sum(os.path.getsize(f) for f in files)
+        n = max(
+            2 * spark.sparkContext.defaultParallelism,
+            -(-total // target),  # ceil
+        )
+        return df.repartition(n)
+    except Exception:
+        return df
+
+
 def load_table(spark: SparkSession, path: str) -> DataFrame:
     """Load one parquet file/dir as a DataFrame (schema from footer)."""
     df = spark.read.parquet(path)
-    return _normalize_ns_timestamps(df, path)
+    df = _normalize_ns_timestamps(df, path)
+    return _respread_if_unsplittable(spark, df, path)
 
 
 def register_parquet(spark: SparkSession, name: str, path: str) -> DataFrame:
