@@ -101,3 +101,126 @@ def nearest_centroid_udf(centroid_vecs: np.ndarray, centroid_ids: np.ndarray):
         )
 
     return nearest
+
+
+def _seq_sq_norms(m: np.ndarray) -> np.ndarray:
+    """Row squared-norms accumulated dimension-by-dimension — the same
+    strict left-to-right fold order as the DuckDB / F.aggregate oracle
+    (see nearest_centroid_udf's determinism note)."""
+    n2 = np.zeros(m.shape[0])
+    for i in range(m.shape[1]):
+        n2 += m[:, i] * m[:, i]
+    return n2
+
+
+def multi_query_topk_fn(
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    probe_buckets: dict[int, set[int]] | None = None,
+):
+    """Factory: a mapInPandas function computing each partition's exact
+    per-query cosine top-k against the (tiny, closure-captured) query
+    matrix. Input rows `(n_id bigint, v array<double>[, bucket])`;
+    output rows `(q_id bigint, n_id bigint, cosine double)` — at most
+    Q×k rows PER PARTITION, so the downstream exact top-k merge runs
+    over partitions×Q×k candidate rows instead of the full n×Q score
+    stream.
+
+    This is the two-level top-k every distributed engine uses (local
+    heap per morsel, global merge), expressed as mapInPandas + a final
+    window. vs the previous broadcast-join shape it fixes BOTH scale
+    problems at once: the Arrow channel carries each corpus vector once
+    (not once per query — ~51 GB of duplicated 64-double arrays at 5M
+    docs × 10 recall queries), and the shuffle carries Q×k candidates
+    per partition (not n×Q scored rows).
+
+    Partial top-k selection is exact: every global top-k row is its
+    partition's top-≤k row for that query, so selecting k per (partition,
+    query) then re-ranking loses nothing. Ordering (cosine DESC, n_id
+    ASC) is applied identically in both levels via np.lexsort; cosines
+    are rounded to 6 decimals BEFORE selection with the same strict
+    per-dimension accumulation as nearest_centroid_udf, so values are
+    bit-identical to the sequential-fold oracle and independent of both
+    Arrow batch size and partitioning.
+
+    `probe_buckets` (optional) masks candidates per query to a set of
+    LSH buckets: rows arrive with a third `bucket` column and query j
+    only scores rows whose bucket ∈ probe_buckets[j] — the multi-probe
+    SRP candidate rule evaluated inside the kernel instead of a
+    bucket-equality join that duplicates vectors per matching probe.
+    """
+    q = np.ascontiguousarray(query_vecs, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    order = np.argsort(qids, kind="stable")
+    q, qids = q[order], qids[order]
+    nq, dim = q.shape
+    qn = np.sqrt(_seq_sq_norms(q))
+    probes = None
+    probe_arrs = None
+    if probe_buckets is not None:
+        probes = [probe_buckets[int(i)] for i in qids]
+        probe_arrs = [np.fromiter(s, np.int64, len(s)) for s in probes]
+
+    def topk(batches):
+        cand_cos = [[] for _ in range(nq)]
+        cand_id = [[] for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            ids = pdf["n_id"].to_numpy(dtype=np.int64)
+            n = m.shape[0]
+            # norm fold inlined (not _seq_sq_norms): any module-level
+            # reference makes cloudpickle ship this function BY MODULE,
+            # and importing this module in a worker re-runs the
+            # module-level @pandas_udf decorators, which need an active
+            # SparkContext the worker doesn't have.
+            vn2 = np.zeros(n)
+            for i in range(dim):
+                vn2 += m[:, i] * m[:, i]
+            vn = np.sqrt(vn2)
+            if probes is None:
+                dots = np.zeros((n, nq))
+                for i in range(dim):  # strict left-to-right accumulation
+                    dots += m[:, i][:, None] * q[None, :, i]
+                cos_all = np.round(dots / (vn[:, None] * qn[None, :]), 6)
+            else:
+                buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+            for j in range(nq):
+                if probes is None:
+                    cj, ij = cos_all[:, j], ids
+                else:
+                    # mask BEFORE the fold: only candidate rows (bucket
+                    # in the query's probe set) pay the dot-product cost
+                    mask = np.isin(buckets, probe_arrs[j])
+                    if not mask.any():
+                        continue
+                    mm, ij = m[mask], ids[mask]
+                    dj = np.zeros(mm.shape[0])
+                    for i in range(dim):  # same strict fold, subset rows
+                        dj += mm[:, i] * q[j, i]
+                    cj = np.round(dj / (vn[mask] * qn[j]), 6)
+                sel = np.lexsort((ij, -cj))[:k]  # cosine DESC, n_id ASC
+                cand_cos[j].append(cj[sel])
+                cand_id[j].append(ij[sel])
+        out_q, out_id, out_cos = [], [], []
+        for j in range(nq):
+            if not cand_id[j]:
+                continue
+            cc = np.concatenate(cand_cos[j])
+            ci = np.concatenate(cand_id[j])
+            sel = np.lexsort((ci, -cc))[:k]
+            out_q.append(np.full(len(sel), qids[j]))
+            out_id.append(ci[sel])
+            out_cos.append(cc[sel])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_id),
+                    "cosine": np.concatenate(out_cos),
+                }
+            )
+
+    return topk

@@ -6,12 +6,15 @@ on the reference's COSINE_SIMILARITY / COSINE_DISTANCE surface
 (/root/reference/src/planner/logical_expr.rs:327-328) generalized to
 top-k retrieval.
 
-Scale notes (100 TB): the query set is tiny → broadcast; brute-force
-is then a map-only scan over the corpus with a TakeOrderedAndProject
-top-k — no O(n²) shuffle. The IVF variant prunes the scan to the
-query's centroid bucket: corpus partitioned/bucketed by centroid id
-at write time means candidate fetch touches one bucket per query —
-the classic IVF index expressed as Spark partitioning.
+Scale notes (100 TB): the query set is tiny → captured in the top-k
+kernel's closure (functions/vector.py:multi_query_topk_fn); brute
+force is then ONE Arrow pass over the corpus emitting Q×k candidates
+per partition, merged by a window — no O(n×Q) shuffle and no vector
+ever duplicated across the Python channel. The IVF variant prunes
+the scan to the query's centroid bucket: corpus partitioned/bucketed
+by centroid id at write time means candidate fetch touches one
+bucket per query — the classic IVF index expressed as Spark
+partitioning.
 """
 
 from __future__ import annotations
@@ -40,37 +43,51 @@ def _cosine(a, b):
 
 
 # --------------------------------------------------------------------------
-def _brute_topk(
-    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
-) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus scan → windowed top-k.
-    k / n_queries parameterized so the recall gate can evaluate larger
-    retrieval sets without a second implementation."""
-    (embeddings,) = tables(spark, sf_dir, "embeddings")
-    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    queries = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
-    )
-    scored = (
-        F.broadcast(queries)
-        .join(e.filter(F.col("vec_id") >= n_queries))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
-        )
-    )
+def _topk_merge(partial: DataFrame, k: int) -> DataFrame:
+    """Global exact top-k over per-partition candidates: the final merge
+    of the two-level top-k. Runs over partitions×Q×k candidate rows
+    (KBs at any corpus size) — same tie-break as the partial level."""
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        partial.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
         .orderBy("q_id", "rk")
     )
 
 
+def _brute_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
+) -> DataFrame:
+    """Exact cosine top-k as a two-level merge: one mapInPandas pass
+    computes each partition's per-query top-k against the closure-held
+    query matrix (functions/vector.py:multi_query_topk_fn), then a
+    window merges partitions×Q×k candidates. Each corpus vector crosses
+    the Arrow channel ONCE — the previous broadcast-join shape shipped
+    it once per query (~51 GB duplicated at 5M docs × 10 queries) and
+    shuffled the full n×Q score stream into the top-k window.
+    k / n_queries parameterized so the recall gate can evaluate larger
+    retrieval sets without a second implementation."""
+    import numpy as np
+
+    from ..functions.vector import multi_query_topk_fn
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    qrows = e.filter(F.col("vec_id") < n_queries).collect()  # tiny: Q×dim
+    fn = multi_query_topk_fn(
+        np.array([r.v for r in qrows]), np.array([r.vec_id for r in qrows]), k
+    )
+    partial = (
+        e.filter(F.col("vec_id") >= n_queries)
+        .select(F.col("vec_id").alias("n_id"), "v")
+        .mapInPandas(fn, "q_id bigint, n_id bigint, cosine double")
+    )
+    return _topk_merge(partial, k)
+
+
 def sim_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast queries × corpus scan → windowed top-k."""
+    """Exact cosine top-k: one-Arrow-pass partial top-k → window merge."""
     return _brute_topk(spark, sf_dir)
 
 
@@ -401,13 +418,12 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor that lands just across one hyperplane is still found).
 
     Scale notes (100 TB): the sketch is map-only (integer hyperplanes,
-    no model state). Multi-probe explodes the probe list on the TINY
-    query side only (1 + NBITS rows per query) and joins on bucket
-    equality — candidate generation stays a bucketed equality join,
-    never the O(n²) cross join; the corpus side is untouched. More
-    bits → smaller buckets → higher precision; more probes → higher
-    recall at the same plan shape (recall measured by
-    sim_recall_eval).
+    no model state). The multi-probe candidate rule (bucket within one
+    bit-flip of the query's) is evaluated inside the one-Arrow-pass
+    top-k kernel against the closure-held probe sets — never an O(n²)
+    cross join, and no corpus vector duplicated per probe. More bits →
+    smaller buckets → higher precision; more probes → higher recall at
+    the same plan shape (recall measured by sim_recall_eval).
     """
     return _lsh_topk(spark, sf_dir)
 
@@ -415,40 +431,41 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_topk(
     spark: SparkSession, sf_dir: str, k: int = TOP_K, n_queries: int = N_QUERIES
 ) -> DataFrame:
+    """Candidate rule (bucket ∈ query's multi-probe set) evaluated
+    INSIDE the one-Arrow-pass top-k kernel: the SRP sketch stays a
+    map-side codegen expression, but scoring no longer duplicates a
+    corpus vector per matching probe through the Python channel — each
+    vector crosses Arrow once with its bucket id, and the kernel masks
+    per query before the partial top-k. Same candidate set and
+    tie-break as the bucket-equality join it replaces."""
+    import numpy as np
+
+    from ..functions.vector import multi_query_topk_fn
+
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
-        _lsh_bucket(F.col("embedding")).alias("bucket"),
+        _lsh_bucket(F.col("embedding")).cast("long").alias("bucket"),
     )
-    probes = F.array(
-        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_NBITS)]
+    qrows = e.filter(F.col("vec_id") < n_queries).collect()  # tiny: Q×dim
+    probe_buckets = {
+        int(r.vec_id): {int(r.bucket)}
+        | {int(r.bucket) ^ (1 << p) for p in range(LSH_NBITS)}
+        for r in qrows
+    }
+    fn = multi_query_topk_fn(
+        np.array([r.v for r in qrows]),
+        np.array([r.vec_id for r in qrows]),
+        k,
+        probe_buckets,
     )
-    queries = (
-        e.filter(F.col("vec_id") < n_queries)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.col("bucket").alias("qb"),
-        )
-        .withColumn("probe", F.explode(probes))
+    partial = (
+        e.filter(F.col("vec_id") >= n_queries)
+        .select(F.col("vec_id").alias("n_id"), "v", "bucket")
+        .mapInPandas(fn, "q_id bigint, n_id bigint, cosine double")
     )
-    scored = (
-        F.broadcast(queries)
-        .join(e, (F.col("bucket") == F.col("probe")) & (F.col("vec_id") >= n_queries))
-        .select(
-            "q_id",
-            F.col("vec_id").alias("n_id"),
-            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
-        .select("q_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
-        .orderBy("q_id", "rk")
-    )
+    return _topk_merge(partial, k)
 
 
 def _lsh_bucket_sql(rel: str) -> str:

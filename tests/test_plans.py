@@ -88,9 +88,15 @@ def test_text_stats_map_only(spark, sf):
     assert pi.shuffle_count(df) <= 1
 
 
-def test_brute_topk_broadcasts_queries(spark, sf):
+def test_brute_topk_one_arrow_pass(spark, sf):
+    """Two-level top-k: ONE corpus scan into ONE MapInPandas (each
+    vector crosses Arrow once — never duplicated per query), window
+    merge over the tiny candidate set. No join, so no cartesian."""
     df = similarity_suite.sim_brute_topk(spark, sf)
-    assert pi.broadcast_count(df) >= 1  # tiny query set broadcast, corpus streamed
+    assert pi.count_op(df, "MapInPandas") == 1
+    assert pi.count_op(df, "Scan parquet") == 1
+    assert pi.has_pushed_filter(df, "GreaterThanOrEqual(vec_id")
+    assert not pi.has_cartesian(df)
 
 
 def test_analyze_table_feeds_cbo_stats(spark, sf):
@@ -156,12 +162,14 @@ def test_text_tfidf_no_collect(spark, sf):
 
 
 def test_sim_lsh_topk_single_corpus_pass(spark, sf):
-    """LSH ANN: sketches are map-side; the corpus join is against a
-    broadcast of the (tiny) query-side buckets — no O(n^2) cross join."""
+    """LSH ANN: the SRP sketch is a map-side codegen expression feeding
+    ONE MapInPandas top-k pass (probe sets live in the kernel closure)
+    — one corpus scan, no join, no O(n^2) cross join."""
     from iceberg_query_engine_spark.queries import similarity_suite
 
     df = similarity_suite.sim_lsh_topk(spark, sf)
-    assert pi.broadcast_count(df) >= 1
+    assert pi.count_op(df, "MapInPandas") == 1
+    assert pi.count_op(df, "Scan parquet") == 1
     assert not pi.has_cartesian(df)
 
 
