@@ -1,0 +1,174 @@
+"""Unit tests for the two-level top-k kernel (functions/vector.py).
+
+These run the mapInPandas generator directly on pandas batches — no
+Spark session — pinning the properties the DuckDB oracles rely on:
+exact top-k under arbitrary batch splits, the (cosine DESC, n_id ASC)
+tie-break, bit-identical cosines regardless of batching, and the
+multi-probe bucket mask.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _kernel(spark):
+    # vector.py's module-level @pandas_udf decorators need an active
+    # SparkContext at import time, so import under the session fixture
+    from iceberg_query_engine_spark.functions import vector
+
+    globals()["multi_query_topk_fn"] = vector.multi_query_topk_fn
+
+
+RNG = np.random.default_rng(7)
+
+
+def _split(df: pd.DataFrame, n: int):
+    bounds = np.linspace(0, len(df), n + 1, dtype=int)
+    return [df.iloc[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+
+
+def _corpus(n: int, dim: int = 8) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "n_id": np.arange(100, 100 + n, dtype=np.int64),
+            "v": [RNG.normal(size=dim) for _ in range(n)],
+        }
+    )
+
+
+def _reference_topk(df: pd.DataFrame, q: np.ndarray, qids, k):
+    """Sequential-fold reference: full score matrix, then lexsorted top-k."""
+    out = {}
+    m = np.vstack(df["v"].values)
+    for j, qid in enumerate(qids):
+        dots = np.zeros(len(df))
+        vn2 = np.zeros(len(df))
+        qn2 = 0.0
+        for i in range(m.shape[1]):
+            dots += m[:, i] * q[j, i]
+            vn2 += m[:, i] * m[:, i]
+            qn2 += q[j, i] * q[j, i]
+        cos = np.round(dots / (np.sqrt(vn2) * np.sqrt(qn2)), 6)
+        ids = df["n_id"].to_numpy()
+        sel = np.lexsort((ids, -cos))[:k]
+        out[qid] = list(zip(ids[sel], cos[sel]))
+    return out
+
+
+def _run(fn, batches):
+    parts = list(fn(iter(batches)))
+    if not parts:
+        return pd.DataFrame({"q_id": [], "n_id": [], "cosine": []})
+    return pd.concat(parts, ignore_index=True)
+
+
+def _merge_global(df: pd.DataFrame, k: int):
+    """The window-merge half of the two-level top-k, in pandas."""
+    out = {}
+    for qid, g in df.groupby("q_id"):
+        sel = np.lexsort((g["n_id"].to_numpy(), -g["cosine"].to_numpy()))[:k]
+        out[int(qid)] = list(
+            zip(g["n_id"].to_numpy()[sel], g["cosine"].to_numpy()[sel])
+        )
+    return out
+
+
+def test_matches_reference_any_batching():
+    corpus = _corpus(300)
+    q = RNG.normal(size=(4, 8))
+    qids = np.array([0, 1, 2, 3])
+    want = _reference_topk(corpus, q, qids, k=5)
+    for nsplit in (1, 3, 7, 299):
+        fn = multi_query_topk_fn(q, qids, k=5)
+        batches = _split(corpus, nsplit)
+        got = _merge_global(_run(fn, batches), k=5)
+        assert got == want, f"nsplit={nsplit}"
+
+
+def test_cosines_bit_identical_across_batch_sizes():
+    corpus = _corpus(128)
+    q = RNG.normal(size=(2, 8))
+    qids = np.array([10, 11])
+    a = _run(multi_query_topk_fn(q, qids, 128), [corpus])
+    b = _run(
+        multi_query_topk_fn(q, qids, 128),
+        _split(corpus, 17),
+    )
+    am = {(r.q_id, r.n_id): r.cosine for r in a.itertuples()}
+    bm = {(r.q_id, r.n_id): r.cosine for r in b.itertuples()}
+    assert am == bm  # exact float equality, not approx
+
+
+def test_tie_break_lowest_id_wins():
+    # two corpus vectors identical to the query → cosine 1.0 tie
+    base = np.ones(4)
+    corpus = pd.DataFrame(
+        {
+            "n_id": np.array([900, 5, 42], dtype=np.int64),
+            "v": [base.copy(), base.copy(), -base],
+        }
+    )
+    fn = multi_query_topk_fn(np.array([base]), np.array([0]), k=2)
+    got = _merge_global(_run(fn, [corpus]), k=2)
+    assert [nid for nid, _ in got[0]] == [5, 900]
+
+
+def test_probe_mask_restricts_candidates():
+    corpus = _corpus(50)
+    corpus["bucket"] = (corpus["n_id"] % 4).astype(np.int64)
+    q = RNG.normal(size=(2, 8))
+    qids = np.array([0, 1])
+    fn = multi_query_topk_fn(
+        q, qids, k=50, probe_buckets={0: {1, 2}, 1: {3}}
+    )
+    got = _run(fn, [corpus])
+    by_q = {qid: set(g["n_id"]) for qid, g in got.groupby("q_id")}
+    allowed0 = set(corpus[corpus["bucket"].isin([1, 2])]["n_id"])
+    allowed1 = set(corpus[corpus["bucket"] == 3]["n_id"])
+    assert by_q[0] == allowed0
+    assert by_q[1] == allowed1
+
+
+def test_masked_cosines_match_unmasked_values():
+    """The subset fold must produce the same floats as the full fold."""
+    corpus = _corpus(80)
+    corpus["bucket"] = (corpus["n_id"] % 2).astype(np.int64)
+    q = RNG.normal(size=(1, 8))
+    qids = np.array([0])
+    full = _run(multi_query_topk_fn(q, qids, 80), [corpus.drop(columns="bucket")])
+    masked = _run(
+        multi_query_topk_fn(q, qids, 80, probe_buckets={0: {0}}), [corpus]
+    )
+    fm = {r.n_id: r.cosine for r in full.itertuples()}
+    for r in masked.itertuples():
+        assert fm[r.n_id] == r.cosine  # exact
+
+
+def test_empty_and_no_match_partitions():
+    q = RNG.normal(size=(1, 8))
+    fn = multi_query_topk_fn(q, np.array([0]), k=3)
+    assert len(_run(fn, [])) == 0
+    corpus = _corpus(10)
+    corpus["bucket"] = np.int64(9)
+    fn = multi_query_topk_fn(q, np.array([0]), 3, probe_buckets={0: {1}})
+    assert len(_run(fn, [corpus])) == 0
+
+
+def test_per_partition_output_bounded():
+    corpus = _corpus(1000)
+    fn = multi_query_topk_fn(RNG.normal(size=(3, 8)), np.arange(3), k=4)
+    out = _run(fn, _split(corpus, 5))
+    # ONE partition here (one generator call) → ≤ Q×k rows total
+    assert len(out) <= 3 * 4
+
+
+@pytest.mark.parametrize("k", [1, 5, 1000])
+def test_k_larger_than_corpus(k):
+    corpus = _corpus(6)
+    fn = multi_query_topk_fn(RNG.normal(size=(1, 8)), np.array([0]), k=k)
+    got = _merge_global(_run(fn, [corpus]), k)
+    assert len(got[0]) == min(k, 6)
