@@ -58,6 +58,8 @@ PIPELINE_OPS = [
     "sim_ivf_topk",
     "sim_lsh_topk",
     "sim_recall_eval",
+    "sim_kmeans",
+    "dedup_semantic",
     "text_stats",
     "text_tfidf",
     "text_repetition",

@@ -377,6 +377,65 @@ ORDER BY region_name
 """
 
 
+def iceberg_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot expiry + orphan-file cleanup after compaction — the
+    storage-amplification half of the maintenance loop (compact bounds
+    read amplification; without expiry every REPLACE strands its
+    predecessors' files forever). Build: two appends (keys <400,
+    400..799) → compact (REPLACE snapshot 3) → expire keep_last=1.
+    Output proves the three invariants: both pre-compaction snapshots
+    expired, one remains, and zero stranded paths survive in data/
+    (every physical file is referenced by a live snapshot). The final
+    readable state is untouched — the oracle replays it on raw orders."""
+    import shutil
+
+    from ..sources.iceberg_lite import compact, expire_snapshots
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "iceberg_lite",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_expire",
+    )
+    # expiry MUTATES table state: rebuild fresh each call (idempotence)
+    shutil.rmtree(path, ignore_errors=True)
+    (orders,) = tables(spark, sf_dir, "orders")
+    write_snapshot(orders.filter(F.col("o_orderkey") < 400), path)
+    write_snapshot(orders.filter(F.col("o_orderkey").between(400, 799)), path)
+    compact(spark, path)
+    res = expire_snapshots(path, keep_last=1)
+    from ..sources.iceberg_lite import _referenced_paths
+
+    live = _referenced_paths(path, res.remaining_snapshot_ids)
+    stranded = sum(
+        1
+        for fn in os.listdir(os.path.join(path, "data"))
+        if os.path.join("data", fn) not in live
+    )
+    t = IcebergLiteTable(path)
+    return (
+        t.read(spark)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.lit(len(res.expired_snapshot_ids)).alias("expired"),
+            F.lit(len(res.remaining_snapshot_ids)).alias("remaining"),
+            F.lit(stranded).alias("stranded"),
+            "n",
+            "total",
+        )
+    )
+
+
+ICEBERG_EXPIRE_SQL = """
+SELECT 2 AS expired, 1 AS remaining, 0 AS stranded,
+       CAST(COUNT(*) AS BIGINT) AS n, round(SUM(o_totalprice), 2) AS total
+FROM orders WHERE o_orderkey < 800
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_join": catalog_join,
     "iceberg_time_travel": iceberg_time_travel,
@@ -385,6 +444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_upsert": iceberg_upsert,
     "iceberg_incremental": iceberg_incremental,
     "iceberg_incremental_agg": iceberg_incremental_agg,
+    "iceberg_expire": iceberg_expire,
 }
 
 ORACLE: dict[str, str] = {
@@ -395,4 +455,5 @@ ORACLE: dict[str, str] = {
     "iceberg_upsert": ICEBERG_UPSERT_SQL,
     "iceberg_incremental": ICEBERG_INCREMENTAL_SQL,
     "iceberg_incremental_agg": ICEBERG_INCREMENTAL_AGG_SQL,
+    "iceberg_expire": ICEBERG_EXPIRE_SQL,
 }

@@ -744,3 +744,116 @@ def compact(
     snapshot_id = (table.current_snapshot_id() or 0) + 1
     entries = _write_data_entries(df, path, snapshot_id, partition_by, stats_columns)
     return _append_snapshot_files(path, entries, "data", "replace", replace=True)
+
+
+@dataclass
+class ExpireResult:
+    """Counts from expire_snapshots: what was removed and what remains."""
+
+    expired_snapshot_ids: list[int] = field(default_factory=list)
+    remaining_snapshot_ids: list[int] = field(default_factory=list)
+    removed_manifest_lists: int = 0
+    removed_manifests: int = 0
+    removed_data_paths: int = 0
+    bytes_reclaimed: int = 0
+
+
+def _referenced_paths(path: str, snapshot_ids: list[int]) -> set[str]:
+    """Every table-relative path (manifest lists, manifests, data +
+    delete files/dirs) reachable from the given snapshots. Metadata-only:
+    one JSON read per manifest, no data I/O."""
+    table = IcebergLiteTable(path)
+    refs: set[str] = set()
+    for sid in snapshot_ids:
+        snap = table._snapshot(sid)
+        refs.add(snap["manifest_list"])
+        with open(os.path.join(path, snap["manifest_list"])) as f:
+            manifests = json.load(f)
+        for m in manifests:
+            refs.add(m["manifest_path"])
+            with open(os.path.join(path, m["manifest_path"])) as f:
+                manifest = json.load(f)
+            for entry in manifest.get("entries", []):
+                fe = entry.get("data_file") or entry["delete_file"]
+                refs.add(fe["file_path"])
+    return refs
+
+
+def _tree_size(p: str) -> int:
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    return sum(
+        os.path.getsize(os.path.join(dp, fn))
+        for dp, _dirs, fns in os.walk(p)
+        for fn in fns
+    )
+
+
+def expire_snapshots(
+    path: str,
+    keep_last: int | None = None,
+    older_than_ms: int | None = None,
+) -> ExpireResult:
+    """Iceberg `expire_snapshots` + `remove_orphan_files` in one
+    maintenance pass: drop old snapshots' metadata, then physically
+    delete every data/delete file and manifest no REMAINING snapshot
+    references. The current snapshot is never expired.
+
+    This is the other half of the 100 TB maintenance loop: `compact`
+    bounds read amplification, expiry bounds storage amplification —
+    without it every REPLACE snapshot strands its predecessors' files
+    forever (a compact-weekly table doubles its footprint each cycle).
+    Reference scope note: the reference's iceberg.rs is read-only
+    (scan + time travel); maintenance ops are surplus here, mirroring
+    Iceberg's own expire_snapshots procedure semantics.
+
+    Runs under the table commit lock so a concurrent writer can't chain
+    a snapshot onto one being expired; the file deletes are metadata-
+    scale (one unlink per file), not data-scale — at 100 TB the listing
+    is bounded by manifest count, never by rows.
+    """
+    res = ExpireResult()
+    with _commit_lock(path):
+        table = IcebergLiteTable(path)
+        current = table.current_snapshot_id()
+        snaps = table.snapshots()
+        expire: list[int] = []
+        for s in snaps:
+            sid = s["snapshot_id"]
+            if sid == current:
+                continue
+            too_old = older_than_ms is not None and s.get(
+                "timestamp_ms", 0
+            ) <= older_than_ms
+            beyond_keep = keep_last is not None and sid <= (current or 0) - keep_last
+            if too_old or beyond_keep:
+                expire.append(sid)
+        remaining = [s["snapshot_id"] for s in snaps if s["snapshot_id"] not in set(expire)]
+        res.expired_snapshot_ids = sorted(expire)
+        res.remaining_snapshot_ids = sorted(remaining)
+        if not expire:
+            return res
+        keep_refs = _referenced_paths(path, remaining)
+        drop_refs = _referenced_paths(path, expire) - keep_refs
+        # metadata of expired snapshots goes first (a crash after this
+        # point leaves only orphans, which a re-run reclaims)
+        for sid in expire:
+            os.remove(os.path.join(path, "metadata", f"snap-{sid}.snapshot.json"))
+        for rel in sorted(drop_refs):
+            p = os.path.join(path, rel)
+            if not os.path.exists(p):
+                continue
+            res.bytes_reclaimed += _tree_size(p)
+            if rel.startswith("metadata/manifest-list"):
+                res.removed_manifest_lists += 1
+            elif rel.startswith("metadata/"):
+                res.removed_manifests += 1
+            else:
+                res.removed_data_paths += 1
+            if os.path.isdir(p):
+                import shutil
+
+                shutil.rmtree(p)
+            else:
+                os.remove(p)
+    return res

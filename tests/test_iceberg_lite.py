@@ -356,3 +356,86 @@ def test_concurrent_appends_lose_no_commits(spark, sf_oracle, tmp_path):
         r.n_nationkey for r in t.read(spark).select("n_nationkey").collect()
     )
     assert got == list(range(0, 1 + n_writers * per_writer))
+
+
+def test_expire_snapshots_after_compact(spark, tmp_path):
+    """Expiry physically reclaims files stranded by a REPLACE: both
+    pre-compaction snapshots' metadata and data files are gone, the
+    surviving snapshot reads identically, and nothing it references
+    was touched."""
+    import os
+
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        _referenced_paths,
+        compact,
+        expire_snapshots,
+    )
+
+    path = str(tmp_path / "ice_expire")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    write_snapshot(nation.filter("n_nationkey < 10"), path)
+    write_snapshot(nation.filter("n_nationkey >= 10"), path)
+    sid = compact(spark, path)
+    t = IcebergLiteTable(path)
+    before = sorted(r[0] for r in t.read(spark).select("n_nationkey").collect())
+
+    res = expire_snapshots(path, keep_last=1)
+    assert res.expired_snapshot_ids == [1, 2]
+    assert res.remaining_snapshot_ids == [sid]
+    assert res.removed_data_paths > 0 and res.bytes_reclaimed > 0
+
+    # current state unchanged; expired snapshots no longer readable
+    after = sorted(r[0] for r in t.read(spark).select("n_nationkey").collect())
+    assert after == before
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=1)
+
+    # zero stranded paths: everything left in data/ is referenced
+    live = _referenced_paths(path, [sid])
+    for fn in os.listdir(os.path.join(path, "data")):
+        assert os.path.join("data", fn) in live
+
+
+def test_expire_keeps_files_shared_with_live_snapshots(spark, tmp_path):
+    """Append chains share data files across snapshots: expiring
+    snapshot 1 under keep_last=1 must NOT delete its data files,
+    because snapshot 2's manifest list still references them (only the
+    expired snapshot's own manifest list is reclaimable)."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import expire_snapshots
+
+    path = str(tmp_path / "ice_expire_shared")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    write_snapshot(nation.filter("n_nationkey < 10"), path)
+    write_snapshot(nation.filter("n_nationkey >= 10"), path)
+
+    res = expire_snapshots(path, keep_last=1)
+    assert res.expired_snapshot_ids == [1]
+    assert res.removed_data_paths == 0  # shared files survive
+    assert res.removed_manifests == 0  # snap-2's list references manifest-1
+    assert res.removed_manifest_lists == 1  # only snap-1's own list
+
+    t = IcebergLiteTable(path)
+    assert t.read(spark).count() == 25
+
+
+def test_expire_older_than_and_current_protection(spark, tmp_path):
+    """older_than_ms expiry: cutoff at snapshot 1's timestamp expires
+    only it; a cutoff past every snapshot still never expires the
+    current one."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import expire_snapshots
+
+    path = str(tmp_path / "ice_expire_ts")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    write_snapshot(nation.filter("n_nationkey < 10"), path)
+    write_snapshot(nation.filter("n_nationkey >= 10"), path)
+    t = IcebergLiteTable(path)
+    ts1 = t._snapshot(1)["timestamp_ms"]
+
+    res = expire_snapshots(path, older_than_ms=ts1)
+    assert res.expired_snapshot_ids == [1]
+
+    res2 = expire_snapshots(path, older_than_ms=2**62)
+    assert res2.expired_snapshot_ids == []  # current is never expired
+    assert t.read(spark).count() == 25
