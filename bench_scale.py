@@ -56,6 +56,7 @@ PIPELINE_OPS = [
     "dedup_clusters",
     "sim_brute_topk",
     "sim_ivf_topk",
+    "sim_ivf_pq_topk",
     "sim_lsh_topk",
     "sim_recall_eval",
     "sim_kmeans",

@@ -224,3 +224,107 @@ def multi_query_topk_fn(
             )
 
     return topk
+
+
+def pq_adc_topk_fn(
+    codeword_vecs: np.ndarray,
+    codeword_ids: np.ndarray,
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    n_sub: int,
+):
+    """Factory: a mapInPandas function running an IVF-PQ-style
+    Asymmetric Distance Computation scan in one Arrow pass.
+
+    Product quantization splits the `dim`-wide vector into `n_sub`
+    subspaces and replaces each sub-vector with the id of its nearest
+    codeword (argmin rounded squared L2, tie → lowest codeword id) —
+    at 100 TB this is THE storage lever for ANN: n_sub bytes per
+    vector (64 bytes → 8, here) instead of dim floats, so the scan
+    reads a 32× smaller corpus. Scoring never reconstructs vectors:
+    each query precomputes a (n_sub × K) lookup table of
+    sub-dot-products against the codebook, and a vector's approximate
+    inner product is n_sub table lookups (ADC, Jégou et al. 2011,
+    "Product Quantization for Nearest Neighbor Search").
+
+    This kernel fuses quantize + ADC + per-partition top-k: the
+    codebook and query LUTs ride in the closure (K codewords and Q
+    queries are KBs at any corpus size), each corpus vector crosses
+    the Arrow channel ONCE, and only Q×k candidates per partition
+    reach the downstream merge window — the same two-level shape as
+    multi_query_topk_fn. A materialized-codes variant would write the
+    uint8 code table once and re-scan it per query batch; fusing keeps
+    the driver query single-pass while exercising identical math.
+
+    Determinism (oracle parity): sub-distances and LUT entries
+    accumulate dimension-by-dimension in strict left-to-right order
+    (sequential-fold parity with DuckDB's list_aggregate), distances
+    are rounded to 6 decimals BEFORE argmin with codewords ordered by
+    ascending id (first-min = lowest id on ties), and ADC sums
+    accumulate subspace-by-subspace with the final score rounded to 6
+    before (score DESC, n_id ASC) selection — independent of Arrow
+    batch size and partitioning.
+    """
+    C = np.ascontiguousarray(codeword_vecs, dtype=np.float64)
+    cids = np.asarray(codeword_ids, dtype=np.int64)
+    order = np.argsort(cids, kind="stable")
+    C = C[order]
+    q = np.ascontiguousarray(query_vecs, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    qorder = np.argsort(qids, kind="stable")
+    q, qids = q[qorder], qids[qorder]
+    ncw, dim = C.shape
+    nq = q.shape[0]
+    sub = dim // n_sub
+    assert sub * n_sub == dim, "dim must divide evenly into subspaces"
+    # per-subspace LUT: lut[mi][j, c] = q_j[sub mi] · C_c[sub mi]
+    lut = np.zeros((n_sub, nq, ncw))
+    for mi in range(n_sub):
+        for i in range(sub):
+            d = mi * sub + i
+            lut[mi] += q[:, d][:, None] * C[None, :, d]
+
+    def topk(batches):
+        cand_adc = [[] for _ in range(nq)]
+        cand_id = [[] for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            ids = pdf["n_id"].to_numpy(dtype=np.int64)
+            n = m.shape[0]
+            adc = np.zeros((n, nq))
+            for mi in range(n_sub):
+                dist = np.zeros((n, ncw))
+                for i in range(sub):  # strict left-to-right fold
+                    d = mi * sub + i
+                    diff = m[:, d][:, None] - C[None, :, d]
+                    dist += diff * diff
+                code = np.argmin(np.round(dist, 6), axis=1)
+                adc += lut[mi][:, code].T
+            adc = np.round(adc, 6)
+            for j in range(nq):
+                sel = np.lexsort((ids, -adc[:, j]))[:k]
+                cand_adc[j].append(adc[sel, j])
+                cand_id[j].append(ids[sel])
+        out_q, out_id, out_adc = [], [], []
+        for j in range(nq):
+            if not cand_id[j]:
+                continue
+            ca = np.concatenate(cand_adc[j])
+            ci = np.concatenate(cand_id[j])
+            sel = np.lexsort((ci, -ca))[:k]
+            out_q.append(np.full(len(sel), qids[j]))
+            out_id.append(ci[sel])
+            out_adc.append(ca[sel])
+        if out_q:
+            yield pd.DataFrame(
+                {
+                    "q_id": np.concatenate(out_q),
+                    "n_id": np.concatenate(out_id),
+                    "adc": np.concatenate(out_adc),
+                }
+            )
+
+    return topk

@@ -696,9 +696,115 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+# --------------------------------------------------------------------------
+K_PQ = 16  # codewords per subspace (fixed budget, like K_CENTROIDS)
+PQ_M = 8  # subspaces: 64 dims → 8 sub-vectors of 8 dims → 8 bytes/vector
+
+
+def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (ADC scan): each corpus vector is
+    quantized to PQ_M codeword ids (nearest codeword per 8-dim
+    subspace, deterministic seeded codebook) and queries score vectors
+    by summing precomputed query·codeword sub-dot-products — never
+    touching the original floats at query time.
+
+    Scale shape (the 100 TB ANN storage lever): codes are PQ_M bytes
+    per vector — a 32× smaller corpus than float32 — and the scan is
+    the same one-Arrow-pass two-level top-k as sim_brute_topk
+    (functions/vector.py:pq_adc_topk_fn fuses quantize + ADC + partial
+    top-k; Q×k candidate rows per partition reach the merge window).
+    The codebook is a fixed K_PQ budget independent of corpus size —
+    same lesson as K_CENTROIDS (the r4 IVF O(n^2) bug)."""
+    import numpy as np
+
+    from ..functions.vector import pq_adc_topk_fn
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
+    # codebook seeds: every ceil(n/K_PQ)-th corpus vec_id — tiny collect
+    # (K_PQ × dim doubles), the same closure-capture exception as the
+    # centroid/query matrices
+    nrow = corpus.agg(F.count(F.lit(1)).alias("n_all"))
+    mod = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n_all") / F.lit(K_PQ)).cast("long"),
+    )
+    cw = (
+        corpus.join(F.broadcast(nrow))
+        .filter(F.pmod(F.col("vec_id"), mod) == 0)
+        .select("vec_id", "v")
+        .collect()
+    )
+    qrows = e.filter(F.col("vec_id") < N_QUERIES).collect()
+    fn = pq_adc_topk_fn(
+        np.array([r.v for r in cw]),
+        np.array([r.vec_id for r in cw]),
+        np.array([r.v for r in qrows]),
+        np.array([r.vec_id for r in qrows]),
+        TOP_K,
+        PQ_M,
+    )
+    partial = corpus.select(F.col("vec_id").alias("n_id"), "v").mapInPandas(
+        fn, "q_id bigint, n_id bigint, adc double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "n_id", "adc", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("q_id", "rk")
+    )
+
+
+_PQ_SUB = 64 // PQ_M
+
+SIM_IVF_PQ_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), corpus AS (
+  SELECT vec_id, v FROM vecs WHERE vec_id >= {N_QUERIES}
+), cw AS (
+  SELECT vec_id AS c_id, v AS cv FROM corpus
+  WHERE vec_id % GREATEST(1,
+    CAST(CEIL((SELECT COUNT(*) FROM corpus) / {K_PQ}.0) AS BIGINT)) = 0
+), sub AS (
+  SELECT unnest(range({PQ_M})) AS m
+), codes AS (
+  SELECT vec_id, m, c_id FROM (
+    SELECT e.vec_id, s.m, c.c_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id, s.m
+        ORDER BY round(list_aggregate(
+          list_transform(generate_series(1, {_PQ_SUB}),
+            i -> (e.v[s.m*{_PQ_SUB}+i] - c.cv[s.m*{_PQ_SUB}+i])
+               * (e.v[s.m*{_PQ_SUB}+i] - c.cv[s.m*{_PQ_SUB}+i])), 'sum'), 6) ASC,
+        c.c_id) AS rk
+    FROM corpus e CROSS JOIN sub s CROSS JOIN cw c
+  ) WHERE rk = 1
+), queries AS (
+  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, cd.vec_id AS n_id,
+    round(SUM(list_aggregate(
+      list_transform(generate_series(1, {_PQ_SUB}),
+        i -> q.qv[cd.m*{_PQ_SUB}+i] * c.cv[cd.m*{_PQ_SUB}+i]), 'sum')), 6) AS adc
+  FROM codes cd JOIN cw c ON cd.c_id = c.c_id CROSS JOIN queries q
+  GROUP BY q.q_id, cd.vec_id
+)
+SELECT q_id, n_id, adc, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_pq_topk": sim_ivf_pq_topk,
     "sim_kmeans": sim_kmeans,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_recall_eval": sim_recall_eval,
@@ -710,6 +816,7 @@ ORACLE: dict[str, str] = {
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
     "sim_kmeans": SIM_KMEANS_SQL,
     "sim_ivf_topk": SIM_IVF_TOPK_SQL,
+    "sim_ivf_pq_topk": SIM_IVF_PQ_TOPK_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
     "sim_recall_eval": SIM_RECALL_EVAL_SQL,
     "sim_quantize_int8": SIM_QUANTIZE_INT8_SQL,

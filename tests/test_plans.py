@@ -173,6 +173,20 @@ def test_sim_lsh_topk_single_corpus_pass(spark, sf):
     assert not pi.has_cartesian(df)
 
 
+def test_sim_ivf_pq_one_arrow_pass(spark, sf):
+    """PQ/ADC ANN: quantize + ADC + partial top-k fused in ONE
+    MapInPandas over ONE corpus scan (codebook + query LUTs in the
+    kernel closure — 8 codes/vector is the only per-row state), then
+    the window merge. No join, no cartesian, no second corpus pass."""
+    from iceberg_query_engine_spark.queries import similarity_suite
+
+    df = similarity_suite.sim_ivf_pq_topk(spark, sf)
+    assert pi.count_op(df, "MapInPandas") == 1
+    assert pi.count_op(df, "Scan parquet") == 1
+    assert pi.has_pushed_filter(df, "GreaterThanOrEqual(vec_id")
+    assert not pi.has_cartesian(df)
+
+
 def test_sim_quantize_map_only(spark, sf):
     """int8 quantization is map-only: one scan, sort is the only
     exchange, no Python UDF in the plan."""

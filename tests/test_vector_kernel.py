@@ -172,3 +172,98 @@ def test_k_larger_than_corpus(k):
     fn = multi_query_topk_fn(RNG.normal(size=(1, 8)), np.array([0]), k=k)
     got = _merge_global(_run(fn, [corpus]), k)
     assert len(got[0]) == min(k, 6)
+
+
+# ---------------------------------------------------------------- PQ/ADC
+def _pq_reference(df: pd.DataFrame, C, cids, q, qids, k, n_sub):
+    """Sequential-fold PQ reference: per-subspace nearest codeword
+    (rounded L2^2, tie -> lowest id), ADC = sum of sub-dots."""
+    order = np.argsort(cids, kind="stable")
+    C = np.asarray(C, dtype=np.float64)[order]
+    m = np.vstack(df["v"].values)
+    ids = df["n_id"].to_numpy()
+    dim = m.shape[1]
+    sub = dim // n_sub
+    out = {}
+    adc_all = np.zeros((len(df), len(qids)))
+    for mi in range(n_sub):
+        dist = np.zeros((len(df), C.shape[0]))
+        for i in range(sub):
+            d = mi * sub + i
+            diff = m[:, d][:, None] - C[None, :, d]
+            dist += diff * diff
+        code = np.argmin(np.round(dist, 6), axis=1)
+        for j in range(len(qids)):
+            lut = np.zeros(C.shape[0])
+            for i in range(sub):
+                d = mi * sub + i
+                lut += q[j, d] * C[:, d]
+            adc_all[:, j] += lut[code]
+    adc_all = np.round(adc_all, 6)
+    for j, qid in enumerate(qids):
+        sel = np.lexsort((ids, -adc_all[:, j]))[:k]
+        out[qid] = list(zip(ids[sel], adc_all[sel, j]))
+    return out
+
+
+def test_pq_adc_matches_reference_any_batching():
+    from iceberg_query_engine_spark.functions import vector
+
+    corpus = _corpus(120, dim=16)
+    C = np.vstack(corpus["v"].values[::17])  # 8 codewords
+    cids = corpus["n_id"].to_numpy()[::17]
+    q = RNG.normal(size=(3, 16))
+    qids = np.array([0, 1, 2])
+    ref = _pq_reference(corpus, C, cids, q, qids, 5, n_sub=4)
+    for nb in (1, 2, 5, 120):
+        fn = vector.pq_adc_topk_fn(C, cids, q, qids, 5, 4)
+        parts = list(fn(iter(_split(corpus, nb))))
+        got_df = pd.concat(parts, ignore_index=True)
+        got = {}
+        for qid, g in got_df.groupby("q_id"):
+            sel = np.lexsort((g["n_id"].to_numpy(), -g["adc"].to_numpy()))[:5]
+            got[int(qid)] = list(
+                zip(g["n_id"].to_numpy()[sel], g["adc"].to_numpy()[sel])
+            )
+        assert got == ref, f"batching {nb} changed PQ result"
+
+
+def test_pq_adc_tie_breaks_to_lowest_id():
+    from iceberg_query_engine_spark.functions import vector
+
+    # two identical corpus vectors -> identical ADC; lower n_id ranks first
+    base = RNG.normal(size=8)
+    corpus = pd.DataFrame({"n_id": np.array([201, 200]), "v": [base, base]})
+    C = np.vstack([base, RNG.normal(size=8)])
+    fn = vector.pq_adc_topk_fn(
+        C, np.array([0, 1]), np.array([base]), np.array([0]), 2, 2
+    )
+    got = pd.concat(list(fn(iter([corpus]))), ignore_index=True)
+    assert got["n_id"].tolist() == [200, 201]
+    assert got["adc"].iloc[0] == got["adc"].iloc[1]
+
+
+def test_pq_codeword_id_order_irrelevant():
+    """Codebook rows arriving in any id order quantize identically
+    (the factory sorts by id; argmin-first then maps to lowest id)."""
+    from iceberg_query_engine_spark.functions import vector
+
+    corpus = _corpus(60, dim=8)
+    C = np.vstack(corpus["v"].values[:6])
+    cids = np.arange(6, dtype=np.int64)
+    q = RNG.normal(size=(2, 8))
+    qids = np.array([0, 1])
+    a = pd.concat(
+        list(vector.pq_adc_topk_fn(C, cids, q, qids, 4, 2)(iter([corpus]))),
+        ignore_index=True,
+    )
+    perm = RNG.permutation(6)
+    b = pd.concat(
+        list(
+            vector.pq_adc_topk_fn(C[perm], cids[perm], q, qids, 4, 2)(
+                iter([corpus])
+            )
+        ),
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(a, b)
