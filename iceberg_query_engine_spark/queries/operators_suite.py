@@ -634,6 +634,101 @@ ORDER BY shard, pos
 """
 
 
+Z_BITS = 10  # per-dimension rank bits: 1024 range buckets per dim
+
+
+def _interleave(x, y, bits=Z_BITS):
+    """Bit-interleave two non-negative int columns into a z-value:
+    bit i of x lands at 2i, bit i of y at 2i+1. 2*bits shift/mask/or
+    terms — plain codegen arithmetic, no UDF (well under the ~60-term
+    whole-stage-codegen comfort zone measured in BENCH_SCALE r5)."""
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def op_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering for multi-dimensional data
+    skipping: rank o_custkey and the order date into 2^Z_BITS range
+    buckets each, interleave the rank bits, lay the table out in
+    z-value order, and report each of 16 layout buckets' min/max on
+    BOTH dimensions plus row count.
+
+    Interleaving RANKS, not raw values, is what Delta/Iceberg
+    `OPTIMIZE ZORDER BY` does (range_partition_id): raw-value
+    interleaving lets the dimension with wider magnitude own the high
+    bits and degenerate to a single-column sort; equal-width rank bits
+    give each dimension the same say, so 16 layout buckets (4 z bits =
+    2 per dim) bound BOTH columns to ~1/4 of their range per bucket —
+    that is the file-skipping guarantee (parquet min/max footers prune
+    on either predicate column). Costs: two rank windows + the layout
+    sort; at 100 TB each is a sampled range partition, and the z math
+    itself is map-side codegen. ntile ties are broken by o_orderkey so
+    the oracle replays the exact layout."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date")).cast(
+        "long"
+    )
+    tiles = 1 << Z_BITS
+    wc = Window.orderBy("o_custkey", "o_orderkey")
+    wd = Window.orderBy("day", "o_orderkey")
+    ranked = orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate", day.alias("day")
+    ).select(
+        "*",
+        (F.ntile(tiles).over(wc) - 1).cast("long").alias("cr"),
+        (F.ntile(tiles).over(wd) - 1).cast("long").alias("dr"),
+    )
+    z = _interleave(F.col("cr"), F.col("dr"))
+    wz = Window.orderBy("z", "o_orderkey")
+    return (
+        ranked.withColumn("z", z)
+        .withColumn("bucket", F.ntile(16).over(wz).cast("bigint"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min(F.col("o_orderdate").cast("string")).alias("min_date"),
+            F.max(F.col("o_orderdate").cast("string")).alias("max_date"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_Z_TERMS = " | ".join(
+    f"(((cr >> {i}) & 1) << {2 * i}) | (((dr >> {i}) & 1) << {2 * i + 1})"
+    for i in range(10)
+)
+
+OP_ZORDER_SQL = f"""
+WITH zed AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day
+  FROM orders
+), ranked AS (
+  SELECT *,
+    CAST(ntile(1024) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS cr,
+    CAST(ntile(1024) OVER (ORDER BY day, o_orderkey) - 1 AS BIGINT) AS dr
+  FROM zed
+), zv AS (
+  SELECT o_orderkey, o_custkey, o_orderdate, {_Z_TERMS} AS z FROM ranked
+), bucketed AS (
+  SELECT *, ntile(16) OVER (ORDER BY z, o_orderkey) AS bucket FROM zv
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+       CAST(MIN(o_orderdate) AS VARCHAR) AS min_date,
+       CAST(MAX(o_orderdate) AS VARCHAR) AS max_date
+FROM bucketed GROUP BY bucket ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
@@ -642,6 +737,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_stratified_sample": op_stratified_sample,
     "op_pivot": op_pivot,
     "op_unpivot": op_unpivot,
+    "op_zorder": op_zorder,
     "op_bucketed_join": op_bucketed_join,
     "op_skew_agg": op_skew_agg,
     "op_skew_join": op_skew_join,
@@ -660,6 +756,7 @@ ORACLE: dict[str, str] = {
     "op_stratified_sample": OP_STRATIFIED_SAMPLE_SQL,
     "op_pivot": OP_PIVOT_SQL,
     "op_unpivot": OP_UNPIVOT_SQL,
+    "op_zorder": OP_ZORDER_SQL,
     "op_bucketed_join": OP_BUCKETED_JOIN_SQL,
     "op_skew_agg": OP_SKEW_AGG_SQL,
     "op_skew_join": OP_SKEW_JOIN_SQL,
