@@ -729,6 +729,59 @@ FROM bucketed GROUP BY bucket ORDER BY bucket
 """
 
 
+def op_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    (A-Res): each doc draws a deterministic uniform u from a salted
+    md5 of its id and ranks by ln(u)/weight (monotone transform of
+    u^(1/w)); the global top-K by that key IS a weighted reservoir
+    sample — here weight = n_chars, the length-proportional draw a
+    token-budget curator uses.
+
+    Scale shape: the key is map-side codegen; sort(key).limit(K)
+    compiles to TakeOrderedAndProject — per-partition partial top-K,
+    only K rows per partition cross the exchange (never a full global
+    sort). Deterministic u (hash-seeded, engine-reproducible) makes a
+    distributed weighted LOTTERY replayable by any engine — the same
+    md5 contract as op_hash_sample."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ws"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    key = F.log(u) / F.col("n_chars")
+    sampled = (
+        documents.select("doc_id", "source", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("key").desc(), "doc_id")
+    return sampled.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("key", 9).alias("key"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    ).orderBy("rk")
+
+
+OP_WEIGHTED_SAMPLE_SQL = """
+WITH keyed AS (
+  SELECT doc_id, source, n_chars,
+    ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'), 1, 8)) AS BIGINT)
+        + 0.5) / 4294967296.0) / n_chars AS key
+  FROM documents
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY key DESC, doc_id) AS rk FROM keyed
+)
+SELECT doc_id, source, n_chars, round(key, 9) AS key, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 20 ORDER BY rk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
@@ -738,6 +791,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_pivot": op_pivot,
     "op_unpivot": op_unpivot,
     "op_zorder": op_zorder,
+    "op_weighted_sample": op_weighted_sample,
     "op_bucketed_join": op_bucketed_join,
     "op_skew_agg": op_skew_agg,
     "op_skew_join": op_skew_join,
@@ -757,6 +811,7 @@ ORACLE: dict[str, str] = {
     "op_pivot": OP_PIVOT_SQL,
     "op_unpivot": OP_UNPIVOT_SQL,
     "op_zorder": OP_ZORDER_SQL,
+    "op_weighted_sample": OP_WEIGHTED_SAMPLE_SQL,
     "op_bucketed_join": OP_BUCKETED_JOIN_SQL,
     "op_skew_agg": OP_SKEW_AGG_SQL,
     "op_skew_join": OP_SKEW_JOIN_SQL,

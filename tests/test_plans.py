@@ -187,6 +187,18 @@ def test_sim_ivf_pq_one_arrow_pass(spark, sf):
     assert not pi.has_cartesian(df)
 
 
+def test_weighted_sample_take_ordered(spark, sf):
+    """Weighted reservoir sampling compiles to TakeOrderedAndProject:
+    per-partition partial top-K, K rows per partition to the driver-side
+    merge — never a full global sort of the corpus."""
+    from iceberg_query_engine_spark.queries import operators_suite
+
+    df = operators_suite.op_weighted_sample(spark, sf)
+    plan = pi.executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert not pi.has_cartesian(df)
+
+
 def test_sim_quantize_map_only(spark, sf):
     """int8 quantization is map-only: one scan, sort is the only
     exchange, no Python UDF in the plan."""
