@@ -75,7 +75,12 @@ def main() -> None:
         "dedup_decontaminate": dedup_suite.dedup_decontaminate,
         "sim_brute_topk": similarity_suite.sim_brute_topk,
         "sim_ivf_topk": similarity_suite.sim_ivf_topk,
+        "sim_ivf_pq_topk": similarity_suite.sim_ivf_pq_topk,
+        "sim_kmeans": similarity_suite.sim_kmeans,
         "sim_lsh_topk": similarity_suite.sim_lsh_topk,
+        "dedup_semantic": dedup_suite.dedup_semantic,
+        "op_zorder": operators_suite.op_zorder,
+        "op_weighted_sample": operators_suite.op_weighted_sample,
         "text_token_freq": text_suite.text_token_freq,
         "text_fingerprint": text_suite.text_fingerprint,
         "text_tfidf": text_suite.text_tfidf,

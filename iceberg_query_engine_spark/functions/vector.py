@@ -233,6 +233,7 @@ def pq_adc_topk_fn(
     query_ids: np.ndarray,
     k: int,
     n_sub: int,
+    normalize: bool = False,
 ):
     """Factory: a mapInPandas function running an IVF-PQ-style
     Asymmetric Distance Computation scan in one Arrow pass.
@@ -265,6 +266,13 @@ def pq_adc_topk_fn(
     accumulate subspace-by-subspace with the final score rounded to 6
     before (score DESC, n_id ASC) selection — independent of Arrow
     batch size and partitioning.
+
+    `normalize=True` L2-normalizes codewords, queries, AND each corpus
+    vector (inside the kernel, same sequential norm fold) before
+    quantization — then the ADC score approximates COSINE, making the
+    PQ index comparable against an exact-cosine ground truth (the
+    recall gate). Division and sqrt are IEEE-correctly-rounded, so
+    normalized values match the oracle's x / sqrt(sum) exactly.
     """
     C = np.ascontiguousarray(codeword_vecs, dtype=np.float64)
     cids = np.asarray(codeword_ids, dtype=np.int64)
@@ -274,6 +282,9 @@ def pq_adc_topk_fn(
     qids = np.asarray(query_ids, dtype=np.int64)
     qorder = np.argsort(qids, kind="stable")
     q, qids = q[qorder], qids[qorder]
+    if normalize:
+        C = C / np.sqrt(_seq_sq_norms(C))[:, None]
+        q = q / np.sqrt(_seq_sq_norms(q))[:, None]
     ncw, dim = C.shape
     nq = q.shape[0]
     sub = dim // n_sub
@@ -294,6 +305,13 @@ def pq_adc_topk_fn(
             m = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
             ids = pdf["n_id"].to_numpy(dtype=np.int64)
             n = m.shape[0]
+            if normalize:
+                # inline seq fold (see multi_query_topk_fn on why no
+                # module-level helper reference inside the closure)
+                vn2 = np.zeros(n)
+                for i in range(dim):
+                    vn2 += m[:, i] * m[:, i]
+                m = m / np.sqrt(vn2)[:, None]
             adc = np.zeros((n, nq))
             for mi in range(n_sub):
                 dist = np.zeros((n, ncw))

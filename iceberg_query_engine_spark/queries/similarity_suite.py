@@ -531,7 +531,11 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = _lsh_topk(spark, sf_dir, kmax, RECALL_N_QUERIES).select(
         "q_id", "n_id", F.col("rk").alias("rk_a")
     )
-    j = exact.join(ann, ["q_id", "n_id"], "left")
+    # materialize the (tiny, |queries|*kmax-row) joined rank table once:
+    # the per-k branches below each reference it, and without the
+    # checkpoint EVERY branch re-runs BOTH corpus kernel passes
+    # (4 MapInPandas — measured, 2x the corpus scans at 5M docs)
+    j = exact.join(ann, ["q_id", "n_id"], "left").localCheckpoint()
     parts = []
     for k in RECALL_KS:
         parts.append(
@@ -701,6 +705,56 @@ K_PQ = 16  # codewords per subspace (fixed budget, like K_CENTROIDS)
 PQ_M = 8  # subspaces: 64 dims → 8 sub-vectors of 8 dims → 8 bytes/vector
 
 
+def _pq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOP_K,
+    n_queries: int = N_QUERIES,
+    normalize: bool = False,
+) -> DataFrame:
+    """Shared PQ/ADC retrieval (see sim_ivf_pq_topk). k / n_queries /
+    normalize parameterized so the recall gate can evaluate a larger,
+    cosine-comparable retrieval set without a second implementation."""
+    import numpy as np
+
+    from ..functions.vector import pq_adc_topk_fn
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    corpus = e.filter(F.col("vec_id") >= n_queries)
+    nrow = corpus.agg(F.count(F.lit(1)).alias("n_all"))
+    mod = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n_all") / F.lit(K_PQ)).cast("long"),
+    )
+    cw = (
+        corpus.join(F.broadcast(nrow))
+        .filter(F.pmod(F.col("vec_id"), mod) == 0)
+        .select("vec_id", "v")
+        .collect()
+    )
+    qrows = e.filter(F.col("vec_id") < n_queries).collect()
+    fn = pq_adc_topk_fn(
+        np.array([r.v for r in cw]),
+        np.array([r.vec_id for r in cw]),
+        np.array([r.v for r in qrows]),
+        np.array([r.vec_id for r in qrows]),
+        k,
+        PQ_M,
+        normalize=normalize,
+    )
+    partial = corpus.select(F.col("vec_id").alias("n_id"), "v").mapInPandas(
+        fn, "q_id bigint, n_id bigint, adc double"
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "adc", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("q_id", "rk")
+    )
+
+
 def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (ADC scan): each corpus vector is
     quantized to PQ_M codeword ids (nearest codeword per 8-dim
@@ -715,46 +769,7 @@ def sim_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k; Q×k candidate rows per partition reach the merge window).
     The codebook is a fixed K_PQ budget independent of corpus size —
     same lesson as K_CENTROIDS (the r4 IVF O(n^2) bug)."""
-    import numpy as np
-
-    from ..functions.vector import pq_adc_topk_fn
-
-    (embeddings,) = tables(spark, sf_dir, "embeddings")
-    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    corpus = e.filter(F.col("vec_id") >= N_QUERIES)
-    # codebook seeds: every ceil(n/K_PQ)-th corpus vec_id — tiny collect
-    # (K_PQ × dim doubles), the same closure-capture exception as the
-    # centroid/query matrices
-    nrow = corpus.agg(F.count(F.lit(1)).alias("n_all"))
-    mod = F.greatest(
-        F.lit(1).cast("long"),
-        F.ceil(F.col("n_all") / F.lit(K_PQ)).cast("long"),
-    )
-    cw = (
-        corpus.join(F.broadcast(nrow))
-        .filter(F.pmod(F.col("vec_id"), mod) == 0)
-        .select("vec_id", "v")
-        .collect()
-    )
-    qrows = e.filter(F.col("vec_id") < N_QUERIES).collect()
-    fn = pq_adc_topk_fn(
-        np.array([r.v for r in cw]),
-        np.array([r.vec_id for r in cw]),
-        np.array([r.v for r in qrows]),
-        np.array([r.vec_id for r in qrows]),
-        TOP_K,
-        PQ_M,
-    )
-    partial = corpus.select(F.col("vec_id").alias("n_id"), "v").mapInPandas(
-        fn, "q_id bigint, n_id bigint, adc double"
-    )
-    w = Window.partitionBy("q_id").orderBy(F.col("adc").desc(), F.col("n_id"))
-    return (
-        partial.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= TOP_K)
-        .select("q_id", "n_id", "adc", F.col("rk").cast("bigint").alias("rk"))
-        .orderBy("q_id", "rk")
-    )
+    return _pq_topk(spark, sf_dir)
 
 
 _PQ_SUB = 64 // PQ_M
@@ -801,10 +816,131 @@ ORDER BY q_id, rk
 """
 
 
+def sim_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{5,20} of the PQ/ADC index against exact brute-force
+    cosine over RECALL_N_QUERIES queries — the quality gate that says
+    whether 8-byte codes can replace the float corpus for retrieval.
+
+    Vectors are L2-normalized before quantization (kernel-side, same
+    sequential fold as the oracle) so the ADC score approximates
+    COSINE and the comparison against the exact-cosine ground truth is
+    apples-to-apples; the exact side ranks raw cosines (normalization
+    doesn't change cosine order). Both passes are deterministic, so
+    recall is an exact, reproducible number; the eval join runs over
+    two |queries|×k result sets — cost independent of corpus size.
+
+    Expected-low note: this synthetic corpus is near-isotropic (high
+    intrinsic dimension), the regime where 8-byte PQ structurally
+    loses rank information — measured recall@20 here is ~0.26-0.55
+    across codebook sizes 16-128 and up to 3 Lloyd refinements
+    (offline sweep, NOTES_r5). Real embedding corpora concentrate on
+    low-dimensional manifolds where the same codes keep recall high;
+    the gate exists precisely to measure that before an index swap,
+    and a LOW number on THIS corpus is the gate working."""
+    kmax = max(RECALL_KS)
+    exact = _brute_topk(spark, sf_dir, kmax, RECALL_N_QUERIES).select(
+        "q_id", "n_id", F.col("rk").alias("rk_e")
+    )
+    ann = _pq_topk(spark, sf_dir, kmax, RECALL_N_QUERIES, normalize=True).select(
+        "q_id", "n_id", F.col("rk").alias("rk_a")
+    )
+    # same one-pass materialization as sim_recall_eval (see note there)
+    j = exact.join(ann, ["q_id", "n_id"], "left").localCheckpoint()
+    parts = []
+    for k in RECALL_KS:
+        parts.append(
+            j.filter(F.col("rk_e") <= k)
+            .groupBy("q_id")
+            .agg(
+                F.round(
+                    F.sum(
+                        F.when(F.col("rk_a") <= k, 1).otherwise(0)
+                    ).cast("double")
+                    / F.lit(float(k)),
+                    6,
+                ).alias("recall_at_k")
+            )
+            .withColumn("k", F.lit(k).cast("bigint"))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("k", "q_id", "recall_at_k").orderBy("k", "q_id")
+
+
+SIM_PQ_RECALL_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < {RECALL_N_QUERIES}
+), scored_exact AS (
+  SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
+  FROM queries q CROSS JOIN vecs e
+  WHERE e.vec_id >= {RECALL_N_QUERIES}
+), exact AS (
+  SELECT q_id, n_id, rk AS rk_e FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+    FROM scored_exact
+  ) WHERE rk <= {max(RECALL_KS)}
+), nvecs AS (
+  SELECT vec_id,
+    list_transform(v, x -> x / sqrt(list_aggregate(
+        list_transform(v, y -> y*y), 'sum'))) AS v
+  FROM vecs
+), corpus AS (
+  SELECT vec_id, v FROM nvecs WHERE vec_id >= {RECALL_N_QUERIES}
+), cw AS (
+  SELECT vec_id AS c_id, v AS cv FROM corpus
+  WHERE vec_id % GREATEST(1,
+    CAST(CEIL((SELECT COUNT(*) FROM corpus) / {K_PQ}.0) AS BIGINT)) = 0
+), sub AS (
+  SELECT unnest(range({PQ_M})) AS m
+), codes AS (
+  SELECT vec_id, m, c_id FROM (
+    SELECT e.vec_id, s.m, c.c_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id, s.m
+        ORDER BY round(list_aggregate(
+          list_transform(generate_series(1, {_PQ_SUB}),
+            i -> (e.v[s.m*{_PQ_SUB}+i] - c.cv[s.m*{_PQ_SUB}+i])
+               * (e.v[s.m*{_PQ_SUB}+i] - c.cv[s.m*{_PQ_SUB}+i])), 'sum'), 6) ASC,
+        c.c_id) AS rk
+    FROM corpus e CROSS JOIN sub s CROSS JOIN cw c
+  ) WHERE rk = 1
+), nqueries AS (
+  SELECT vec_id AS q_id, v AS qv FROM nvecs WHERE vec_id < {RECALL_N_QUERIES}
+), scored_pq AS (
+  SELECT q.q_id, cd.vec_id AS n_id,
+    round(SUM(list_aggregate(
+      list_transform(generate_series(1, {_PQ_SUB}),
+        i -> q.qv[cd.m*{_PQ_SUB}+i] * c.cv[cd.m*{_PQ_SUB}+i]), 'sum')), 6) AS adc
+  FROM codes cd JOIN cw c ON cd.c_id = c.c_id CROSS JOIN nqueries q
+  GROUP BY q.q_id, cd.vec_id
+), ann AS (
+  SELECT q_id, n_id, rk AS rk_a FROM (
+    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc DESC, n_id) AS rk
+    FROM scored_pq
+  ) WHERE rk <= {max(RECALL_KS)}
+), ks AS (
+  SELECT unnest([{", ".join(str(k) for k in RECALL_KS)}]) AS k
+)
+SELECT CAST(ks.k AS BIGINT) AS k, e.q_id,
+  round(CAST(SUM(CASE WHEN a.rk_a <= ks.k THEN 1 ELSE 0 END) AS DOUBLE)
+        / ks.k, 6) AS recall_at_k
+FROM ks
+JOIN exact e ON e.rk_e <= ks.k
+LEFT JOIN ann a ON a.q_id = e.q_id AND a.n_id = e.n_id
+GROUP BY ks.k, e.q_id
+ORDER BY 1, 2
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_pq_topk": sim_ivf_pq_topk,
+    "sim_pq_recall": sim_pq_recall,
     "sim_kmeans": sim_kmeans,
     "sim_lsh_topk": sim_lsh_topk,
     "sim_recall_eval": sim_recall_eval,
@@ -817,6 +953,7 @@ ORACLE: dict[str, str] = {
     "sim_kmeans": SIM_KMEANS_SQL,
     "sim_ivf_topk": SIM_IVF_TOPK_SQL,
     "sim_ivf_pq_topk": SIM_IVF_PQ_TOPK_SQL,
+    "sim_pq_recall": SIM_PQ_RECALL_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,
     "sim_recall_eval": SIM_RECALL_EVAL_SQL,
     "sim_quantize_int8": SIM_QUANTIZE_INT8_SQL,

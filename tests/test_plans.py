@@ -199,6 +199,23 @@ def test_weighted_sample_take_ordered(spark, sf):
     assert not pi.has_cartesian(df)
 
 
+def test_sim_pq_recall_two_kernel_passes(spark, sf):
+    """Each recall gate runs its two corpus kernel passes exactly ONCE
+    (inside the localCheckpoint materialize of the Q x k rank table);
+    the per-k branches then read the checkpoint — without it every
+    branch re-ran BOTH kernels (4 MapInPandas, 2x corpus scans)."""
+    from iceberg_query_engine_spark.queries import similarity_suite
+
+    for gate in (similarity_suite.sim_pq_recall, similarity_suite.sim_recall_eval):
+        df = gate(spark, sf)
+        # kernels ran once each during the localCheckpoint materialize;
+        # the final plan reads the checkpointed rank table (no corpus
+        # scan, no MapInPandas left at all)
+        assert pi.count_op(df, "MapInPandas") == 0, gate.__name__
+        assert pi.count_op(df, "Scan parquet") == 0, gate.__name__
+        assert not pi.has_cartesian(df), gate.__name__
+
+
 def test_sim_quantize_map_only(spark, sf):
     """int8 quantization is map-only: one scan, sort is the only
     exchange, no Python UDF in the plan."""
