@@ -346,3 +346,78 @@ def pq_adc_topk_fn(
             )
 
     return topk
+
+
+def semantic_window_fn(window: int, tau: float):
+    """Factory: a mapInPandas function for SemDeDup's sorted-
+    neighborhood pass. Input rows arrive repartitioned by cluster and
+    sorted (cluster, c_cos DESC, vec_id); each row is compared against
+    its `window` predecessors IN THE SAME CLUSTER and emitted once if
+    its best predecessor cosine >= tau, carrying that predecessor's id
+    (tie -> lowest id, i.e. lexmax of (cosine, -pred_id)).
+
+    Replaces the explode(collect_list(window)) + pairwise-cosine-UDF
+    shape, which duplicated every 64-double vector `window`+1 times
+    across the Arrow channel (~41 GB at 5M docs x W=8) and needed a
+    groupBy to re-collapse pairs. Here each vector crosses Arrow ONCE;
+    the W comparisons are W vectorized shifted-dot passes inside numpy
+    (strict per-dimension fold, sequential-fold oracle parity), and the
+    kernel emits at most one row per dropped doc — no pair stream, no
+    re-aggregation shuffle. Rolling state (last W rows) carries across
+    Arrow batches, so results are independent of batch size.
+    """
+
+    def run(batches):
+        carry = None  # (ids, clusters, matrix) of the last `window` rows
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            cl = pdf["cluster"].to_numpy(dtype=np.int64)
+            m = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            c = 0
+            if carry is not None:
+                pids, pcl, pm = carry
+                c = len(pids)
+                ids = np.concatenate([pids, ids])
+                cl = np.concatenate([pcl, cl])
+                m = np.vstack([pm, m])
+            n, dim = m.shape
+            # strict left-to-right norm fold (oracle parity; see
+            # multi_query_topk_fn on why no module-level helper here)
+            n2 = np.zeros(n)
+            for i in range(dim):
+                n2 += m[:, i] * m[:, i]
+            nrm = np.sqrt(n2)
+            best_cos = np.full(n, -np.inf)
+            best_nid = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+            for off in range(1, window + 1):
+                if off >= n:
+                    break
+                dots = np.zeros(n - off)
+                for i in range(dim):  # strict fold, vectorized rows
+                    dots += m[off:, i] * m[:-off, i]
+                cos = np.round(dots / (nrm[off:] * nrm[:-off]), 6)
+                ok = (cl[off:] == cl[:-off]) & (cos >= tau)
+                neg = -ids[:-off]
+                upd = ok & (
+                    (cos > best_cos[off:])
+                    | ((cos == best_cos[off:]) & (neg > best_nid[off:]))
+                )
+                best_cos[off:][upd] = cos[upd]
+                best_nid[off:][upd] = neg[upd]
+            emit = np.isfinite(best_cos)
+            emit[:c] = False  # carry rows were emitted by the prior batch
+            if emit.any():
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids[emit],
+                        "cluster": cl[emit],
+                        "dup_of": -best_nid[emit],
+                        "cosine": best_cos[emit],
+                    }
+                )
+            keep = min(window, n)
+            carry = (ids[-keep:], cl[-keep:], m[-keep:])
+
+    return run

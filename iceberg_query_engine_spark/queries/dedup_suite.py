@@ -996,55 +996,29 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent — the sorted-neighborhood trick that turns the published
     SemDeDup's per-cluster O(m²) pairwise pass into O(m·W).
 
-    Scale shape: assignment is one linear corpus pass (broadcast
-    centroids, partial-agg argmax); the neighborhood pass is ONE
-    shuffle on cluster + a running-window collect of the last W
-    (id, vector) structs — candidate volume is exactly n·W, no
-    self-join, no quadratic bucket risk. Returns one row per dropped
-    doc with its kept duplicate (best-cosine predecessor, tie → lowest
-    id). At 100 TB: W and K are the recall/cost dials; the argmax and
-    the window both partial-agg/sort-shuffle on bounded keys."""
-    from pyspark.sql import Window
-
+    Scale shape: assignment is one linear corpus pass (closure-held
+    centroid kernel); then ONE shuffle repartitions by cluster, an
+    in-partition sort orders (cluster, c_cos DESC, vec_id), and a
+    rolling-window Arrow kernel (functions/vector.py:
+    semantic_window_fn) emits at most one row per dropped doc. Each
+    vector crosses the Arrow channel ONCE — the previous
+    explode(collect_list)+pairwise-UDF shape duplicated it W+1 times
+    (~41 GB at 5M docs, 35.9 s; kernel ~12 s) and re-collapsed the
+    pair stream with a groupBy shuffle this shape never creates.
+    Returns one row per dropped doc with its kept duplicate
+    (best-cosine predecessor, tie → lowest id). At 100 TB: W and K
+    are the recall/cost dials; candidate volume is exactly n·W."""
+    from ..functions.vector import semantic_window_fn
     from .similarity_suite import seeded_assignment
 
     assigned, _ = seeded_assignment(spark, sf_dir)
-    w = Window.partitionBy("cluster").orderBy(F.col("c_cos").desc(), "vec_id")
-    ranked = assigned.withColumn(
-        "preds",
-        F.collect_list(F.struct("vec_id", "v")).over(
-            w.rowsBetween(-SEMANTIC_WINDOW, -1)
-        ),
-    )
-    # One ArrowEvalPython pass: nondeterministic blocks the filter
-    # substitution that would evaluate the cosine twice per pair (same
-    # fix as dedup_embedding_cosine; pinned in test_plans.py).
-    from ..functions.vector import cosine_similarity
-
-    pair_cos = F.round(
-        cosine_similarity.asNondeterministic()(F.col("v"), F.col("p.v")), 6
-    )
-    pairs = (
-        ranked.select("vec_id", "cluster", "v", F.explode("preds").alias("p"))
-        .select(
-            "vec_id",
-            "cluster",
-            F.struct(
-                pair_cos.alias("cosine"), (-F.col("p.vec_id")).alias("neg_id")
-            ).alias("cand"),
-        )
-        .filter(F.col("cand.cosine") >= SEMANTIC_TAU)
-    )
-    # best surviving predecessor per dropped doc: partial-agg max, not
-    # a window sort (one row per doc crosses the exchange)
+    fn = semantic_window_fn(SEMANTIC_WINDOW, SEMANTIC_TAU)
     return (
-        pairs.groupBy("vec_id", "cluster")
-        .agg(F.max("cand").alias("best"))
-        .select(
-            "vec_id",
-            "cluster",
-            (-F.col("best.neg_id")).alias("dup_of"),
-            F.col("best.cosine").alias("cosine"),
+        assigned.select("vec_id", "cluster", "c_cos", "v")
+        .repartition("cluster")
+        .sortWithinPartitions("cluster", F.col("c_cos").desc(), "vec_id")
+        .mapInPandas(
+            fn, "vec_id bigint, cluster bigint, dup_of bigint, cosine double"
         )
         .orderBy("vec_id")
     )

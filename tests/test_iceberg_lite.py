@@ -439,3 +439,58 @@ def test_expire_older_than_and_current_protection(spark, tmp_path):
     res2 = expire_snapshots(path, older_than_ms=2**62)
     assert res2.expired_snapshot_ids == []  # current is never expired
     assert t.read(spark).count() == 25
+
+
+def test_zorder_layout_enables_two_dim_stats_pruning(spark, tmp_path):
+    """End-to-end data-skipping proof: orders written in z-order (rank-
+    interleaved custkey x order-date) gives footer-stats FILE pruning
+    on BOTH dimensions, while a date-sorted layout prunes only on date
+    — the property op_zorder exists to create, measured through
+    iceberg-lite's files_pruned_by_stats metric."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_query_engine_spark.queries.operators_suite import _interleave
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    day = F.datediff(
+        F.col("o_orderdate"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    wc = Window.orderBy("o_custkey", "o_orderkey")
+    wd = Window.orderBy("day", "o_orderkey")
+    zdf = (
+        orders.withColumn("day", day)
+        .select(
+            "*",
+            (F.ntile(256).over(wc) - 1).cast("long").alias("cr"),
+            (F.ntile(256).over(wd) - 1).cast("long").alias("dr"),
+        )
+        .withColumn("z", _interleave(F.col("cr"), F.col("dr"), bits=8))
+        .drop("day", "cr", "dr")
+    )
+    stats = ["o_custkey", "o_orderdate"]
+    zpath, dpath = str(tmp_path / "ice_z"), str(tmp_path / "ice_datesorted")
+    write_snapshot(
+        zdf.repartitionByRange(8, "z").sortWithinPartitions("z").drop("z"),
+        zpath,
+        stats_columns=stats,
+    )
+    write_snapshot(
+        orders.repartitionByRange(8, "o_orderdate"),
+        dpath,
+        stats_columns=stats,
+    )
+
+    def pruned(path, preds):
+        t = IcebergLiteTable(path)
+        t.read(spark, predicates=preds).count()
+        return t.metrics.files_pruned_by_stats
+
+    cust_pred = [("o_custkey", "<", 40)]
+    date_pred = [("o_orderdate", "<", "1993-06")]
+    # z layout prunes on BOTH dimensions
+    assert pruned(zpath, cust_pred) > 0
+    assert pruned(zpath, date_pred) > 0
+    # the single-column layout prunes on its sort key only
+    assert pruned(dpath, date_pred) > 0
+    assert pruned(dpath, cust_pred) == 0

@@ -415,17 +415,17 @@ def test_kmeans_partial_agg_no_window(spark, sf):
 
 
 def test_dedup_semantic_windowed_neighbors_one_udf_pass(spark, sf):
-    """SemDeDup neighborhood pass: candidate pairs come from a running
-    window over cluster order (n*W rows), not a self-join — exactly two
-    ArrowEvalPython nodes (one assignment-cosine pass, one pair-cosine
-    pass; the nondeterministic guard blocks the filter substitution
-    that would add a third), no SortMergeJoin of the corpus against
-    itself, no cartesian."""
+    """SemDeDup neighborhood pass: ONE assignment ArrowEvalPython, ONE
+    rolling-window MapInPandas after the cluster repartition+sort —
+    each vector crosses Arrow once per pass; no explode (Generate), no
+    collect_list Window, no self-join of the corpus, no groupBy
+    re-aggregation of a pair stream, no cartesian."""
     import re
 
     df = dedup_suite.dedup_semantic(spark, sf)
     plan = pi.formatted_plan(df)
-    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 2
-    assert "Window" in plan  # the collect_list neighborhood
+    assert len(re.findall(r"\(\d+\) ArrowEvalPython", plan)) == 1
+    assert pi.count_op(df, "MapInPandas") == 1
+    assert "Generate" not in plan  # no predecessor explode
     assert plan.count("SortMergeJoin") == 0
     assert not pi.has_cartesian(df)

@@ -267,3 +267,80 @@ def test_pq_codeword_id_order_irrelevant():
         ignore_index=True,
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# ------------------------------------------------------- semantic window
+def _sem_reference(df: pd.DataFrame, window, tau):
+    """Direct per-row reference: best (cos, -pred) over same-cluster
+    predecessors within `window` rows, sequential-fold cosines."""
+    m = np.vstack(df["v"].values)
+    ids = df["vec_id"].to_numpy()
+    cl = df["cluster"].to_numpy()
+    n, dim = m.shape
+    n2 = np.zeros(n)
+    for i in range(dim):
+        n2 += m[:, i] * m[:, i]
+    nrm = np.sqrt(n2)
+    out = []
+    for a in range(n):
+        best = None
+        for b in range(max(0, a - window), a):
+            if cl[b] != cl[a]:
+                continue
+            d = 0.0
+            for i in range(dim):
+                d += m[a, i] * m[b, i]
+            cos = np.round(d / (nrm[a] * nrm[b]), 6)
+            if cos < tau:
+                continue
+            key = (cos, -ids[b])
+            if best is None or key > best[0]:
+                best = (key, ids[b])
+        if best is not None:
+            out.append((ids[a], cl[a], best[1], best[0][0]))
+    return out
+
+
+def test_semantic_window_matches_reference_any_batching():
+    from iceberg_query_engine_spark.functions import vector
+
+    n = 90
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "cluster": np.sort(RNG.integers(0, 4, n)),
+            # low-dim + duplicates so plenty of pairs clear tau
+            "v": [RNG.normal(size=4) for _ in range(n)],
+        }
+    )
+    df.at[10, "v"] = df.at[8, "v"]  # exact dup inside the window
+    ref = _sem_reference(df, window=5, tau=0.3)
+    for nb in (1, 2, 3, 7, 90):
+        fn = vector.semantic_window_fn(5, 0.3)
+        parts = list(fn(iter(_split(df, nb))))
+        got = (
+            pd.concat(parts, ignore_index=True)
+            .sort_values("vec_id")
+            .itertuples(index=False, name=None)
+        )
+        assert list(got) == ref, f"batch split {nb} changed result"
+
+
+def test_semantic_window_cluster_boundary_isolation():
+    """Rows of different clusters inside the same window range never
+    pair — including across an Arrow batch boundary."""
+    from iceberg_query_engine_spark.functions import vector
+
+    base = RNG.normal(size=4)
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(6, dtype=np.int64),
+            "cluster": np.array([0, 0, 0, 1, 1, 1]),
+            "v": [base] * 6,  # identical vectors: cos=1 for every pair
+        }
+    )
+    fn = vector.semantic_window_fn(4, 0.3)
+    got = pd.concat(list(fn(iter(_split(df, 3)))), ignore_index=True)
+    # first row of each cluster has no predecessor; others point inside
+    assert got["vec_id"].tolist() == [1, 2, 4, 5]
+    assert got["dup_of"].tolist() == [0, 0, 3, 3]
