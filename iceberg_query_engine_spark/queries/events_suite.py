@@ -382,7 +382,70 @@ ORDER BY purchase_id
 """
 
 
+def ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-baseline anomaly detection: hourly event-type counts
+    scored against the mean/stddev of their preceding 24 windows
+    (z-score); the top-3 |z| windows per type (>= 12-window warmup)
+    are the flagged anomalies — the volume-spike/drop monitor every
+    event pipeline runs.
+
+    Scale shape: the tumbling agg is a partial+final count (one
+    shuffle on (type, hour)); the rolling stats window then operates
+    on WINDOWS-per-type rows (thousands, not events) — its cost is
+    independent of event volume. Deterministic: fixed frame, stddev
+    over counts, ties broken by window start."""
+    (events,) = tables(spark, sf_dir, "events")
+    counts = events.groupBy(
+        F.window("ts", "1 hour").getField("start").alias("wstart"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = Window.partitionBy("event_type").orderBy("wstart").rowsBetween(-24, -1)
+    scored = counts.select(
+        "event_type",
+        F.col("wstart").cast("string").alias("wstart"),
+        "n",
+        F.count("n").over(base).alias("n_base"),
+        F.avg("n").over(base).alias("mu"),
+        F.stddev_samp("n").over(base).alias("sigma"),
+    ).filter((F.col("n_base") >= 12) & (F.col("sigma") > 0))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(z).desc(), "wstart"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "wstart", "n", F.round(z, 6).alias("z"), "rk")
+        .orderBy("event_type", "rk")
+    )
+
+
+EV_ANOMALY_SQL = """
+WITH counts AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS wstart,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, CAST(wstart AS VARCHAR) AS wstart, n,
+    COUNT(n) OVER w AS n_base,
+    AVG(n) OVER w AS mu,
+    STDDEV_SAMP(n) OVER w AS sigma
+  FROM counts
+  WINDOW w AS (PARTITION BY event_type ORDER BY wstart
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+), ranked AS (
+  SELECT event_type, wstart, n, (n - mu) / sigma AS z,
+    row_number() OVER (PARTITION BY event_type
+                       ORDER BY abs((n - mu) / sigma) DESC, wstart) AS rk
+  FROM scored WHERE n_base >= 12 AND sigma > 0
+)
+SELECT event_type, wstart, n, round(z, 6) AS z, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 3
+ORDER BY event_type, rk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_anomaly": ev_anomaly,
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
     "ev_sessionize": ev_sessionize,
@@ -394,6 +457,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_anomaly": EV_ANOMALY_SQL,
     "ev_tumbling": EV_TUMBLING_SQL,
     "ev_sliding": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
