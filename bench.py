@@ -76,6 +76,7 @@ def main() -> None:
         "sim_brute_topk": similarity_suite.sim_brute_topk,
         "sim_ivf_topk": similarity_suite.sim_ivf_topk,
         "sim_ivf_pq_topk": similarity_suite.sim_ivf_pq_topk,
+        "sim_ivf_persist": similarity_suite.sim_ivf_persist,
         "sim_kmeans": similarity_suite.sim_kmeans,
         "sim_lsh_topk": similarity_suite.sim_lsh_topk,
         "dedup_semantic": dedup_suite.dedup_semantic,

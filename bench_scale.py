@@ -57,6 +57,7 @@ PIPELINE_OPS = [
     "sim_brute_topk",
     "sim_ivf_topk",
     "sim_ivf_pq_topk",
+    "sim_ivf_persist",
     "sim_lsh_topk",
     "sim_recall_eval",
     "sim_kmeans",

@@ -411,6 +411,81 @@ def _lsh_bucket(v):
     return out
 
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once IVF index at rest: the assigned corpus written
+    partitionBy(bucket) — one directory per centroid bucket. The
+    serving path's partition pruning then touches ONLY the queried
+    buckets' files (1/K of the corpus per query), which is the entire
+    point of IVF as a storage layout rather than a per-query
+    computation."""
+    import os
+    import tempfile
+
+    key = sf_dir
+    if key in _IVF_INDEX_CACHE and os.path.exists(_IVF_INDEX_CACHE[key]):
+        return _IVF_INDEX_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "ivf_index",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        assigned, _ = seeded_assignment(spark, sf_dir)
+        (
+            assigned.filter(F.col("vec_id") >= N_QUERIES)
+            .select("vec_id", "v", F.col("cluster").alias("bucket"))
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(path)
+        )
+    _IVF_INDEX_CACHE[key] = path
+    return path
+
+
+def sim_ivf_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN served from a persisted index: the corpus lives
+    partitioned by centroid bucket on disk (built once by
+    _ivf_index_dir); each query reads ONLY its bucket's partition
+    directories — static partition pruning at the scan, pinned in
+    tests — then the one-Arrow-pass top-k kernel scores candidates
+    with per-query bucket masks. Same results as sim_ivf_topk (same
+    oracle); the difference is WHERE the pruning happens: at the
+    storage layout (1/K of the files read) instead of a runtime
+    filter over a full scan. At 100 TB this is the build-once/
+    query-many serving shape — index build cost amortizes across
+    every query batch."""
+    import numpy as np
+
+    from ..functions.vector import multi_query_topk_fn
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    centroids = _seed_centroids(e)
+    qrows = (
+        _nearest_assign(centroids)(e.filter(F.col("vec_id") < N_QUERIES), out="qb")
+        .select("vec_id", "v", "qb")
+        .collect()
+    )
+    probe = {int(r.vec_id): {int(r.qb)} for r in qrows}
+    idx = spark.read.parquet(_ivf_index_dir(spark, sf_dir))
+    pruned = idx.filter(
+        F.col("bucket").isin(sorted({b for s in probe.values() for b in s}))
+    )
+    fn = multi_query_topk_fn(
+        np.array([r.v for r in qrows]),
+        np.array([r.vec_id for r in qrows]),
+        TOP_K,
+        probe_buckets=probe,
+    )
+    partial = pruned.select(
+        F.col("vec_id").alias("n_id"), "v", F.col("bucket").cast("long").alias("bucket")
+    ).mapInPandas(fn, "q_id bigint, n_id bigint, cosine double")
+    return _topk_merge(partial, TOP_K)
+
+
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe LSH ANN: sign-random-projection (SRP) sketch →
     bucket → exact cosine within the query's bucket AND every bucket
@@ -939,6 +1014,7 @@ ORDER BY 1, 2
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_topk": sim_ivf_topk,
+    "sim_ivf_persist": sim_ivf_persist,
     "sim_ivf_pq_topk": sim_ivf_pq_topk,
     "sim_pq_recall": sim_pq_recall,
     "sim_kmeans": sim_kmeans,
@@ -952,6 +1028,7 @@ ORACLE: dict[str, str] = {
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
     "sim_kmeans": SIM_KMEANS_SQL,
     "sim_ivf_topk": SIM_IVF_TOPK_SQL,
+    "sim_ivf_persist": SIM_IVF_TOPK_SQL,
     "sim_ivf_pq_topk": SIM_IVF_PQ_TOPK_SQL,
     "sim_pq_recall": SIM_PQ_RECALL_SQL,
     "sim_lsh_topk": SIM_LSH_TOPK_SQL,

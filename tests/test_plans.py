@@ -216,6 +216,25 @@ def test_sim_pq_recall_two_kernel_passes(spark, sf):
         assert not pi.has_cartesian(df), gate.__name__
 
 
+def test_sim_ivf_persist_partition_pruned_scan(spark, sf):
+    """IVF at rest: the serving scan reads ONLY the queried buckets'
+    partition directories (static PartitionFilters with bucket IN
+    (...), partition count < K_CENTROIDS) into one kernel pass — the
+    build-once/query-many layout where pruning happens at storage."""
+    import re
+
+    from iceberg_query_engine_spark.queries import similarity_suite
+
+    df = similarity_suite.sim_ivf_persist(spark, sf)
+    plan = pi.executed_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1) and " IN " in m.group(1), plan[:500]
+    n_probed = m.group(1).count(",") + 1
+    assert n_probed < similarity_suite.K_CENTROIDS
+    assert pi.count_op(df, "MapInPandas") == 1
+    assert not pi.has_cartesian(df)
+
+
 def test_sim_quantize_map_only(spark, sf):
     """int8 quantization is map-only: one scan, sort is the only
     exchange, no Python UDF in the plan."""
