@@ -63,6 +63,7 @@ PIPELINE_OPS = [
     "sim_kmeans",
     "dedup_semantic",
     "text_stats",
+    "text_classifier_score",
     "text_tfidf",
     "text_repetition",
     "op_train_shards",

@@ -821,7 +821,67 @@ FROM fr ORDER BY doc_id
 """
 
 
+# fastText-style hashed linear classifier: 256 bucket weights in
+# [-1, 1], derived once from md5("w"+bucket) (deterministic, committed
+# as literals — the "trained model shipped as constants" shape; a real
+# deployment broadcasts its weight vector the same way).
+CLASSIFIER_WEIGHTS = [0.623, -0.58, 0.219, 0.877, 0.908, -0.847, -0.865, 0.869, 0.475, -0.994, -0.477, 0.662, -0.873, 0.115, 0.425, -0.618, 0.387, -0.156, 0.611, -0.457, 0.642, 0.3, -0.621, 0.894, 0.388, 0.509, 0.136, 0.282, 0.704, 0.306, -0.782, 0.744, -0.293, 0.469, 0.058, -0.852, 0.166, 0.039, 0.779, -0.723, 0.506, -0.385, -0.026, -0.191, 0.889, 0.954, 0.466, -0.477, 0.698, -0.331, -0.598, -0.72, 0.877, 0.705, 0.039, -0.16, -0.175, -0.811, -0.628, 0.598, 0.539, 0.346, -0.921, 0.493, 0.499, 0.142, -0.939, 0.321, -0.141, -0.728, 0.691, -0.366, -0.463, 0.275, -0.47, 0.024, -0.155, 0.388, 0.246, -0.592, -0.937, 0.224, -0.373, 0.463, 0.386, -0.025, 0.643, -0.89, 0.395, -0.727, 0.8, -0.073, 0.572, -0.495, 0.361, 0.67, -0.342, 0.111, -0.731, 0.795, -0.349, 0.91, -0.69, -0.55, 0.167, 0.74, 0.407, -0.39, 0.467, 0.191, -0.413, 0.958, -0.749, 0.829, 0.036, -0.585, -0.035, 0.265, -0.901, 0.099, 0.422, 0.678, -0.15, -0.29, -0.687, 0.639, 0.084, -0.166, 0.993, -0.292, -0.901, -0.913, -0.143, 0.974, 0.82, 0.384, 0.377, -0.559, 0.125, -0.922, 0.192, -0.32, 0.251, 0.189, 0.933, -0.703, -0.494, 0.451, -0.055, 0.949, -0.38, 0.828, 0.224, -0.941, 0.457, -0.896, -0.753, -0.078, 0.743, 0.27, 0.45, -0.29, -0.224, -0.272, 0.604, -0.655, -0.043, 0.589, 0.411, 0.682, -0.959, -0.339, 0.072, 0.49, -0.168, 0.193, 0.836, -0.381, -0.12, 0.199, 0.244, 0.22, 0.542, -0.577, -0.254, -0.05, 0.198, -0.455, -0.382, -0.204, 0.179, -0.65, -0.97, -0.966, -0.097, -0.749, 0.206, 0.268, -0.237, -0.569, -0.631, 0.679, -0.58, 0.166, 1.0, -0.37, 0.559, 0.313, 0.097, -0.866, -0.694, 0.225, 0.231, 0.069, -0.544, 0.834, 0.957, 0.642, -0.403, 0.668, 0.959, -0.103, 0.894, -0.735, 0.492, -0.05, 0.156, 0.921, 0.639, 0.68, -0.818, -0.136, 0.725, -0.317, -0.419, -0.72, 0.492, 0.306, -0.207, -0.149, 0.016, 0.354, -0.1, 0.03, -0.238, 0.472, 0.656, -0.309, 0.508, -0.855, 0.797, 0.658, -0.347, 0.389, 0.592, -0.431]
+
+
+def text_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bag-of-words linear classifier over documents — the
+    fastText-style quality-filter step of a pretraining pipeline:
+    token → md5 hash → one of 256 feature buckets → fixed weight;
+    doc score = sigmoid(mean bucket weight); pass = score >= 0.5.
+
+    Scale shape: explode + codegen md5 + literal-array lookup + one
+    partial+final agg on doc_id — all JVM, no Python, no HOF lambda
+    (the r5 lesson: interpreted HOFs cost ~µs/element; explode keeps
+    whole-stage codegen). The 256-weight model rides the plan as a
+    foldable literal — at 100 TB a broadcast variable, never a join."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    W = F.array(*[F.lit(w) for w in CLASSIFIER_WEIGHTS])
+    tok = documents.select(
+        "doc_id", F.explode(_tokens()).alias("t")
+    )
+    # 2 hex chars = exactly 256 buckets — no modulo, minimal conv
+    bucket = F.conv(F.substring(F.md5(F.col("t")), 1, 2), 16, 10).cast("bigint")
+    scored = (
+        tok.select("doc_id", F.element_at(W, (bucket + 1).cast("int")).alias("w"))
+        .groupBy("doc_id")
+        .agg((F.sum("w") / F.count(F.lit(1))).alias("raw"))
+    )
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("raw")))
+    return (
+        scored.select(
+            "doc_id",
+            F.round(score, 6).alias("score"),
+            (score >= 0.5).alias("pass"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_CLASSIFIER_SCORE_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+), feat AS (
+  SELECT doc_id,
+    ([0.623, -0.58, 0.219, 0.877, 0.908, -0.847, -0.865, 0.869, 0.475, -0.994, -0.477, 0.662, -0.873, 0.115, 0.425, -0.618, 0.387, -0.156, 0.611, -0.457, 0.642, 0.3, -0.621, 0.894, 0.388, 0.509, 0.136, 0.282, 0.704, 0.306, -0.782, 0.744, -0.293, 0.469, 0.058, -0.852, 0.166, 0.039, 0.779, -0.723, 0.506, -0.385, -0.026, -0.191, 0.889, 0.954, 0.466, -0.477, 0.698, -0.331, -0.598, -0.72, 0.877, 0.705, 0.039, -0.16, -0.175, -0.811, -0.628, 0.598, 0.539, 0.346, -0.921, 0.493, 0.499, 0.142, -0.939, 0.321, -0.141, -0.728, 0.691, -0.366, -0.463, 0.275, -0.47, 0.024, -0.155, 0.388, 0.246, -0.592, -0.937, 0.224, -0.373, 0.463, 0.386, -0.025, 0.643, -0.89, 0.395, -0.727, 0.8, -0.073, 0.572, -0.495, 0.361, 0.67, -0.342, 0.111, -0.731, 0.795, -0.349, 0.91, -0.69, -0.55, 0.167, 0.74, 0.407, -0.39, 0.467, 0.191, -0.413, 0.958, -0.749, 0.829, 0.036, -0.585, -0.035, 0.265, -0.901, 0.099, 0.422, 0.678, -0.15, -0.29, -0.687, 0.639, 0.084, -0.166, 0.993, -0.292, -0.901, -0.913, -0.143, 0.974, 0.82, 0.384, 0.377, -0.559, 0.125, -0.922, 0.192, -0.32, 0.251, 0.189, 0.933, -0.703, -0.494, 0.451, -0.055, 0.949, -0.38, 0.828, 0.224, -0.941, 0.457, -0.896, -0.753, -0.078, 0.743, 0.27, 0.45, -0.29, -0.224, -0.272, 0.604, -0.655, -0.043, 0.589, 0.411, 0.682, -0.959, -0.339, 0.072, 0.49, -0.168, 0.193, 0.836, -0.381, -0.12, 0.199, 0.244, 0.22, 0.542, -0.577, -0.254, -0.05, 0.198, -0.455, -0.382, -0.204, 0.179, -0.65, -0.97, -0.966, -0.097, -0.749, 0.206, 0.268, -0.237, -0.569, -0.631, 0.679, -0.58, 0.166, 1.0, -0.37, 0.559, 0.313, 0.097, -0.866, -0.694, 0.225, 0.231, 0.069, -0.544, 0.834, 0.957, 0.642, -0.403, 0.668, 0.959, -0.103, 0.894, -0.735, 0.492, -0.05, 0.156, 0.921, 0.639, 0.68, -0.818, -0.136, 0.725, -0.317, -0.419, -0.72, 0.492, 0.306, -0.207, -0.149, 0.016, 0.354, -0.1, 0.03, -0.238, 0.472, 0.656, -0.309, 0.508, -0.855, 0.797, 0.658, -0.347, 0.389, 0.592, -0.431])[
+      CAST(CAST(('0x' || substr(md5(t), 1, 2)) AS BIGINT) AS INTEGER) + 1
+    ] AS w
+  FROM tok
+), s AS (
+  SELECT doc_id, SUM(w) / COUNT(*) AS raw FROM feat GROUP BY doc_id
+)
+SELECT doc_id, round(1.0 / (1.0 + exp(-raw)), 6) AS score,
+       1.0 / (1.0 + exp(-raw)) >= 0.5 AS pass
+FROM s ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_classifier_score": text_classifier_score,
     "text_stats": text_stats,
     "text_repetition": text_repetition,
     "text_quality": text_quality,
@@ -840,6 +900,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "text_classifier_score": TEXT_CLASSIFIER_SCORE_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_quality": TEXT_QUALITY_SQL,

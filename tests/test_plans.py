@@ -187,6 +187,20 @@ def test_sim_ivf_pq_one_arrow_pass(spark, sf):
     assert not pi.has_cartesian(df)
 
 
+def test_classifier_score_all_jvm(spark, sf):
+    """Hashed linear classifier: explode + codegen md5 + literal-array
+    weight lookup + one partial+final doc agg — zero Python nodes, the
+    256-weight model folded into the plan (no join for weights)."""
+    from iceberg_query_engine_spark.queries import text_suite
+
+    df = text_suite.text_classifier_score(spark, sf)
+    plan = pi.executed_plan(df)
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("SortMergeJoin") == 0 and not pi.has_cartesian(df)
+    assert "partial_sum" in plan or "partial" in plan  # map-side combine
+
+
 def test_weighted_sample_take_ordered(spark, sf):
     """Weighted reservoir sampling compiles to TakeOrderedAndProject:
     per-partition partial top-K, K rows per partition to the driver-side
