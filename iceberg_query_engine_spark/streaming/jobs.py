@@ -131,6 +131,48 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_anomaly: the hourly per-type counts are
+    maintained INCREMENTALLY by a watermarked tumbling-window stream
+    (state = open windows only); the rolling-baseline z-score pass
+    then runs on the sink table — windows-per-type rows, thousands at
+    any event volume. This is the production monitor split: heavy
+    counting is streaming state, anomaly scoring is a cheap batch pass
+    per trigger. Same oracle as the batch twin (EV_ANOMALY_SQL)."""
+    events = read_event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "mem_stream_anomaly"
+    _run_to_completion(agg, name)
+    from pyspark.sql import Window
+
+    counts = spark.table(name).select(
+        "event_type",
+        F.col("w").getField("start").cast("string").alias("wstart"),
+        "n",
+    )
+    base = Window.partitionBy("event_type").orderBy("wstart").rowsBetween(-24, -1)
+    scored = counts.select(
+        "event_type",
+        "wstart",
+        "n",
+        F.count("n").over(base).alias("n_base"),
+        F.avg("n").over(base).alias("mu"),
+        F.stddev_samp("n").over(base).alias("sigma"),
+    ).filter((F.col("n_base") >= 12) & (F.col("sigma") > 0))
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    rk = Window.partitionBy("event_type").orderBy(F.abs(z).desc(), "wstart")
+    return (
+        scored.withColumn("rk", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rk") <= 3)
+        .select("event_type", "wstart", "n", F.round(z, 6).alias("z"), "rk")
+        .orderBy("event_type", "rk")
+    )
+
+
 def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ev_sliding: 2-hour windows sliding by 1 hour
     under a watermark (each event lands in two windows)."""
