@@ -3,7 +3,9 @@
 Extends tests/test_property_oracle.py (slim lineitem grammar) with the
 productions the r4 verdict asked for (#7): partsupp joins — including
 the two-key (partkey, suppkey) join q9 stresses — and scalar/EXISTS/IN
-subqueries, all over data/tpch_full/sf0.01 with DuckDB as the oracle.
+subqueries, plus (r5) window productions: ranking with unique
+tie-breaks, framed running sums over exact ints, and lead/lag — all
+over data/tpch_full/sf0.01 with DuckDB as the oracle.
 
 Determinism: derandomized hypothesis; aggregates restricted to COUNT /
 MIN / MAX / exact-binary SUMs (the generator emits money columns as
@@ -57,7 +59,7 @@ def ps_predicates(draw):
 @st.composite
 def full_queries(draw):
     pred = draw(ps_predicates())
-    shape = draw(st.integers(0, 4))
+    shape = draw(st.integers(0, 7))
     if shape == 0:
         # part x partsupp with grouped exact aggregates
         return (
@@ -94,17 +96,49 @@ def full_queries(draw):
             f"(SELECT 1 FROM partsupp WHERE ps_partkey = p_partkey AND ({pred})) "
             f"AND p_partkey BETWEEN {lo} AND {lo + 60} ORDER BY p_partkey"
         )
-    # IN subquery with HAVING
-    v = draw(st.integers(1000, 40000))
+    if shape == 4:
+        # IN subquery with HAVING
+        v = draw(st.integers(1000, 40000))
+        return (
+            f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+            f"WHERE l_partkey IN (SELECT ps_partkey FROM partsupp WHERE {pred} "
+            f"GROUP BY ps_partkey HAVING SUM(ps_availqty) > {v})"
+        )
+    lo = draw(st.integers(0, 80))
+    scope = f"ps_suppkey BETWEEN {lo} AND {lo + 8}"
+    if shape == 5:
+        # ranking window, unique ORDER BY -> deterministic rows
+        fn_w = draw(st.sampled_from(["row_number()", "rank()", "dense_rank()"]))
+        m = draw(st.integers(2, 5))
+        return (
+            f"SELECT ps_partkey, ps_suppkey, CAST(rk AS BIGINT) AS rk FROM ("
+            f"SELECT ps_partkey, ps_suppkey, {fn_w} OVER ("
+            f"PARTITION BY ps_suppkey % {m} "
+            f"ORDER BY ps_supplycost, ps_partkey, ps_suppkey) AS rk "
+            f"FROM partsupp WHERE {scope}) "
+            f"WHERE rk <= 3 ORDER BY ps_partkey, ps_suppkey"
+        )
+    if shape == 6:
+        # framed running aggregate over exact ints
+        w = draw(st.integers(1, 5))
+        return (
+            f"SELECT ps_partkey, ps_suppkey, CAST(SUM(ps_availqty) OVER ("
+            f"PARTITION BY ps_suppkey ORDER BY ps_partkey "
+            f"ROWS BETWEEN {w} PRECEDING AND CURRENT ROW) AS BIGINT) AS s "
+            f"FROM partsupp WHERE {scope} ORDER BY ps_partkey, ps_suppkey"
+        )
+    # lead/lag offset window
+    off = draw(st.integers(1, 4))
+    fn_w = draw(st.sampled_from(["lag", "lead"]))
     return (
-        f"SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
-        f"WHERE l_partkey IN (SELECT ps_partkey FROM partsupp WHERE {pred} "
-        f"GROUP BY ps_partkey HAVING SUM(ps_availqty) > {v})"
+        f"SELECT ps_partkey, ps_suppkey, {fn_w}(ps_availqty, {off}) OVER ("
+        f"PARTITION BY ps_suppkey ORDER BY ps_partkey) AS x "
+        f"FROM partsupp WHERE {scope} ORDER BY ps_partkey, ps_suppkey"
     )
 
 
 @settings(
-    max_examples=30,
+    max_examples=48,
     deadline=None,
     derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
