@@ -494,3 +494,36 @@ def test_zorder_layout_enables_two_dim_stats_pruning(spark, tmp_path):
     # the single-column layout prunes on its sort key only
     assert pruned(dpath, date_pred) > 0
     assert pruned(dpath, cust_pred) == 0
+
+
+def test_expire_reclaims_delete_file_directories(spark, tmp_path):
+    """Delete files are parquet DIRECTORIES; after compaction folds the
+    merge-on-read state into fresh data files, expiry must physically
+    remove the stranded delete dir (tree delete) along with the old
+    data files — and byte accounting counts the whole tree."""
+    import os
+
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        compact,
+        expire_snapshots,
+        write_position_deletes,
+    )
+
+    path = str(tmp_path / "ice_expire_deletes")
+    nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    write_snapshot(nation.filter("n_nationkey < 15"), path)
+    write_position_deletes(spark, path, "n_nationkey % 3 = 0")
+    del_dirs = [
+        d for d in os.listdir(os.path.join(path, "data")) if d.startswith("delete-")
+    ]
+    assert del_dirs and os.path.isdir(os.path.join(path, "data", del_dirs[0]))
+
+    compact(spark, path)
+    res = expire_snapshots(path, keep_last=1)
+    assert res.expired_snapshot_ids == [1, 2]
+    assert res.bytes_reclaimed > 0
+    remaining = os.listdir(os.path.join(path, "data"))
+    assert not any(d.startswith("delete-") for d in remaining)
+    t = IcebergLiteTable(path)
+    keys = sorted(r[0] for r in t.read(spark).select("n_nationkey").collect())
+    assert keys == [1, 2, 4, 5, 7, 8, 10, 11, 13, 14]
