@@ -444,8 +444,65 @@ ORDER BY event_type, rk
 """
 
 
+def ev_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-path analysis: the most common event-type transitions
+    (lag-derived bigrams) within a user's event stream, with their
+    share of all transitions — the "what do users do next" readout
+    product analytics runs after sessionization.
+
+    Scale shape: ONE user-partitioned window (the same shuffle
+    sessionize pays) derives the predecessor type; the bigram count is
+    a partial+final aggregate on (prev, curr) — 25 keys here, never
+    more than |types|² anywhere. Share uses a window over the tiny
+    aggregate, not a second scan."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.lag("event_type").over(w).alias("prev"),
+            F.col("event_type").alias("curr"),
+        )
+        .filter(F.col("prev").isNotNull())
+        .groupBy("prev", "curr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy()
+    return (
+        pairs.select(
+            "prev",
+            "curr",
+            "n",
+            F.round(F.col("n") / F.sum("n").over(tot), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "prev", "curr")
+        .limit(10)
+    )
+
+
+EV_PATH_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev,
+         event_type AS curr
+  FROM events
+), counted AS (
+  SELECT prev, curr, CAST(COUNT(*) AS BIGINT) AS n
+  FROM pairs WHERE prev IS NOT NULL GROUP BY prev, curr
+)
+SELECT prev, curr, n, round(n / SUM(n) OVER (), 6) AS share
+FROM counted
+ORDER BY n DESC, prev, curr
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_anomaly": ev_anomaly,
+    "ev_path_transitions": ev_path_transitions,
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
     "ev_sessionize": ev_sessionize,
@@ -458,6 +515,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "ev_anomaly": EV_ANOMALY_SQL,
+    "ev_path_transitions": EV_PATH_TRANSITIONS_SQL,
     "ev_tumbling": EV_TUMBLING_SQL,
     "ev_sliding": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,

@@ -782,6 +782,67 @@ FROM ranked WHERE rk <= 20 ORDER BY rk
 """
 
 
+def op_cogroup_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: orders and lineitem co-shuffled on
+    orderkey, each key\'s two groups handed to one Python function —
+    the per-entity reconciliation shape (orphan detection, per-order
+    revenue vs header total) that a MERGE/join can\'t express when the
+    logic needs both sides\' full groups imperatively.
+
+    Physical shape (the point of the op): ONE exchange per side on the
+    cogroup key and a FlatMapCoGroupsInPandas node — no join operator,
+    no row multiplication; at 100 TB each side shuffles once, exactly
+    like the equivalent SMJ, but the Python function sees aligned
+    groups. Keys bounded (<500) for the oracle\'s sake only."""
+    import pandas as pd
+
+    orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    o = orders.filter(F.col("o_orderkey") < 500).select("o_orderkey", "o_totalprice")
+    li = lineitem.filter(F.col("l_orderkey") < 500).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def recon(key, odf: "pd.DataFrame", ldf: "pd.DataFrame") -> "pd.DataFrame":
+        rev = float((ldf["l_extendedprice"] * (1.0 - ldf["l_discount"])).sum())
+        return pd.DataFrame(
+            [
+                {
+                    "o_orderkey": int(key[0]),
+                    "has_order": bool(len(odf)),
+                    "n_lines": len(ldf),
+                    "revenue": round(rev, 4),
+                }
+            ]
+        )
+
+    out = (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            recon,
+            "o_orderkey bigint, has_order boolean, n_lines bigint, revenue double",
+        )
+    )
+    return out.orderBy("o_orderkey")
+
+
+OP_COGROUP_RECONCILE_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 500
+), l AS (
+  SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+         SUM(l_extendedprice * (1.0 - l_discount)) AS rev
+  FROM lineitem WHERE l_orderkey < 500 GROUP BY l_orderkey
+)
+SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+       o.o_orderkey IS NOT NULL AS has_order,
+       COALESCE(l.n_lines, 0) AS n_lines,
+       round(COALESCE(l.rev, 0.0), 4) AS revenue
+FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
@@ -791,6 +852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_pivot": op_pivot,
     "op_unpivot": op_unpivot,
     "op_zorder": op_zorder,
+    "op_cogroup_reconcile": op_cogroup_reconcile,
     "op_weighted_sample": op_weighted_sample,
     "op_bucketed_join": op_bucketed_join,
     "op_skew_agg": op_skew_agg,
@@ -811,6 +873,7 @@ ORACLE: dict[str, str] = {
     "op_pivot": OP_PIVOT_SQL,
     "op_unpivot": OP_UNPIVOT_SQL,
     "op_zorder": OP_ZORDER_SQL,
+    "op_cogroup_reconcile": OP_COGROUP_RECONCILE_SQL,
     "op_weighted_sample": OP_WEIGHTED_SAMPLE_SQL,
     "op_bucketed_join": OP_BUCKETED_JOIN_SQL,
     "op_skew_agg": OP_SKEW_AGG_SQL,

@@ -201,6 +201,21 @@ def test_classifier_score_all_jvm(spark, sf):
     assert "partial_sum" in plan or "partial" in plan  # map-side combine
 
 
+def test_cogroup_reconcile_no_join(spark, sf):
+    """Cogrouped applyInPandas: one exchange per side into a single
+    FlatMapCoGroupsInPandas — no join operator, no row multiplication,
+    pushed key filters on both scans."""
+    from iceberg_query_engine_spark.queries import operators_suite
+
+    df = operators_suite.op_cogroup_reconcile(spark, sf)
+    plan = pi.executed_plan(df)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert pi.has_pushed_filter(df, "LessThan(o_orderkey")
+    assert pi.has_pushed_filter(df, "LessThan(l_orderkey")
+    assert not pi.has_cartesian(df)
+
+
 def test_weighted_sample_take_ordered(spark, sf):
     """Weighted reservoir sampling compiles to TakeOrderedAndProject:
     per-partition partial top-K, K rows per partition to the driver-side
