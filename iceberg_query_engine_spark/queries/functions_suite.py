@@ -886,6 +886,80 @@ FROM part WHERE p_partkey < 25
 """
 
 
+def f_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-type function family: construction (create_map /
+    map_from_arrays / map_from_entries), access (element_at,
+    map_contains_key), introspection (map_keys / map_values / size),
+    and transformation (map_concat, map_filter, transform_values) —
+    the map surface f_array's HOF pack doesn't touch. Dialect note:
+    DuckDB map extraction returns a single-element LIST (m['k'][1]
+    unwraps) and lacks map_filter/transform_values, so the oracle
+    expresses those over map_values lists — same values, sorted."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nk"), F.col("n_nationkey").cast("long"),
+        F.lit("rk"), F.col("n_regionkey").cast("long"),
+    )
+    mc = F.map_concat(
+        m, F.create_map(F.lit("x2"), (F.col("n_nationkey") * 2).cast("long"))
+    )
+    mfa = F.map_from_arrays(
+        F.array(F.lit("a"), F.lit("b")),
+        F.array(F.col("n_nationkey").cast("long"), F.lit(7).cast("long")),
+    )
+    mfe = F.map_from_entries(
+        F.array(F.struct(F.lit("only").alias("k"), F.col("n_regionkey").cast("long").alias("v")))
+    )
+    return nation.select(
+        "n_nationkey",
+        F.to_json(F.sort_array(F.map_keys(mc))).alias("mkeys"),
+        F.aggregate(F.map_values(m), F.lit(0).cast("long"), lambda a, x: a + x)
+        .alias("vsum"),
+        F.element_at(m, F.lit("nk")).alias("get_nk"),
+        F.map_contains_key(m, F.lit("rk")).alias("has_rk"),
+        F.map_contains_key(m, F.lit("zz")).alias("has_zz"),
+        F.size(mc).cast("bigint").alias("msize"),
+        F.element_at(mc, F.lit("x2")).alias("get_x2"),
+        F.to_json(
+            F.sort_array(F.map_values(F.map_filter(mc, lambda k, v: v % 2 == 0)))
+        ).alias("even_vals"),
+        F.aggregate(
+            F.map_values(F.transform_values(m, lambda k, v: v + 1)),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("vsum_plus"),
+        F.element_at(mfa, F.lit("a")).alias("mfa_a"),
+        F.element_at(mfe, F.lit("only")).alias("mfe_only"),
+    ).orderBy("n_nationkey")
+
+
+F_MAP_SQL = """
+WITH base AS (
+  SELECT n_nationkey,
+    map(['nk','rk'], [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)]) AS m,
+    map_concat(
+      map(['nk','rk'], [CAST(n_nationkey AS BIGINT), CAST(n_regionkey AS BIGINT)]),
+      map(['x2'], [CAST(n_nationkey * 2 AS BIGINT)])) AS mc,
+    map(['a','b'], [CAST(n_nationkey AS BIGINT), CAST(7 AS BIGINT)]) AS mfa,
+    map_from_entries([{'k': 'only', 'v': CAST(n_regionkey AS BIGINT)}]) AS mfe
+  FROM nation
+)
+SELECT n_nationkey,
+  to_json(list_sort(map_keys(mc))) AS mkeys,
+  CAST(list_aggregate(map_values(m), 'sum') AS BIGINT) AS vsum,
+  m['nk'][1] AS get_nk,
+  len(m['rk']) > 0 AS has_rk,
+  len(m['zz']) > 0 AS has_zz,
+  CAST(cardinality(mc) AS BIGINT) AS msize,
+  mc['x2'][1] AS get_x2,
+  to_json(list_sort(list_filter(map_values(mc), x -> x % 2 = 0))) AS even_vals,
+  CAST(list_aggregate(list_transform(map_values(m), x -> x + 1), 'sum') AS BIGINT) AS vsum_plus,
+  mfa['a'][1] AS mfa_a,
+  mfe['only'][1] AS mfe_only
+FROM base ORDER BY n_nationkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_math": f_math,
     "f_trig": f_trig,
@@ -895,6 +969,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_regex": f_regex,
     "f_json": f_json,
     "f_array": f_array,
+    "f_map": f_map,
     "f_hash": f_hash,
     "f_url": f_url,
     "f_conditional": f_conditional,
@@ -917,6 +992,7 @@ ORACLE: dict[str, str] = {
     "f_regex": F_REGEX_SQL,
     "f_json": F_JSON_SQL,
     "f_array": F_ARRAY_SQL,
+    "f_map": F_MAP_SQL,
     "f_hash": _f_hash_oracle(),
     "f_url": _f_url_oracle(),
     "f_conditional": F_CONDITIONAL_SQL,
