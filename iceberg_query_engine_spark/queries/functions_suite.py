@@ -960,6 +960,111 @@ FROM base ORDER BY n_nationkey
 """
 
 
+def f_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: parse_json into the binary
+    semi-structured type, typed path extraction (variant_get),
+    schema_of_variant introspection, try_parse_json null-safety, and
+    a variant round-trip through to_json — over the events table's
+    JSON props column. The engine's answer to open-schema columns:
+    parse once, extract typed fields at scan speed. Oracle: DuckDB's
+    JSON path functions produce the same typed values."""
+    (events,) = tables(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return (
+        events.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "bigint").alias("k_int"),
+            F.variant_get(v, "$.k", "string").alias("k_str"),
+            F.variant_get(v, "$.missing", "bigint").alias("k_missing"),
+            F.schema_of_variant(v).alias("vschema"),
+            F.to_json(v).alias("roundtrip"),
+            F.is_variant_null(F.try_parse_json(F.lit("null"))).alias("null_variant"),
+            F.try_parse_json(F.lit("not json")).isNull().alias("bad_parse"),
+        )
+        .orderBy("event_id")
+    )
+
+
+F_VARIANT_SQL = """
+SELECT event_id,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+  CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR) AS k_str,
+  CAST(NULL AS BIGINT) AS k_missing,
+  'OBJECT<k: BIGINT>' AS vschema,
+  '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS roundtrip,
+  TRUE AS null_variant,
+  TRUE AS bad_parse
+FROM events WHERE event_id < 200 ORDER BY event_id
+"""
+
+
+def f_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/table-function surface: posexplode (element +
+    ordinal), explode_outer (empty arrays keep their row), inline
+    (array<struct> to columns), and stack (columns to rows) — the
+    row-producing operators behind every flatten step. One Generate
+    node each; DuckDB replays them with unnest/range indexing."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    nums = F.sequence(F.lit(1), (F.col("n_nationkey") % 3))  # empty when key%3==0
+    nums_safe = F.when(F.col("n_nationkey") % 3 == 0, F.array().cast("array<bigint>")).otherwise(nums.cast("array<bigint>"))
+    pairs = F.array(
+        F.struct(F.lit("lo").alias("tag"), F.col("n_nationkey").alias("val")),
+        F.struct(F.lit("hi").alias("tag"), (F.col("n_nationkey") * 10).alias("val")),
+    )
+    pos = (
+        nation.select("n_nationkey", F.posexplode(nums_safe).alias("pos", "elem"))
+        .select("n_nationkey", F.col("pos").cast("bigint").alias("pos"), "elem")
+    )
+    outer = nation.select(
+        "n_nationkey", F.explode_outer(nums_safe).alias("elem")
+    ).select("n_nationkey", F.lit(-1).cast("bigint").alias("pos"),
+             F.coalesce(F.col("elem"), F.lit(-99)).alias("elem"))
+    inl = nation.select("n_nationkey", F.inline(pairs)).select(
+        "n_nationkey",
+        F.lit(-2).cast("bigint").alias("pos"),
+        F.when(F.col("tag") == "hi", F.col("val")).otherwise(-F.col("val")).cast("bigint").alias("elem"),
+    )
+    stacked = nation.select(
+        "n_nationkey",
+        F.expr("stack(2, -3L, n_nationkey * 100L, -4L, n_regionkey * 100L) AS (pos, elem)"),
+    ).select("n_nationkey", "pos", F.col("elem").cast("bigint").alias("elem"))
+    return (
+        pos.unionByName(outer).unionByName(inl).unionByName(stacked)
+        .orderBy("n_nationkey", "pos", "elem")
+    )
+
+
+F_GENERATOR_SQL = """
+WITH base AS (
+  SELECT n_nationkey, n_regionkey, n_nationkey % 3 AS n_el FROM nation
+), pos AS (
+  SELECT n_nationkey, CAST(g.i AS BIGINT) AS pos, CAST(g.i + 1 AS BIGINT) AS elem
+  FROM base CROSS JOIN (SELECT unnest(range(2)) AS i) g
+  WHERE g.i < n_el
+), outer_e AS (
+  SELECT n_nationkey, CAST(-1 AS BIGINT) AS pos,
+         CAST(CASE WHEN n_el = 0 THEN -99 ELSE g.i + 1 END AS BIGINT) AS elem
+  FROM base CROSS JOIN (SELECT unnest(range(2)) AS i) g
+  WHERE g.i < n_el OR (n_el = 0 AND g.i = 0)
+), inl AS (
+  SELECT n_nationkey, CAST(-2 AS BIGINT) AS pos,
+         CAST(CASE WHEN t.tag = 'hi' THEN n_nationkey * 10
+                   ELSE -n_nationkey END AS BIGINT) AS elem
+  FROM base CROSS JOIN (SELECT unnest(['lo','hi']) AS tag) t
+), stacked AS (
+  SELECT n_nationkey, CAST(-3 AS BIGINT) AS pos,
+         CAST(n_nationkey * 100 AS BIGINT) AS elem FROM base
+  UNION ALL
+  SELECT n_nationkey, CAST(-4 AS BIGINT), CAST(n_regionkey * 100 AS BIGINT) FROM base
+)
+SELECT * FROM (
+  SELECT * FROM pos UNION ALL SELECT * FROM outer_e
+  UNION ALL SELECT * FROM inl UNION ALL SELECT * FROM stacked
+) ORDER BY n_nationkey, pos, elem
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_math": f_math,
     "f_trig": f_trig,
@@ -970,6 +1075,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_json": f_json,
     "f_array": f_array,
     "f_map": f_map,
+    "f_variant": f_variant,
+    "f_generator": f_generator,
     "f_hash": f_hash,
     "f_url": f_url,
     "f_conditional": f_conditional,
@@ -993,6 +1100,8 @@ ORACLE: dict[str, str] = {
     "f_json": F_JSON_SQL,
     "f_array": F_ARRAY_SQL,
     "f_map": F_MAP_SQL,
+    "f_variant": F_VARIANT_SQL,
+    "f_generator": F_GENERATOR_SQL,
     "f_hash": _f_hash_oracle(),
     "f_url": _f_url_oracle(),
     "f_conditional": F_CONDITIONAL_SQL,
