@@ -436,6 +436,71 @@ FROM orders WHERE o_orderkey < 800
 """
 
 
+def iceberg_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 over iceberg-lite: the
+    versioned dimension-maintenance pattern every warehouse runs.
+    Base version (valid_from=1, open valid_to) → a change batch
+    arrives (every custkey%10==0 gets +100 balance at t=2) →
+    close-out is a composite-key MERGE (upsert on
+    (c_custkey, valid_from) setting valid_to=2), new versions are an
+    append snapshot. History stays queryable (the closed rows remain;
+    time travel sees the pre-merge state). Output: versions per key +
+    the current (open) balance; oracle derives both closed-form.
+    Scale: the close-out upsert's equality-delete keys are only the
+    CHANGED keys — merge cost tracks the change batch, not dimension
+    size."""
+    import shutil
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "iceberg_lite",
+        sf_dir.strip("/").replace("/", "_"),
+        "cust_scd2",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    (customer,) = tables(spark, sf_dir, "customer")
+    dim = customer.filter(F.col("c_custkey") < 200).select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit(1).cast("long").alias("valid_from"),
+        F.lit(None).cast("long").alias("valid_to"),
+    )
+    write_snapshot(dim, path)
+    changed = dim.filter(F.col("c_custkey") % 10 == 0)
+    closed = changed.withColumn("valid_to", F.lit(2).cast("long"))
+    upsert_snapshot(spark, path, closed, ["c_custkey", "valid_from"])
+    write_snapshot(
+        changed.select(
+            "c_custkey",
+            (F.col("bal") + 100).alias("bal"),
+            F.lit(2).cast("long").alias("valid_from"),
+            F.lit(None).cast("long").alias("valid_to"),
+        ),
+        path,
+    )
+    t = IcebergLiteTable(path)
+    cur = t.read(spark)
+    return (
+        cur.groupBy("c_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.round(
+                F.max(F.when(F.col("valid_to").isNull(), F.col("bal"))), 2
+            ).alias("current_bal"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+ICEBERG_SCD2_MERGE_SQL = """
+SELECT c_custkey,
+  CAST(CASE WHEN c_custkey % 10 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_versions,
+  round(c_acctbal + CASE WHEN c_custkey % 10 = 0 THEN 100 ELSE 0 END, 2)
+    AS current_bal
+FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "catalog_join": catalog_join,
     "iceberg_time_travel": iceberg_time_travel,
@@ -445,6 +510,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_incremental": iceberg_incremental,
     "iceberg_incremental_agg": iceberg_incremental_agg,
     "iceberg_expire": iceberg_expire,
+    "iceberg_scd2_merge": iceberg_scd2_merge,
 }
 
 ORACLE: dict[str, str] = {
@@ -456,4 +522,5 @@ ORACLE: dict[str, str] = {
     "iceberg_incremental": ICEBERG_INCREMENTAL_SQL,
     "iceberg_incremental_agg": ICEBERG_INCREMENTAL_AGG_SQL,
     "iceberg_expire": ICEBERG_EXPIRE_SQL,
+    "iceberg_scd2_merge": ICEBERG_SCD2_MERGE_SQL,
 }

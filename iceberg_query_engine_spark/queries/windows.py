@@ -300,7 +300,55 @@ ORDER BY s_suppkey
 """
 
 
+def win_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation (UpdatingSessions +
+    session-merging agg — the operator Structured Streaming shares),
+    in batch mode: 30-min-gap sessions per user, session start/end
+    from the operator itself. The lag/running-sum formulation
+    (ev_sessionize) is the portable twin; this exercises the built-in
+    operator and pins that both define sessions identically — the
+    oracle replays the gap logic in SQL."""
+    from .tpch import tables
+
+    (events,) = tables(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        events.filter(F.col("user_id") < 10)
+        .groupBy("user_id", sw.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w").getField("start").cast("string").alias("sess_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "sess_start")
+    )
+
+
+WIN_SESSION_NATIVE_SQL = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL THEN 1
+         WHEN CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w
+              > INTERVAL 30 MINUTE THEN 1
+         ELSE 0 END AS new_sess
+  FROM events WHERE user_id < 10
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+), sessed AS (
+  SELECT user_id, t,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM ordered
+)
+SELECT user_id, CAST(MIN(t) AS VARCHAR) AS sess_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessed GROUP BY user_id, sid
+ORDER BY user_id, sess_start
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "win_session_native": win_session_native,
     "win_grouping_sets": win_grouping_sets_explicit,
     "win_range_frame": win_range_frame,
     "win_nth_value": win_nth_value,
@@ -314,6 +362,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "win_session_native": WIN_SESSION_NATIVE_SQL,
     "win_grouping_sets": WIN_GROUPING_SETS_EXPLICIT_SQL,
     "win_range_frame": WIN_RANGE_FRAME_SQL,
     "win_nth_value": WIN_NTH_VALUE_SQL,
