@@ -843,6 +843,57 @@ ORDER BY o_orderkey
 """
 
 
+def op_udtf_installments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) via LATERAL:
+    each order's total split into 1+orderkey%4 installments with the
+    classic penny-allocation rule (integer cents, floor division,
+    remainder on the last installment — exact in both engines, no
+    float rounding ambiguity). The UDTF runs per input row and yields
+    a variable-length row set — the API surface for row-expanding
+    Python logic that a scalar UDF can't express. Oracle replays the
+    cents math with generate_series."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i int, amount_cents bigint")
+    class Installments:
+        def eval(self, total_cents: int, n: int):
+            base = total_cents // n
+            for i in range(n - 1):
+                yield i, base
+            yield n - 1, total_cents - base * (n - 1)
+
+    spark.udtf.register("iqe_installments", Installments)
+    (orders,) = tables(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") < 300).createOrReplaceTempView(
+        "_udtf_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, CAST(t.i AS BIGINT) AS i,
+               round(t.amount_cents / CAST(100 AS DOUBLE), 2) AS amount
+        FROM _udtf_orders o,
+        LATERAL iqe_installments(CAST(round(o.o_totalprice * 100) AS BIGINT),
+                                 CAST(1 + o.o_orderkey % 4 AS INT)) t
+        ORDER BY o_orderkey, i
+        """
+    )
+
+
+OP_UDTF_INSTALLMENTS_SQL = """
+WITH o AS (
+  SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         CAST(1 + o_orderkey % 4 AS INTEGER) AS n
+  FROM orders WHERE o_orderkey < 300
+)
+SELECT o_orderkey, CAST(g.i AS BIGINT) AS i,
+  round(CASE WHEN g.i < n - 1 THEN cents // n
+             ELSE cents - (cents // n) * (n - 1) END / 100.0, 2) AS amount
+FROM o CROSS JOIN (SELECT unnest(range(4)) AS i) g
+WHERE g.i < o.n
+ORDER BY o_orderkey, i
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
@@ -853,6 +904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_unpivot": op_unpivot,
     "op_zorder": op_zorder,
     "op_cogroup_reconcile": op_cogroup_reconcile,
+    "op_udtf_installments": op_udtf_installments,
     "op_weighted_sample": op_weighted_sample,
     "op_bucketed_join": op_bucketed_join,
     "op_skew_agg": op_skew_agg,
@@ -874,6 +926,7 @@ ORACLE: dict[str, str] = {
     "op_unpivot": OP_UNPIVOT_SQL,
     "op_zorder": OP_ZORDER_SQL,
     "op_cogroup_reconcile": OP_COGROUP_RECONCILE_SQL,
+    "op_udtf_installments": OP_UDTF_INSTALLMENTS_SQL,
     "op_weighted_sample": OP_WEIGHTED_SAMPLE_SQL,
     "op_bucketed_join": OP_BUCKETED_JOIN_SQL,
     "op_skew_agg": OP_SKEW_AGG_SQL,
