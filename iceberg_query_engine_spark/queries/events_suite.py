@@ -500,9 +500,124 @@ LIMIT 10
 """
 
 
+def ev_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill + interpolate (TimescaleDB's
+    time_bucket_gapfill / interpolate): hourly avg(value) per
+    event_type on a DENSE hour grid — missing hours are synthesized
+    and filled by linear interpolation between the nearest observed
+    neighbors (exterior gaps stay NULL). The resampling primitive
+    every time-series pipeline needs before models see the data.
+
+    Scale shape: the observed aggregate is partial+final on
+    (type, hour); the dense grid is sequence+explode over the GLOBAL
+    hour range (a metadata-sized 1-row subquery, broadcast) — grid
+    size is hours x types regardless of event volume, and the
+    interpolation windows run on that small grid, not on events.
+    To keep the demo's grid sparse, only midnight-to-05:59 events
+    enter (hours 6-23 become the gaps)."""
+    (events,) = tables(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts").cast("timestamp"))
+    obs = (
+        events.filter(F.hour(F.col("ts").cast("timestamp")) < 6)
+        .groupBy(hour.alias("h"), "event_type")
+        .agg(F.avg("value").alias("v"))
+    )
+    rng = obs.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    types = obs.select("event_type").distinct()
+    grid = (
+        types.join(F.broadcast(rng))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    g = grid.join(obs, ["event_type", "h"], "left")
+    w = Window.partitionBy("event_type").orderBy("h")
+    prev_v = F.last("v", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_t = F.last(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_v = F.first("v", ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    next_t = F.first(F.when(F.col("v").isNotNull(), F.col("h")), ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+    frac = (
+        (F.unix_timestamp("h") - F.unix_timestamp(prev_t)).cast("double")
+        / (F.unix_timestamp(next_t) - F.unix_timestamp(prev_t)).cast("double")
+    )
+    filled = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            prev_v + (next_v - prev_v) * frac,
+        )
+    )
+    return (
+        g.select(
+            "event_type",
+            F.col("h").cast("string").alias("h"),
+            F.round(filled, 6).alias("v"),
+            F.col("v").isNotNull().alias("observed"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+EV_GAPFILL_SQL = """
+WITH obs AS (
+  SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         AVG(value) AS v
+  FROM events
+  WHERE EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) < 6
+  GROUP BY 1, 2
+), rng AS (
+  SELECT MIN(h) AS h0, MAX(h) AS h1 FROM obs
+), grid AS (
+  SELECT t.event_type, g.h
+  FROM (SELECT DISTINCT event_type FROM obs) t
+  CROSS JOIN (
+    SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM rng
+  ) g
+), joined AS (
+  SELECT grid.event_type, grid.h, obs.v FROM grid
+  LEFT JOIN obs ON obs.event_type = grid.event_type AND obs.h = grid.h
+), ctx AS (
+  SELECT event_type, h, v,
+    last_value(v IGNORE NULLS) OVER wp AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS pt,
+    first_value(v IGNORE NULLS) OVER wf AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nt
+  FROM joined
+  WINDOW
+    wp AS (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, CAST(h AS VARCHAR) AS h,
+  round(CASE WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv)
+                  * (CAST(floor(epoch(h)) AS DOUBLE) - CAST(floor(epoch(pt)) AS DOUBLE))
+                  / (CAST(floor(epoch(nt)) AS DOUBLE) - CAST(floor(epoch(pt)) AS DOUBLE))
+        END, 6) AS v,
+  v IS NOT NULL AS observed
+FROM ctx
+ORDER BY event_type, h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_anomaly": ev_anomaly,
     "ev_path_transitions": ev_path_transitions,
+    "ev_gapfill": ev_gapfill,
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
     "ev_sessionize": ev_sessionize,
@@ -516,6 +631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "ev_anomaly": EV_ANOMALY_SQL,
     "ev_path_transitions": EV_PATH_TRANSITIONS_SQL,
+    "ev_gapfill": EV_GAPFILL_SQL,
     "ev_tumbling": EV_TUMBLING_SQL,
     "ev_sliding": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,

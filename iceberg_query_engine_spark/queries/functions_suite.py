@@ -1065,6 +1065,45 @@ SELECT * FROM (
 """
 
 
+def f_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML function surface: from_xml schema-directed parsing plus the
+    xpath_* extraction family, over XML documents constructed from
+    nation rows (so the oracle can derive every extracted value
+    closed-form — DuckDB has no XML type). Round-trip property: what
+    we serialize, both parse paths recover identically."""
+    (nation,) = tables(spark, sf_dir, "nation")
+    x = F.concat(
+        F.lit("<nation><key>"), F.col("n_nationkey"),
+        F.lit("</key><region>"), F.col("n_regionkey"),
+        F.lit('</region><name lang="en">'), F.col("n_name"),
+        F.lit("</name></nation>"),
+    )
+    parsed = F.from_xml(x, "key BIGINT, region BIGINT, name STRING")
+    return nation.select(
+        "n_nationkey",
+        parsed.getField("key").alias("p_key"),
+        parsed.getField("name").alias("p_name"),
+        F.xpath_long(x, F.lit("/nation/key")).alias("x_key"),
+        F.xpath_string(x, F.lit("/nation/name")).alias("x_name"),
+        F.xpath_string(x, F.lit("/nation/name/@lang")).alias("x_attr"),
+        (F.xpath_long(x, F.lit("/nation/region")) * 2).alias("x_region2"),
+        F.xpath(x, F.lit("/nation/*/text()")).getItem(0).alias("x_first"),
+    ).orderBy("n_nationkey")
+
+
+F_XML_SQL = """
+SELECT n_nationkey,
+  CAST(n_nationkey AS BIGINT) AS p_key,
+  n_name AS p_name,
+  CAST(n_nationkey AS BIGINT) AS x_key,
+  n_name AS x_name,
+  'en' AS x_attr,
+  CAST(n_regionkey * 2 AS BIGINT) AS x_region2,
+  CAST(n_nationkey AS VARCHAR) AS x_first
+FROM nation ORDER BY n_nationkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_math": f_math,
     "f_trig": f_trig,
@@ -1077,6 +1116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_map": f_map,
     "f_variant": f_variant,
     "f_generator": f_generator,
+    "f_xml": f_xml,
     "f_hash": f_hash,
     "f_url": f_url,
     "f_conditional": f_conditional,
@@ -1102,6 +1142,7 @@ ORACLE: dict[str, str] = {
     "f_map": F_MAP_SQL,
     "f_variant": F_VARIANT_SQL,
     "f_generator": F_GENERATOR_SQL,
+    "f_xml": F_XML_SQL,
     "f_hash": _f_hash_oracle(),
     "f_url": _f_url_oracle(),
     "f_conditional": F_CONDITIONAL_SQL,
