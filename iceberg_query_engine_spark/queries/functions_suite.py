@@ -1104,6 +1104,57 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+def f_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: UTF8_LCASE case-insensitive
+    comparison semantics applied per-expression via collate() —
+    grouping, equality, and containment collapse case variants
+    without rewriting data through lower(). Mixed-case strings are
+    manufactured from customer market segments (initcap vs upper vs
+    raw); the oracle reproduces the semantics with lower() — the
+    point being that collation gives the OPTIMIZER the same
+    semantics declaratively. collation() introspects the assigned
+    collator."""
+    (customer,) = tables(spark, sf_dir, "customer")
+    seg = F.when(
+        F.col("c_custkey") % 3 == 0, F.initcap(F.lower(F.col("c_mktsegment")))
+    ).when(F.col("c_custkey") % 3 == 1, F.lower(F.col("c_mktsegment"))).otherwise(
+        F.col("c_mktsegment")
+    )
+    base = customer.filter(F.col("c_custkey") < 600).select(seg.alias("seg"))
+    grouped = (
+        base.groupBy(F.collate(F.col("seg"), "UTF8_LCASE").alias("seg_ci"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return grouped.select(
+        F.lower(F.col("seg_ci")).alias("seg"),
+        "n",
+        (F.collate(F.col("seg_ci"), "UTF8_LCASE") == F.lit("building")).alias(
+            "is_building"
+        ),
+        F.contains(
+            F.collate(F.col("seg_ci"), "UTF8_LCASE"), F.lit("MACH")
+        ).alias("has_mach"),
+        F.collation(F.collate(F.col("seg_ci"), "UTF8_LCASE")).alias("coll"),
+    ).orderBy("seg")
+
+
+F_COLLATION_SQL = """
+WITH seg AS (
+  SELECT CASE WHEN c_custkey % 3 = 0
+              THEN upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+              WHEN c_custkey % 3 = 1 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg
+  FROM customer WHERE c_custkey < 600
+)
+SELECT lower(seg) AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+  lower(seg) = 'building' AS is_building,
+  contains(lower(seg), lower('MACH')) AS has_mach,
+  'SYSTEM.BUILTIN.UTF8_LCASE' AS coll
+FROM seg GROUP BY lower(seg)
+ORDER BY seg
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_math": f_math,
     "f_trig": f_trig,
@@ -1117,6 +1168,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_variant": f_variant,
     "f_generator": f_generator,
     "f_xml": f_xml,
+    "f_collation": f_collation,
     "f_hash": f_hash,
     "f_url": f_url,
     "f_conditional": f_conditional,
@@ -1143,6 +1195,7 @@ ORACLE: dict[str, str] = {
     "f_variant": F_VARIANT_SQL,
     "f_generator": F_GENERATOR_SQL,
     "f_xml": F_XML_SQL,
+    "f_collation": F_COLLATION_SQL,
     "f_hash": _f_hash_oracle(),
     "f_url": _f_url_oracle(),
     "f_conditional": F_CONDITIONAL_SQL,
