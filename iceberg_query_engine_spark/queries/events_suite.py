@@ -614,10 +614,130 @@ ORDER BY event_type, h
 """
 
 
+LTTB_K = 12  # points kept per series
+
+
+def ev_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling, per event_type:
+    the standard time-series decimator for visualization (Steinarsson
+    2013) — keep first and last, split the middle into K-2 buckets,
+    and from each bucket keep the point forming the largest triangle
+    with the previously KEPT point and the next bucket's centroid.
+    Inherently sequential per series (each choice depends on the
+    previous), so the kernel is applyInPandas per event_type over the
+    ALREADY-AGGREGATED hourly series — group size is hours, not
+    events; the oracle replays the recursion with a recursive CTE.
+
+    Determinism: inputs are rounded (v to 6), areas are rounded to 6
+    before argmax, ties break to the earliest timestamp, and the
+    bucket assignment uses the same floor((i-1)*(K-2)/(n-2)) float
+    formula in both engines."""
+    import numpy as np
+    import pandas as pd
+
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(
+                F.date_trunc("hour", F.col("ts").cast("timestamp"))
+            ).alias("t"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    k = LTTB_K
+
+    def lttb(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        n = len(pdf)
+        t = pdf["t"].to_numpy(dtype=np.float64)
+        v = pdf["v"].to_numpy(dtype=np.float64)
+        if n <= k:
+            sel = list(range(n))
+        else:
+            b = np.floor((np.arange(1, n - 1) - 1) * (k - 2) / (n - 2)).astype(int)
+            sel = [0]
+            for step in range(k - 2):
+                cand = np.where(b == step)[0] + 1
+                nxt = np.where(b == step + 1)[0] + 1
+                if len(nxt):
+                    tn, vn = np.round(t[nxt].mean(), 6), np.round(v[nxt].mean(), 6)
+                else:
+                    tn, vn = t[n - 1], v[n - 1]
+                tp, vp = t[sel[-1]], v[sel[-1]]
+                area = np.round(
+                    np.abs((tp - tn) * (v[cand] - vp) - (tp - t[cand]) * (vn - vp)),
+                    6,
+                )
+                sel.append(int(cand[int(np.argmax(area))]))
+            sel.append(n - 1)
+        out = pdf.iloc[sel].copy()
+        out["step"] = np.arange(len(sel), dtype=np.int64)
+        return out[["event_type", "step", "t", "v"]]
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(lttb, "event_type string, step bigint, t bigint, v double")
+        .orderBy("event_type", "step")
+    )
+
+
+EV_LTTB_DOWNSAMPLE_SQL = f"""
+WITH RECURSIVE
+hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t,
+         round(AVG(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, t, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+mid AS (
+  SELECT *, CAST(floor((idx - 1) * {LTTB_K - 2}.0 / (n - 2)) AS BIGINT) AS b
+  FROM base WHERE idx BETWEEN 1 AND n - 2
+),
+nxt AS (
+  SELECT event_type, b, round(avg(CAST(t AS DOUBLE)), 6) AS tn,
+         round(avg(v), 6) AS vn
+  FROM mid GROUP BY event_type, b
+),
+lastp AS (
+  SELECT event_type, t, v FROM base WHERE idx = n - 1
+),
+sel AS (
+  SELECT event_type, 0 AS step, t, v FROM base WHERE idx = 0
+  UNION ALL
+  (SELECT m.event_type, sel.step + 1, m.t, m.v
+   FROM sel
+   JOIN mid m ON m.event_type = sel.event_type AND m.b = sel.step
+   LEFT JOIN nxt nx ON nx.event_type = sel.event_type AND nx.b = sel.step + 1
+   JOIN lastp lp ON lp.event_type = sel.event_type
+   WHERE sel.step < {LTTB_K - 2}
+   QUALIFY row_number() OVER (
+     PARTITION BY m.event_type
+     ORDER BY round(abs(
+         (CAST(sel.t AS DOUBLE) - COALESCE(nx.tn, CAST(lp.t AS DOUBLE)))
+           * (m.v - sel.v)
+       - (CAST(sel.t AS DOUBLE) - CAST(m.t AS DOUBLE))
+           * (COALESCE(nx.vn, lp.v) - sel.v)
+     ), 6) DESC, m.t ASC) = 1)
+)
+SELECT event_type, CAST(step AS BIGINT) AS step, t, v FROM sel
+UNION ALL
+SELECT event_type, {LTTB_K - 1}, t, v FROM lastp
+ORDER BY event_type, step
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_anomaly": ev_anomaly,
     "ev_path_transitions": ev_path_transitions,
     "ev_gapfill": ev_gapfill,
+    "ev_lttb_downsample": ev_lttb_downsample,
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
     "ev_sessionize": ev_sessionize,
@@ -632,6 +752,7 @@ ORACLE: dict[str, str] = {
     "ev_anomaly": EV_ANOMALY_SQL,
     "ev_path_transitions": EV_PATH_TRANSITIONS_SQL,
     "ev_gapfill": EV_GAPFILL_SQL,
+    "ev_lttb_downsample": EV_LTTB_DOWNSAMPLE_SQL,
     "ev_tumbling": EV_TUMBLING_SQL,
     "ev_sliding": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
