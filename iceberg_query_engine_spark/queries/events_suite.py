@@ -733,11 +733,102 @@ ORDER BY event_type, step
 """
 
 
+HOLT_ALPHA = 0.5  # level smoothing (exactly representable)
+HOLT_BETA = 0.3  # trend smoothing
+HOLT_H = 6  # forecast horizon (hours)
+
+
+def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing per event_type over the
+    hourly series, forecasting the next HOLT_H hours — the classic
+    level+trend forecaster a capacity monitor runs on its counters.
+    The recursion (l_t = a*y + (1-a)(l+b); b_t = B(l_t - l) + (1-B)b)
+    is sequential per series, so the kernel is applyInPandas over the
+    ALREADY-AGGREGATED series; the oracle replays it with a recursive
+    CTE — verified bit-exact (identical IEEE op order both sides;
+    inputs rounded to 6 first, outputs rounded to 6 last)."""
+    import numpy as np
+    import pandas as pd
+
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(
+                F.date_trunc("hour", F.col("ts").cast("timestamp"))
+            ).alias("t"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    a, bb, hh = HOLT_ALPHA, HOLT_BETA, HOLT_H
+
+    def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        y = pdf["v"].to_numpy(dtype=np.float64)
+        lvl, tr = y[0], y[1] - y[0]
+        for i in range(1, len(y)):
+            nl = a * y[i] + (1 - a) * (lvl + tr)
+            tr = bb * (nl - lvl) + (1 - bb) * tr
+            lvl = nl
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "h": np.arange(1, hh + 1, dtype=np.int64),
+                "yhat": [round(lvl + k * tr, 6) for k in range(1, hh + 1)],
+            }
+        )
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(holt, "event_type string, h bigint, yhat double")
+        .orderBy("event_type", "h")
+    )
+
+
+EV_HOLT_FORECAST_SQL = f"""
+WITH RECURSIVE
+hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t,
+         round(AVG(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+hw AS (
+  SELECT b0.event_type, 0 AS idx, b0.v AS l, b1.v - b0.v AS b, b0.n
+  FROM base b0 JOIN base b1
+    ON b1.event_type = b0.event_type AND b1.idx = 1
+  WHERE b0.idx = 0
+  UNION ALL
+  SELECT s.event_type, s.idx,
+         {HOLT_ALPHA} * s.v + {1 - HOLT_ALPHA} * (hw.l + hw.b),
+         {HOLT_BETA} * ({HOLT_ALPHA} * s.v + {1 - HOLT_ALPHA} * (hw.l + hw.b)
+                        - hw.l) + {1 - HOLT_BETA} * hw.b,
+         hw.n
+  FROM hw JOIN base s
+    ON s.event_type = hw.event_type AND s.idx = hw.idx + 1
+),
+final AS (
+  SELECT event_type, l, b FROM hw WHERE idx = n - 1
+)
+SELECT f.event_type, CAST(g.h AS BIGINT) AS h,
+       round(f.l + g.h * f.b, 6) AS yhat
+FROM final f CROSS JOIN (SELECT unnest(range(1, {HOLT_H + 1})) AS h) g
+ORDER BY event_type, h
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_anomaly": ev_anomaly,
     "ev_path_transitions": ev_path_transitions,
     "ev_gapfill": ev_gapfill,
     "ev_lttb_downsample": ev_lttb_downsample,
+    "ev_holt_forecast": ev_holt_forecast,
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
     "ev_sessionize": ev_sessionize,
@@ -753,6 +844,7 @@ ORACLE: dict[str, str] = {
     "ev_path_transitions": EV_PATH_TRANSITIONS_SQL,
     "ev_gapfill": EV_GAPFILL_SQL,
     "ev_lttb_downsample": EV_LTTB_DOWNSAMPLE_SQL,
+    "ev_holt_forecast": EV_HOLT_FORECAST_SQL,
     "ev_tumbling": EV_TUMBLING_SQL,
     "ev_sliding": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,

@@ -880,8 +880,94 @@ FROM s ORDER BY doc_id
 """
 
 
+CMS_D = 4  # hash rows
+CMS_W = 512  # counters per row (4096 % 512 == 0 -> uniform buckets)
+
+
+def text_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch, deterministically seeded: token counts
+    compressed into a D x W counter grid (salted-md5 row hashes);
+    point queries answer min over rows — never under the true count
+    (the CMS guarantee, asserted as a column). Sketches usually get
+    rows-only checks (f_approx); seeding every hash makes THIS one
+    bit-reproducible, so the oracle verifies the full estimate path
+    exactly. Scale shape: the grid build is one partial+final count
+    on (row, col) — at most D*W groups cross the exchange regardless
+    of corpus size; probes join against the tiny grid."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select(F.explode(_tokens()).alias("t"))
+    rows = []
+    for i in range(CMS_D):
+        col = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("t"))), 1, 3), 16, 10
+            ).cast("bigint")
+            % CMS_W
+        )
+        rows.append(tok.select(F.lit(i).alias("r"), col.alias("c")))
+    grid = rows[0]
+    for r in rows[1:]:
+        grid = grid.unionByName(r)
+    counters = grid.groupBy("r", "c").agg(F.count(F.lit(1)).alias("n"))
+
+    probes = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.col("true_n").desc(), "t")
+        .limit(8)
+    )
+    probe_cols = probes
+    for i in range(CMS_D):
+        probe_cols = probe_cols.withColumn(
+            f"c{i}",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("t"))), 1, 3), 16, 10
+            ).cast("bigint")
+            % CMS_W,
+        )
+    est = None
+    joined = probe_cols
+    for i in range(CMS_D):
+        ci = counters.filter(F.col("r") == i).select(
+            F.col("c").alias(f"c{i}"), F.col("n").alias(f"n{i}")
+        )
+        joined = joined.join(F.broadcast(ci), f"c{i}")
+        est = F.col(f"n{i}") if est is None else F.least(est, F.col(f"n{i}"))
+    return (
+        joined.select(
+            "t", "true_n", est.alias("est_n"), (est >= F.col("true_n")).alias("never_under")
+        )
+        .orderBy(F.col("true_n").desc(), "t")
+    )
+
+
+TEXT_COUNT_MIN_SQL = f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS t FROM documents
+), grid AS (
+  SELECT g.i AS r,
+    CAST(('0x' || substr(md5(g.i || ':' || t), 1, 3)) AS BIGINT) % {CMS_W} AS c,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM tok CROSS JOIN (SELECT unnest(range({CMS_D})) AS i) g
+  GROUP BY 1, 2
+), probes AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS true_n
+  FROM tok GROUP BY t ORDER BY true_n DESC, t LIMIT 8
+), est AS (
+  SELECT p.t, p.true_n, MIN(g.n) AS est_n
+  FROM probes p
+  JOIN grid g
+    ON g.c = CAST(('0x' || substr(md5(g.r || ':' || p.t), 1, 3)) AS BIGINT) % {CMS_W}
+  GROUP BY p.t, p.true_n
+)
+SELECT t, true_n, est_n, est_n >= true_n AS never_under
+FROM est ORDER BY true_n DESC, t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_classifier_score": text_classifier_score,
+    "text_count_min": text_count_min,
     "text_stats": text_stats,
     "text_repetition": text_repetition,
     "text_quality": text_quality,
@@ -901,6 +987,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "text_classifier_score": TEXT_CLASSIFIER_SCORE_SQL,
+    "text_count_min": TEXT_COUNT_MIN_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_quality": TEXT_QUALITY_SQL,
