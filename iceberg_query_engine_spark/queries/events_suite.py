@@ -823,12 +823,89 @@ ORDER BY event_type, h
 """
 
 
+def ev_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event_type: the hour where the
+    cumulative sum of deviations from the series mean attains its
+    maximum magnitude is the most likely mean-shift point — the
+    at-most-one-changepoint estimator monitors run over counters.
+    Pure window algebra (prefix sum over the hourly aggregate, argmax
+    via rank) — no recursion, no Python; window cost is hours x
+    types, independent of event volume. Ties break to the earliest
+    hour; magnitudes rounded to 6 for cross-engine argmax parity."""
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(
+                F.date_trunc("hour", F.col("ts").cast("timestamp"))
+            ).alias("t"),
+        )
+        .agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    wall = Window.partitionBy("event_type")
+    word = Window.partitionBy("event_type").orderBy("t")
+    demeaned = hourly.select(
+        "event_type",
+        "t",
+        (F.col("v") - F.avg("v").over(wall)).alias("dev"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    cusum = F.sum("dev").over(word.rowsBetween(Window.unboundedPreceding, 0))
+    scored = demeaned.select(
+        "event_type", "t", F.round(F.abs(cusum), 6).alias("mag"), "n"
+    )
+    rk = Window.partitionBy("event_type").orderBy(F.col("mag").desc(), "t")
+    return (
+        scored.withColumn("r", F.row_number().over(rk))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.from_unixtime("t").cast("string").alias("change_at"),
+            "mag",
+            F.col("n").cast("bigint").alias("n_hours"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_CHANGEPOINT_SQL = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t,
+         round(AVG(value), 6) AS v
+  FROM events GROUP BY 1, 2
+), demeaned AS (
+  SELECT event_type, t,
+         v - AVG(v) OVER (PARTITION BY event_type) AS dev,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+), scored AS (
+  SELECT event_type, t,
+    round(abs(SUM(dev) OVER (
+      PARTITION BY event_type ORDER BY t
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6) AS mag,
+    n
+  FROM demeaned
+)
+SELECT event_type,
+  CAST(strftime(to_timestamp(t), '%Y-%m-%d %H:%M:%S') AS VARCHAR) AS change_at,
+  mag, CAST(n AS BIGINT) AS n_hours
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY mag DESC, t) AS r
+  FROM scored
+) WHERE r = 1
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_anomaly": ev_anomaly,
     "ev_path_transitions": ev_path_transitions,
     "ev_gapfill": ev_gapfill,
     "ev_lttb_downsample": ev_lttb_downsample,
     "ev_holt_forecast": ev_holt_forecast,
+    "ev_changepoint": ev_changepoint,
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
     "ev_sessionize": ev_sessionize,
@@ -845,6 +922,7 @@ ORACLE: dict[str, str] = {
     "ev_gapfill": EV_GAPFILL_SQL,
     "ev_lttb_downsample": EV_LTTB_DOWNSAMPLE_SQL,
     "ev_holt_forecast": EV_HOLT_FORECAST_SQL,
+    "ev_changepoint": EV_CHANGEPOINT_SQL,
     "ev_tumbling": EV_TUMBLING_SQL,
     "ev_sliding": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,

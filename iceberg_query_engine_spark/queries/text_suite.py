@@ -965,9 +965,111 @@ FROM est ORDER BY true_n DESC, t
 """
 
 
+BLOOM_K = 3  # hash functions
+BLOOM_M = 4096  # bits (4096 = one 3-hex-char hash, no modulo bias)
+
+
+def text_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership, deterministically seeded: the distinct
+    vocabulary of source src1 sets K salted-md5 bit positions each;
+    probe tokens are present iff ALL their positions are set. Reports
+    per-probe verdict plus the filter's fill ratio — and pins the
+    no-false-NEGATIVE guarantee as a column (every probe that truly
+    occurs in src1 must test positive; positives for absent tokens
+    are the allowed false-positive budget). The same structure
+    Spark's runtime bloom join filters use, here bit-reproducible and
+    oracle-verified. Scale: the bit set is at most M distinct
+    positions after a partial+final distinct — grid-sized exchange."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    src_tok = (
+        documents.filter(F.col("source") == "src1")
+        .select(F.explode(_tokens()).alias("t"))
+        .distinct()
+    )
+
+    def positions(tcol):
+        return [
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(f"b{i}:"), tcol)), 1, 3), 16, 10
+                ).cast("bigint")
+            )
+            for i in range(BLOOM_K)
+        ]
+
+    bits = src_tok.select(
+        F.explode(F.array(*positions(F.col("t")))).alias("pos")
+    ).distinct()
+    n_bits = bits.count()  # tiny: <= M
+
+    all_tok = documents.select(F.explode(_tokens()).alias("t"))
+    probes = (
+        all_tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n_all"))
+        .orderBy(F.col("n_all").desc(), "t")
+        .limit(10)
+        .join(
+            F.broadcast(src_tok.withColumn("in_src1", F.lit(True))), "t", "left"
+        )
+        .withColumn("in_src1", F.coalesce(F.col("in_src1"), F.lit(False)))
+    )
+    j = probes
+    verdict = None
+    for i, p in enumerate(positions(F.col("t"))):
+        bi = bits.select(F.col("pos").alias(f"p{i}"))
+        j = j.withColumn(f"p{i}", p).join(
+            F.broadcast(bi.withColumn(f"hit{i}", F.lit(True))), f"p{i}", "left"
+        )
+        hit = F.coalesce(F.col(f"hit{i}"), F.lit(False))
+        verdict = hit if verdict is None else (verdict & hit)
+    return (
+        j.select(
+            "t",
+            "in_src1",
+            verdict.alias("test_positive"),
+            # the Bloom guarantee: membership implies a positive test
+            (~F.col("in_src1") | verdict).alias("no_false_negative"),
+            F.lit(n_bits).cast("bigint").alias("bits_set"),
+            F.round(F.lit(n_bits) / F.lit(float(BLOOM_M)), 6).alias("fill_ratio"),
+        )
+        .orderBy("t")
+    )
+
+
+TEXT_BLOOM_FILTER_SQL = f"""
+WITH src_tok AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS t
+  FROM documents WHERE source = 'src1'
+), bits AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5('b' || g.i || ':' || t), 1, 3)) AS BIGINT) AS pos
+  FROM src_tok CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS i) g
+), nb AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS bits_set FROM bits
+), probes AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n_all
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t ORDER BY n_all DESC, t LIMIT 10
+), tested AS (
+  SELECT p.t,
+    EXISTS (SELECT 1 FROM src_tok s WHERE s.t = p.t) AS in_src1,
+    (SELECT COUNT(*) FROM (SELECT unnest(range({BLOOM_K})) AS i) g
+     WHERE CAST(('0x' || substr(md5('b' || g.i || ':' || p.t), 1, 3)) AS BIGINT)
+           IN (SELECT pos FROM bits)) = {BLOOM_K} AS test_positive
+  FROM probes p
+)
+SELECT t, in_src1, test_positive,
+       (NOT in_src1) OR test_positive AS no_false_negative,
+       nb.bits_set, round(nb.bits_set / {BLOOM_M}.0, 6) AS fill_ratio
+FROM tested CROSS JOIN nb
+ORDER BY t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_classifier_score": text_classifier_score,
     "text_count_min": text_count_min,
+    "text_bloom_filter": text_bloom_filter,
     "text_stats": text_stats,
     "text_repetition": text_repetition,
     "text_quality": text_quality,
@@ -988,6 +1090,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "text_classifier_score": TEXT_CLASSIFIER_SCORE_SQL,
     "text_count_min": TEXT_COUNT_MIN_SQL,
+    "text_bloom_filter": TEXT_BLOOM_FILTER_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_quality": TEXT_QUALITY_SQL,
