@@ -894,6 +894,74 @@ ORDER BY o_orderkey, i
 """
 
 
+def op_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between each document
+    source's n_chars distribution and src1's — the distribution-shift
+    gate a pipeline runs before mixing a new source into training
+    data. D = max |ECDF_a(x) - ECDF_b(x)| over the pooled support,
+    computed with pure window algebra: per-source value counts, a
+    pooled grid, running (cumulative/total) ECDFs via prefix sums,
+    forward-filled with last_value IGNORE NULLS. Cost is distinct
+    values x sources after the first aggregate — independent of
+    document count."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    counts = documents.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = documents.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    grid = counts.select("n_chars").distinct()
+    sources = counts.select("source").distinct()
+    dense = grid.crossJoin(sources).join(counts, ["source", "n_chars"], "left")
+    w = Window.partitionBy("source").orderBy("n_chars")
+    ecdf = (
+        dense.withColumn(
+            "cum",
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .join(totals, "source")
+        .select(
+            "source", "n_chars", (F.col("cum") / F.col("tot")).alias("F")
+        )
+    )
+    ref = ecdf.filter(F.col("source") == "src1").select(
+        "n_chars", F.col("F").alias("F_ref")
+    )
+    return (
+        ecdf.filter(F.col("source") != "src1")
+        .join(ref, "n_chars")
+        .groupBy("source")
+        .agg(F.round(F.max(F.abs(F.col("F") - F.col("F_ref"))), 6).alias("ks_d"))
+        .orderBy("source")
+    )
+
+
+OP_KS_TEST_SQL = """
+WITH counts AS (
+  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+  FROM documents GROUP BY source, n_chars
+), totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS tot FROM documents GROUP BY source
+), dense AS (
+  SELECT s.source, g.n_chars, COALESCE(c.c, 0) AS c
+  FROM (SELECT DISTINCT n_chars FROM counts) g
+  CROSS JOIN (SELECT DISTINCT source FROM counts) s
+  LEFT JOIN counts c ON c.source = s.source AND c.n_chars = g.n_chars
+), ecdf AS (
+  SELECT d.source, d.n_chars,
+    SUM(d.c) OVER (PARTITION BY d.source ORDER BY d.n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      / CAST(t.tot AS DOUBLE) AS F
+  FROM dense d JOIN totals t ON t.source = d.source
+)
+SELECT a.source, round(MAX(abs(a.F - b.F)), 6) AS ks_d
+FROM ecdf a JOIN ecdf b ON b.source = 'src1' AND b.n_chars = a.n_chars
+WHERE a.source <> 'src1'
+GROUP BY a.source ORDER BY a.source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
@@ -905,6 +973,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_zorder": op_zorder,
     "op_cogroup_reconcile": op_cogroup_reconcile,
     "op_udtf_installments": op_udtf_installments,
+    "op_ks_test": op_ks_test,
     "op_weighted_sample": op_weighted_sample,
     "op_bucketed_join": op_bucketed_join,
     "op_skew_agg": op_skew_agg,
@@ -927,6 +996,7 @@ ORACLE: dict[str, str] = {
     "op_zorder": OP_ZORDER_SQL,
     "op_cogroup_reconcile": OP_COGROUP_RECONCILE_SQL,
     "op_udtf_installments": OP_UDTF_INSTALLMENTS_SQL,
+    "op_ks_test": OP_KS_TEST_SQL,
     "op_weighted_sample": OP_WEIGHTED_SAMPLE_SQL,
     "op_bucketed_join": OP_BUCKETED_JOIN_SQL,
     "op_skew_agg": OP_SKEW_AGG_SQL,
