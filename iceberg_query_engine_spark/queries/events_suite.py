@@ -899,6 +899,92 @@ ORDER BY event_type
 """
 
 
+def ev_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between deterministic experiment arms
+    (user_id parity as the assignment hash): conversion = the user
+    fired at least one purchase event. Reports per-arm n/conversions/
+    rate and the pooled-variance z statistic — the readout every
+    experimentation pipeline computes. One per-user aggregate, then a
+    2-row arm aggregate; z is driver-free arithmetic on those 2 rows
+    pivoted via conditional aggregation."""
+    (events,) = tables(spark, sf_dir, "events")
+    # conversion = above-mean purchase count: data-relative, so the
+    # arms stay interior (0 < rate < 1) at every scale factor; the
+    # mean is exact-integer-sum / exact-count in both engines
+    pc = events.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("np")
+    )
+    per_user = pc.join(F.broadcast(pc.agg(F.avg("np").alias("mu")))).select(
+        "user_id", (F.col("np") > F.col("mu")).cast("int").alias("converted")
+    )
+    arms = (
+        per_user.withColumn("arm", (F.col("user_id") % 2).cast("int"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").cast("bigint").alias("conv"),
+        )
+    )
+    a = arms.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0")
+    p1 = F.col("c1") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1"))
+    var = pp * (1 - pp) * (1 / F.col("n0") + 1 / F.col("n1"))
+    # degenerate arms (all or none converted) have zero pooled
+    # variance -> z undefined; report NULL rather than dividing
+    z = F.when(var > 0, (p0 - p1) / F.sqrt(var))
+    return a.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("c0").cast("bigint").alias("conv0"),
+        F.round(p0, 6).alias("rate0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("c1").cast("bigint").alias("conv1"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(z, 6).alias("z"),
+    )
+
+
+EV_AB_TEST_SQL = """
+WITH pc AS (
+  SELECT user_id,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+  FROM events GROUP BY user_id
+), per_user AS (
+  SELECT user_id,
+         CASE WHEN np > (SELECT AVG(np) FROM pc) THEN 1 ELSE 0 END AS converted
+  FROM pc
+), arms AS (
+  SELECT CAST(user_id % 2 AS INTEGER) AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(converted) AS BIGINT) AS conv
+  FROM per_user GROUP BY 1
+), piv AS (
+  SELECT
+    SUM(CASE WHEN arm = 0 THEN n END) AS n0,
+    SUM(CASE WHEN arm = 0 THEN conv END) AS c0,
+    SUM(CASE WHEN arm = 1 THEN n END) AS n1,
+    SUM(CASE WHEN arm = 1 THEN conv END) AS c1
+  FROM arms
+)
+SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS conv0,
+  round(c0 / CAST(n0 AS DOUBLE), 6) AS rate0,
+  CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS conv1,
+  round(c1 / CAST(n1 AS DOUBLE), 6) AS rate1,
+  round(CASE WHEN ((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                  * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / n0 + 1.0 / n1) > 0
+        THEN (c0 / CAST(n0 AS DOUBLE) - c1 / CAST(n1 AS DOUBLE))
+           / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                  * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                  * (1.0 / n0 + 1.0 / n1)) END, 6) AS z
+FROM piv
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_anomaly": ev_anomaly,
     "ev_path_transitions": ev_path_transitions,
@@ -906,6 +992,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_lttb_downsample": ev_lttb_downsample,
     "ev_holt_forecast": ev_holt_forecast,
     "ev_changepoint": ev_changepoint,
+    "ev_ab_test": ev_ab_test,
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
     "ev_sessionize": ev_sessionize,
@@ -923,6 +1010,7 @@ ORACLE: dict[str, str] = {
     "ev_lttb_downsample": EV_LTTB_DOWNSAMPLE_SQL,
     "ev_holt_forecast": EV_HOLT_FORECAST_SQL,
     "ev_changepoint": EV_CHANGEPOINT_SQL,
+    "ev_ab_test": EV_AB_TEST_SQL,
     "ev_tumbling": EV_TUMBLING_SQL,
     "ev_sliding": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,

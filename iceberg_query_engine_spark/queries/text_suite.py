@@ -1066,10 +1066,55 @@ ORDER BY t
 """
 
 
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: regress log(frequency)
+    on log(rank) with the built-in REGR_* aggregates — slope near -1
+    is the natural-language signature; strong deviation flags
+    synthetic/templated text (exactly this corpus: the readout is a
+    diagnostic, not a constant). One vocabulary aggregate (partial+
+    final on token), one rank window over vocab-sized rows, one
+    regression aggregate — corpus tokens cross an exchange once."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    vocab = (
+        documents.select(F.explode(_tokens()).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "t")
+    ranked = vocab.withColumn("rank", F.row_number().over(w))
+    lx = F.log(F.col("rank").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("r2"),
+    )
+
+
+TEXT_ZIPF_FIT_SQL = """
+WITH vocab AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+  GROUP BY t
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, t) AS rank FROM vocab
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+  round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+    AS zipf_slope,
+  round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6)
+    AS zipf_intercept,
+  round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 6) AS r2
+FROM ranked
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_classifier_score": text_classifier_score,
     "text_count_min": text_count_min,
     "text_bloom_filter": text_bloom_filter,
+    "text_zipf_fit": text_zipf_fit,
     "text_stats": text_stats,
     "text_repetition": text_repetition,
     "text_quality": text_quality,
@@ -1091,6 +1136,7 @@ ORACLE: dict[str, str] = {
     "text_classifier_score": TEXT_CLASSIFIER_SCORE_SQL,
     "text_count_min": TEXT_COUNT_MIN_SQL,
     "text_bloom_filter": TEXT_BLOOM_FILTER_SQL,
+    "text_zipf_fit": TEXT_ZIPF_FIT_SQL,
     "text_stats": TEXT_STATS_SQL,
     "text_repetition": TEXT_REPETITION_SQL,
     "text_quality": TEXT_QUALITY_SQL,
