@@ -985,6 +985,66 @@ FROM piv
 """
 
 
+def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per user, Recency (last purchase ts),
+    Frequency (purchase count), Monetary (purchase value sum), each
+    quintiled into 1-5 scores (ntile with full tie-break order), then
+    segment counts over the 3-digit RFM code — the classic customer
+    segmentation every growth team runs. Per-user aggregate then
+    three windows over users-sized rows; segment rollup is a tiny
+    partial+final count."""
+    (events,) = tables(spark, sf_dir, "events")
+    per_user = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_timestamp(F.col("ts").cast("timestamp"))).alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("value"), 4).alias("money"),
+        )
+    )
+    wr = Window.orderBy("last_ts", "user_id")
+    wf = Window.orderBy("freq", "user_id")
+    wm = Window.orderBy("money", "user_id")
+    scored = per_user.select(
+        "user_id",
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+            .cast("bigint")
+            .alias("rfm"),
+            "n_users",
+        )
+        .orderBy("rfm")
+    )
+
+
+EV_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+    CAST(floor(epoch(MAX(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS last_ts,
+    CAST(COUNT(*) AS BIGINT) AS freq,
+    round(SUM(value), 4) AS money
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), scored AS (
+  SELECT user_id,
+    ntile(5) OVER (ORDER BY last_ts, user_id) AS r,
+    ntile(5) OVER (ORDER BY freq, user_id) AS f,
+    ntile(5) OVER (ORDER BY money, user_id) AS m
+  FROM per_user
+)
+SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM scored GROUP BY r, f, m ORDER BY rfm
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_anomaly": ev_anomaly,
     "ev_path_transitions": ev_path_transitions,
@@ -993,6 +1053,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ev_holt_forecast": ev_holt_forecast,
     "ev_changepoint": ev_changepoint,
     "ev_ab_test": ev_ab_test,
+    "ev_rfm": ev_rfm,
     "ev_tumbling": ev_tumbling,
     "ev_sliding": ev_sliding,
     "ev_sessionize": ev_sessionize,
@@ -1011,6 +1072,7 @@ ORACLE: dict[str, str] = {
     "ev_holt_forecast": EV_HOLT_FORECAST_SQL,
     "ev_changepoint": EV_CHANGEPOINT_SQL,
     "ev_ab_test": EV_AB_TEST_SQL,
+    "ev_rfm": EV_RFM_SQL,
     "ev_tumbling": EV_TUMBLING_SQL,
     "ev_sliding": EV_SLIDING_SQL,
     "ev_sessionize": EV_SESSIONIZE_SQL,
