@@ -962,6 +962,80 @@ GROUP BY a.source ORDER BY a.source
 """
 
 
+def op_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation (the Great-Expectations-style audit a
+    pipeline runs at every ingest boundary): one scan of lineitem
+    evaluates every expectation as a conditional aggregate — range
+    bounds, non-null, referential key positivity, and composite-key
+    uniqueness (distinct vs total) — emitting one row per check with
+    violation counts and a pass verdict. Scale: a single partial+final
+    aggregate pass; the uniqueness check rides the same scan via
+    count_distinct. No row-level quarantine here (that's a filter on
+    the same predicates); the audit is the contract's scoreboard."""
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    agg = lineitem.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (~F.col("l_quantity").between(1, 50)).cast("int")
+        ).alias("qty_range"),
+        F.sum(
+            (~F.col("l_discount").between(0.0, 0.1)).cast("int")
+        ).alias("disc_range"),
+        F.sum(F.col("l_shipdate").isNull().cast("int")).alias("ship_null"),
+        F.sum((F.col("l_orderkey") <= 0).cast("int")).alias("key_nonpos"),
+        (
+            F.count(F.lit(1))
+            - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+        ).alias("dup_keys"),
+    )
+    checks = [
+        ("quantity_in_1_50", "qty_range"),
+        ("discount_in_0_0.1", "disc_range"),
+        ("shipdate_not_null", "ship_null"),
+        ("orderkey_positive", "key_nonpos"),
+        ("orderkey_linenumber_unique", "dup_keys"),
+    ]
+    parts = [
+        agg.select(
+            F.lit(name).alias("check"),
+            F.col(colname).cast("bigint").alias("violations"),
+            (F.col(colname) == 0).alias("passed"),
+            F.col("n").cast("bigint").alias("n_rows"),
+        )
+        for name, colname in checks
+    ]
+    out = parts[0]
+    for pp in parts[1:]:
+        out = out.unionByName(pp)
+    return out.orderBy("check")
+
+
+OP_CONTRACT_CHECK_SQL = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1 ELSE 0 END)
+         AS BIGINT) AS qty_range,
+    CAST(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1 ELSE 0 END)
+         AS BIGINT) AS disc_range,
+    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS ship_null,
+    CAST(SUM(CASE WHEN l_orderkey <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS key_nonpos,
+    CAST(COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+      AS dup_keys
+  FROM lineitem
+)
+SELECT "check", violations, violations = 0 AS passed, n AS n_rows FROM (
+  SELECT 'quantity_in_1_50' AS "check", qty_range AS violations, n FROM agg
+  UNION ALL SELECT 'discount_in_0_0.1', disc_range, n FROM agg
+  UNION ALL SELECT 'shipdate_not_null', ship_null, n FROM agg
+  UNION ALL SELECT 'orderkey_positive', key_nonpos, n FROM agg
+  UNION ALL SELECT 'orderkey_linenumber_unique', dup_keys, n FROM agg
+)
+ORDER BY "check"
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
@@ -974,6 +1048,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_cogroup_reconcile": op_cogroup_reconcile,
     "op_udtf_installments": op_udtf_installments,
     "op_ks_test": op_ks_test,
+    "op_contract_check": op_contract_check,
     "op_weighted_sample": op_weighted_sample,
     "op_bucketed_join": op_bucketed_join,
     "op_skew_agg": op_skew_agg,
@@ -997,6 +1072,7 @@ ORACLE: dict[str, str] = {
     "op_cogroup_reconcile": OP_COGROUP_RECONCILE_SQL,
     "op_udtf_installments": OP_UDTF_INSTALLMENTS_SQL,
     "op_ks_test": OP_KS_TEST_SQL,
+    "op_contract_check": OP_CONTRACT_CHECK_SQL,
     "op_weighted_sample": OP_WEIGHTED_SAMPLE_SQL,
     "op_bucketed_join": OP_BUCKETED_JOIN_SQL,
     "op_skew_agg": OP_SKEW_AGG_SQL,
