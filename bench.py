@@ -22,6 +22,43 @@ import os
 import sys
 import time
 
+# FROZEN extras list (r5 verdict, Next round #6): BENCH_r{N} must stay a
+# key-superset of BENCH_r{N-1} so per-op deltas are comparable across
+# rounds without archaeology. APPEND new ops; never remove or rename a
+# key. r6 appended: ev_rfm, text_zipf_fit (rewritten on the distributed
+# two-pass rank — operators/rank.py), op_contract_check, op_ks_test.
+BENCH_EXTRAS: tuple[str, ...] = (
+    # --- r4-era headline set + biggest r5 ops (== BENCH_r05 keys) ---
+    "text_repetition",
+    "op_mixture_weights",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "dedup_clusters",
+    "dedup_decontaminate",
+    "sim_brute_topk",
+    "sim_ivf_topk",
+    "sim_ivf_pq_topk",
+    "sim_ivf_persist",
+    "sim_kmeans",
+    "sim_lsh_topk",
+    "dedup_semantic",
+    "op_zorder",
+    "op_weighted_sample",
+    "text_token_freq",
+    "text_fingerprint",
+    "text_tfidf",
+    "text_pack",
+    "ev_sessionize",
+    "ev_tumbling",
+    # --- appended r6 ---
+    "ev_rfm",
+    "text_zipf_fit",
+    "op_contract_check",
+    "op_ks_test",
+)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -56,39 +93,10 @@ def main() -> None:
 
     # extension operators (headline value stays the BASELINE-comparable
     # TPC-H total; these timings are recorded alongside)
-    from iceberg_query_engine_spark.queries import (
-        dedup_suite,
-        events_suite,
-        operators_suite,
-        similarity_suite,
-        text_suite,
-    )
+    from iceberg_query_engine_spark.queries import catalog
 
-    extras = {
-        "text_repetition": text_suite.text_repetition,
-        "op_mixture_weights": operators_suite.op_mixture_weights,
-        "dedup_exact": dedup_suite.dedup_exact,
-        "dedup_minhash_lsh": dedup_suite.dedup_minhash_lsh,
-        "dedup_simhash": dedup_suite.dedup_simhash,
-        "dedup_embedding_cosine": dedup_suite.dedup_embedding_cosine,
-        "dedup_clusters": dedup_suite.dedup_clusters,
-        "dedup_decontaminate": dedup_suite.dedup_decontaminate,
-        "sim_brute_topk": similarity_suite.sim_brute_topk,
-        "sim_ivf_topk": similarity_suite.sim_ivf_topk,
-        "sim_ivf_pq_topk": similarity_suite.sim_ivf_pq_topk,
-        "sim_ivf_persist": similarity_suite.sim_ivf_persist,
-        "sim_kmeans": similarity_suite.sim_kmeans,
-        "sim_lsh_topk": similarity_suite.sim_lsh_topk,
-        "dedup_semantic": dedup_suite.dedup_semantic,
-        "op_zorder": operators_suite.op_zorder,
-        "op_weighted_sample": operators_suite.op_weighted_sample,
-        "text_token_freq": text_suite.text_token_freq,
-        "text_fingerprint": text_suite.text_fingerprint,
-        "text_tfidf": text_suite.text_tfidf,
-        "text_pack": text_suite.text_pack,
-        "ev_sessionize": events_suite.ev_sessionize,
-        "ev_tumbling": events_suite.ev_tumbling,
-    }
+    all_q = catalog.all_queries()
+    extras = {name: all_q[name] for name in BENCH_EXTRAS}
     for name, fn in extras.items():
         best = float("inf")
         for _ in range(repeat):

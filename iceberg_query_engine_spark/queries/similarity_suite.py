@@ -398,11 +398,39 @@ def _plane_dot(v, p: int, dim: int = 64):
     return out
 
 
-def _lsh_bucket(v):
+def _plane_dot_hof(v, p: int):
+    """Same plane dot as a higher-order-function fold: F.aggregate is
+    INTERPRETED per element (~4.6 µs/element measured), but it carries
+    none of the ~60-term expression's per-executor codegen-compile
+    fixed cost. Bit-identical to _plane_dot: the fold visits every i
+    left-to-right from 0.0, and x + 0.0*v[i] == x for finite floats, so
+    including the zero-weight terms the chain drops changes nothing."""
+    return F.aggregate(
+        F.transform(
+            v,
+            lambda x, i: x.cast("double")
+            * ((F.lit(p * 31) + i * 17) % 7 - 3).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+# Below this many corpus BYTES the interpreted HOF bucket wins: the
+# codegen chain's fixed cost (JIT-compiling 5 × ~55-term projections on
+# every executor) tripled sim_lsh_topk at sf0.1 (0.58 → 1.73 s,
+# BENCH_r05) while paying off only ≥100k vectors (37 → 7-15 s at 500k,
+# BENCH_SCALE r5). 64 MB of embedding parquet ≈ 120k 64-dim vectors.
+_LSH_CODEGEN_MIN_BYTES = 64 << 20
+
+
+def _lsh_bucket(v, hof: bool = False):
     """v: the RAW (float) embedding array — casts happen inline per
-    element inside the codegen'd _plane_dot expansion."""
+    element inside the codegen'd _plane_dot expansion (or the
+    interpreted HOF fold when ``hof`` — small corpora, same values)."""
+    dot = _plane_dot_hof if hof else _plane_dot
     bits = [
-        F.when(F.round(_plane_dot(v, p), 6) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        F.when(F.round(dot(v, p), 6) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
         for p in range(LSH_NBITS)
     ]
     out = bits[0]
@@ -513,15 +541,27 @@ def _lsh_topk(
     vector crosses Arrow once with its bucket id, and the kernel masks
     per query before the partial top-k. Same candidate set and
     tie-break as the bucket-equality join it replaces."""
+    import os
+
     import numpy as np
 
     from ..functions.vector import multi_query_topk_fn
 
     (embeddings,) = tables(spark, sf_dir, "embeddings")
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isdir(path):
+        corpus_bytes = sum(
+            os.path.getsize(os.path.join(dp, fn))
+            for dp, _d, fns in os.walk(path)
+            for fn in fns
+        )
+    else:
+        corpus_bytes = os.path.getsize(path) if os.path.exists(path) else 0
+    hof = corpus_bytes < _LSH_CODEGEN_MIN_BYTES
     e = embeddings.select(
         "vec_id",
         _as_double(F.col("embedding")).alias("v"),
-        _lsh_bucket(F.col("embedding")).cast("long").alias("bucket"),
+        _lsh_bucket(F.col("embedding"), hof=hof).cast("long").alias("bucket"),
     )
     qrows = e.filter(F.col("vec_id") < n_queries).collect()  # tiny: Q×dim
     probe_buckets = {

@@ -83,23 +83,27 @@ def _warehouse_has(sf_name: str, table: str) -> bool:
     )
 
 
-def ensure_full_data(spark: SparkSession, sf_dir: str) -> str:
+def ensure_full_data(spark: SparkSession, sf_dir: str, layout: str = "flat") -> str:
     """Return the full-schema data dir for sf_dir's scale, generating it
     (deterministically) if absent. sf0.001/sf0.01 ship committed in the
     repo, so the driver never generates.
 
-    A fact table counts as present if its bucketed warehouse copy
-    exists even when the flat parquet doesn't: at bench scale the flat
-    fact files are reclaimed once the catalog layout is built (sf100's
-    flat+bucketed facts together exceed this VM's disk), and only the
-    genuinely missing tables are regenerated."""
+    ``layout`` names what the CALLER will read (ADVICE r5): with
+    ``"bucketed"`` a fact table counts as present if its bucketed
+    warehouse copy exists even when the flat parquet doesn't — at bench
+    scale the flat fact files are reclaimed once the catalog layout is
+    built (sf100's flat+bucketed facts together exceed this VM's disk).
+    With the default ``"flat"`` a reclaimed flat fact is genuinely
+    missing and gets regenerated, so flat consumers (``_register``,
+    ``bench_scale --layout flat``) never hit a missing path."""
     base = os.path.basename(os.path.normpath(sf_dir))
     out = os.path.join(FULL_DATA_ROOT, base)
+    warehouse_ok = layout == "bucketed"
     missing = {
         t
         for t in FULL_TABLES
         if not os.path.exists(os.path.join(out, f"{t}.parquet"))
-        and not (t in BUCKET_SPECS and _warehouse_has(base, t))
+        and not (warehouse_ok and t in BUCKET_SPECS and _warehouse_has(base, t))
     }
     if not missing:
         return out
@@ -149,15 +153,37 @@ def _table_bytes(path: str) -> int:
     return os.path.getsize(path) if os.path.exists(path) else 0
 
 
-def _bucket_count_of(files: list[str]) -> int:
-    """Infer the bucket count a table was WRITTEN with from its file
-    names (`part-*-<uuid>_NNNNN.c000.*.parquet` — NNNNN is the bucket
-    id). Works for both one-file-per-bucket and shuffle-free
-    (multi-file-per-bucket) layouts, where len(files) would overcount."""
+_BUCKET_SIDECAR = "_bucket_count"
+
+
+def _bucket_count_of(loc: str, files: list[str]) -> int:
+    """Bucket count a table was WRITTEN with. Source of truth is the
+    sidecar file persisted at write time (ADVICE r5: inferring
+    max(file bucket id)+1 under-declares when the highest bucket hashed
+    no rows, and Spark would then silently mis-bucket every join).
+    Legacy dirs without a sidecar fall back to inference ROUNDED UP to
+    the next power of two — pick_bucket_count's contract — so an empty
+    top bucket can't shrink the declared modulus."""
+    sidecar = os.path.join(loc, _BUCKET_SIDECAR)
+    if os.path.exists(sidecar):
+        with open(sidecar) as fh:
+            return int(fh.read().strip())
     ids = [
         int(m.group(1)) for f in files if (m := re.search(r"_(\d{5})\.c\d+", f))
     ]
-    return (max(ids) + 1) if ids else len(files)
+    inferred = (max(ids) + 1) if ids else len(files)
+    count = 1
+    while count < inferred:
+        count *= 2
+    return max(count, 1)
+
+
+def _write_bucket_sidecar(loc: str, buckets: int) -> None:
+    try:
+        with open(os.path.join(loc, _BUCKET_SIDECAR), "w") as fh:
+            fh.write(str(buckets))
+    except OSError:
+        pass  # layout still re-attachable via the pow2-rounded inference
 
 
 def pick_bucket_count(data_dir: str, floor: int = 64) -> int:
@@ -231,16 +257,19 @@ def register_catalog_layout(
             if existing:
                 # Files from a prior session: re-attach with the bucket
                 # spec they were WRITTEN with — a mismatched declared
-                # count would silently mis-bucket every join. Schema
-                # comes from the warehouse files themselves (the flat
-                # parquet may have been reclaimed).
-                buckets = _bucket_count_of(existing)
+                # count would silently mis-bucket every join. Per-table
+                # LOCAL count (ADVICE r5: reassigning the loop-shared
+                # `buckets` leaked one table's inferred count into the
+                # next table's fresh write). Schema comes from the
+                # warehouse files themselves (the flat parquet may have
+                # been reclaimed).
+                t_buckets = _bucket_count_of(loc, existing)
                 schema = spark.read.parquet(loc).schema
                 ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
                 spark.sql(
                     f"CREATE TABLE {full} ({ddl}) USING parquet "
                     f"CLUSTERED BY ({', '.join(cols)}) "
-                    f"SORTED BY ({', '.join(cols)}) INTO {buckets} BUCKETS "
+                    f"SORTED BY ({', '.join(cols)}) INTO {t_buckets} BUCKETS "
                     f"LOCATION '{loc}'"
                 )
             elif _table_bytes(path) <= BUCKET_SHUFFLE_MAX_BYTES:
@@ -252,6 +281,7 @@ def register_catalog_layout(
                     .sortBy(*cols)
                     .saveAsTable(full)
                 )
+                _write_bucket_sidecar(loc, buckets)
             else:
                 # Big facts (sf100 lineitem = 19 GB parquet): the
                 # repartition exchange row-serializes the whole table
@@ -271,6 +301,7 @@ def register_catalog_layout(
                     .sortBy(*cols)
                     .saveAsTable(full)
                 )
+                _write_bucket_sidecar(loc, buckets)
         else:
             spark.sql(f"CREATE TABLE {full} USING parquet LOCATION '{path}'")
         if analyze:

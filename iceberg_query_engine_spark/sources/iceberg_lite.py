@@ -758,21 +758,40 @@ class ExpireResult:
     bytes_reclaimed: int = 0
 
 
-def _referenced_paths(path: str, snapshot_ids: list[int]) -> set[str]:
+def _referenced_paths(
+    path: str, snapshot_ids: list[int], missing_ok: bool = False
+) -> set[str]:
     """Every table-relative path (manifest lists, manifests, data +
     delete files/dirs) reachable from the given snapshots. Metadata-only:
-    one JSON read per manifest, no data I/O."""
+    one JSON read per manifest, no data I/O.
+
+    ``missing_ok`` is for the EXPIRE side of expire_snapshots only: a
+    prior run that crashed between the file-delete and metadata-delete
+    phases leaves snapshot JSONs whose manifests are already gone —
+    those paths are already reclaimed, so they contribute nothing. The
+    keep side must never pass it (a missing live manifest is corruption
+    and should raise)."""
     table = IcebergLiteTable(path)
     refs: set[str] = set()
     for sid in snapshot_ids:
         snap = table._snapshot(sid)
         refs.add(snap["manifest_list"])
-        with open(os.path.join(path, snap["manifest_list"])) as f:
-            manifests = json.load(f)
+        try:
+            with open(os.path.join(path, snap["manifest_list"])) as f:
+                manifests = json.load(f)
+        except FileNotFoundError:
+            if missing_ok:
+                continue
+            raise
         for m in manifests:
             refs.add(m["manifest_path"])
-            with open(os.path.join(path, m["manifest_path"])) as f:
-                manifest = json.load(f)
+            try:
+                with open(os.path.join(path, m["manifest_path"])) as f:
+                    manifest = json.load(f)
+            except FileNotFoundError:
+                if missing_ok:
+                    continue
+                raise
             for entry in manifest.get("entries", []):
                 fe = entry.get("data_file") or entry["delete_file"]
                 refs.add(fe["file_path"])
@@ -795,9 +814,12 @@ def expire_snapshots(
     older_than_ms: int | None = None,
 ) -> ExpireResult:
     """Iceberg `expire_snapshots` + `remove_orphan_files` in one
-    maintenance pass: drop old snapshots' metadata, then physically
-    delete every data/delete file and manifest no REMAINING snapshot
-    references. The current snapshot is never expired.
+    maintenance pass: physically delete every data/delete file and
+    manifest only the EXPIRED snapshots reference, then drop their
+    snapshot metadata last — crash-safe order: a crash in between
+    leaves the expired metadata in place, so a re-run recomputes the
+    SAME expire set and finishes the job (already-deleted paths are
+    skipped). The current snapshot is never expired.
 
     This is the other half of the 100 TB maintenance loop: `compact`
     bounds read amplification, expiry bounds storage amplification —
@@ -834,11 +856,13 @@ def expire_snapshots(
         if not expire:
             return res
         keep_refs = _referenced_paths(path, remaining)
-        drop_refs = _referenced_paths(path, expire) - keep_refs
-        # metadata of expired snapshots goes first (a crash after this
-        # point leaves only orphans, which a re-run reclaims)
-        for sid in expire:
-            os.remove(os.path.join(path, "metadata", f"snap-{sid}.snapshot.json"))
+        drop_refs = _referenced_paths(path, expire, missing_ok=True) - keep_refs
+        # Unreferenced data/manifest files go FIRST, snapshot metadata
+        # LAST (ADVICE r5): if the crash window is in between, a re-run
+        # still computes the same expire set from the surviving
+        # metadata and re-deletes (missing paths are skipped below).
+        # The old order stranded the files permanently — the re-run saw
+        # expire=[] and nothing ever listed the orphans.
         for rel in sorted(drop_refs):
             p = os.path.join(path, rel)
             if not os.path.exists(p):
@@ -856,4 +880,6 @@ def expire_snapshots(
                 shutil.rmtree(p)
             else:
                 os.remove(p)
+        for sid in expire:
+            os.remove(os.path.join(path, "metadata", f"snap-{sid}.snapshot.json"))
     return res

@@ -1,0 +1,61 @@
+"""Distributed exact rank/ntile vs the single-partition built-ins.
+
+The two-pass range rank must be BIT-IDENTICAL to
+``row_number()/ntile() OVER (ORDER BY ...)`` (that is what keeps the
+DuckDB oracles of ev_rfm / op_zorder / text_zipf_fit unchanged) while
+never producing an unpartitioned Window node.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from iceberg_query_engine_spark.operators.rank import ntile_by_range, ranked_by_range
+from iceberg_query_engine_spark.plans import introspect as pi
+
+
+def _corpus(spark, n, seed=7):
+    # non-trivial value distribution with ties on v, unique id tie-break
+    return spark.range(n).select(
+        F.col("id"),
+        (F.xxhash64(F.col("id") + seed) % 97).alias("v"),
+    )
+
+
+@pytest.mark.parametrize("n,parts", [(0, 4), (1, 4), (5, 4), (97, 8), (1000, 16)])
+def test_row_number_exact(spark, n, parts):
+    df = _corpus(spark, n)
+    got, total = ranked_by_range(df, ["v", "id"], out="rn", num_partitions=parts)
+    assert total == n
+    want = df.withColumn("rn", F.row_number().over(Window.orderBy("v", "id")))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_row_number_desc_order(spark):
+    df = _corpus(spark, 500)
+    got, _ = ranked_by_range(
+        df, [F.col("v").desc(), F.col("id")], out="rn", num_partitions=8
+    )
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("v").desc(), F.col("id")))
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+@pytest.mark.parametrize("n,b", [(3, 5), (100, 5), (101, 5), (104, 5), (1000, 16), (50, 1024)])
+def test_ntile_exact(spark, n, b):
+    df = _corpus(spark, n)
+    got = ntile_by_range(df, b, ["v", "id"], out="t", num_partitions=8)
+    want = df.withColumn("t", F.ntile(b).over(Window.orderBy("v", "id")))
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_no_unpartitioned_window_in_plan(spark):
+    df = _corpus(spark, 200)
+    got = ntile_by_range(df, 5, ["v", "id"], out="t", num_partitions=8)
+    assert pi.unpartitioned_windows(got) == []
+    # sanity: the detector DOES flag the naive formulation
+    naive = df.withColumn("t", F.ntile(5).over(Window.orderBy("v", "id")))
+    assert len(pi.unpartitioned_windows(naive)) == 1
