@@ -110,6 +110,7 @@ def main() -> None:
     # reference's own query texts, not the driver-schema adaptations.
     # Corpus is generated once per sf and cached (committed for
     # sf0.001/sf0.01; ~30s one-time at sf0.1).
+    from iceberg_query_engine_spark.plans.rewrites import apply_rewrites
     from iceberg_query_engine_spark.queries import tpch_full
 
     full_dir = tpch_full.ensure_full_data(spark, sf_dir)
@@ -118,7 +119,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(repeat):
             t0 = time.perf_counter()
-            spark.sql(tpch_full.QUERY_TEXTS[n]).collect()
+            spark.sql(apply_rewrites(tpch_full.QUERY_TEXTS[n])).collect()
             best = min(best, time.perf_counter() - t0)
         times[f"tpchfull_q{n}"] = round(best, 4)
 

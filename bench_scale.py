@@ -191,6 +191,7 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    from iceberg_query_engine_spark.plans.rewrites import apply_rewrites
     from iceberg_query_engine_spark.queries import tpch_full
 
     sf_name = f"sf{args.sf:g}"
@@ -236,7 +237,7 @@ def main() -> int:
             # GC at sf100 — the difference between finishing and ENOSPC).
             spark.sparkContext._jvm.System.gc()
             t1 = time.perf_counter()
-            spark.sql(tpch_full.QUERY_TEXTS[n]).collect()
+            spark.sql(apply_rewrites(tpch_full.QUERY_TEXTS[n])).collect()
             runs.append(round(time.perf_counter() - t1, 3))
         samples[name] = runs
         timings[name] = round(statistics.median(runs), 3)

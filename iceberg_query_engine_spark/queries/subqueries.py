@@ -28,14 +28,22 @@ from ..sources.registry import register_sf_dir
 # registered per session and re-register whenever it changes (a cached
 # "seen this pair before" check would serve stale views if one session
 # alternates between scale factors)
-_ACTIVE_SF: dict[int, str] = {}
+_ACTIVE_SF: dict[int, tuple[str, int]] = {}
 
 
 def _sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    # cache key includes the registration epoch: tpch_full._register
+    # re-points the SAME view names at the full 8-table schema, so a
+    # plain per-session sf_dir memo would trust stale views after any
+    # tpchfull_* query ran in this session (found round 6: the catalog
+    # plan sweep runs tpchfull before the property suite).
+    from .tpch_full import REGISTRATION_EPOCH
+
     sid = id(spark._jsparkSession)
-    if _ACTIVE_SF.get(sid) != sf_dir:
+    key = (sf_dir, REGISTRATION_EPOCH[0])
+    if _ACTIVE_SF.get(sid) != key:
         register_sf_dir(spark, sf_dir)
-        _ACTIVE_SF[sid] = sf_dir
+        _ACTIVE_SF[sid] = key
     return spark.sql(query)
 
 

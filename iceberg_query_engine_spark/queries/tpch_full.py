@@ -121,9 +121,16 @@ def ensure_full_data(spark: SparkSession, sf_dir: str, layout: str = "flat") -> 
     return out
 
 
+# Bumped whenever the canonical view names are re-pointed at the full
+# schema; queries/subqueries._sql keys its registration memo on it so
+# slim-schema SQL queries re-register instead of reading stale views.
+REGISTRATION_EPOCH: list[int] = [0]
+
+
 def _register(spark: SparkSession, data_dir: str) -> None:
     for t in FULL_TABLES:
         spark.read.parquet(os.path.join(data_dir, f"{t}.parquet")).createOrReplaceTempView(t)
+    REGISTRATION_EPOCH[0] += 1
 
 
 # Storage-partitioned (bucketed) deployment layout: the fact tables a
@@ -317,8 +324,13 @@ def register_catalog_layout(
 
 def _run(n: int):
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..plans.rewrites import apply_rewrites
+
         _register(spark, ensure_full_data(spark, sf_dir))
-        return spark.sql(QUERY_TEXTS[n])
+        # dialect-layer rewrites (q9 selective semi-join pushdown);
+        # semantics-preserving — the driver's DuckDB gate compares this
+        # rewritten plan against the UN-rewritten oracle every round
+        return spark.sql(apply_rewrites(QUERY_TEXTS[n]))
 
     fn.__name__ = f"tpchfull_q{n}"
     fn.__doc__ = (

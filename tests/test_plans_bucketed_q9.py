@@ -105,10 +105,11 @@ def test_pick_bucket_count_scales_with_lineitem_bytes(tmp_path):
     assert pick_bucket_count(str(tmp_path)) == 128
 
 
-def test_bucket_count_inferred_from_file_names():
-    """Re-attach must infer the WRITTEN bucket count from the _NNNNN
-    file-name suffix — with the shuffle-free multi-file-per-bucket
-    layout, len(files) overcounts (64 tasks x 128 buckets)."""
+def test_bucket_count_inferred_from_file_names(tmp_path):
+    """Re-attach without a sidecar must infer the WRITTEN bucket count
+    from the _NNNNN file-name suffix — with the shuffle-free
+    multi-file-per-bucket layout, len(files) overcounts (64 tasks x 128
+    buckets) — rounded up to the pow2 contract (ADVICE r5)."""
     from iceberg_query_engine_spark.queries.tpch_full import _bucket_count_of
 
     files = [
@@ -116,4 +117,4 @@ def test_bucket_count_inferred_from_file_names():
         for t in range(4)
         for b in range(128)
     ]
-    assert _bucket_count_of(files) == 128
+    assert _bucket_count_of(str(tmp_path), files) == 128
