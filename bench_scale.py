@@ -68,6 +68,10 @@ PIPELINE_OPS = [
     "text_repetition",
     "op_train_shards",
     "op_mixture_weights",
+    # appended r6: the distributed two-pass-rank rewrites need a
+    # big-corpus point (500k docs / 10M events per --sf 10 unit)
+    "text_zipf_fit",
+    "ev_rfm",
 ]
 
 

@@ -3,8 +3,9 @@ reach from the verbatim text.
 
 The one registered rewrite is the SELECTIVE-DIMENSION SEMI-JOIN
 PUSHDOWN that TPC-H Q9 needs at scale. Q9 filters `part` with a LIKE
-(~1/11 selectivity) and joins it to BOTH fact tables (`lineitem` on
-l_partkey, `partsupp` on ps_partkey). The reference reaches 2.4 s at
+(spec '%green%' ≈ 1/11; this corpus's 'Part 1%' ≈ 55% — the rewrite
+honors whatever predicate the text carries) and joins it to BOTH fact
+tables (`lineitem` on l_partkey, `partsupp` on ps_partkey). The reference reaches 2.4 s at
 SF=10 through its JoinReorder rule (join_reorder.rs — greedy
 selectivity-first ordering); Spark's equivalent lever, the runtime
 bloom filter, is size-thresholded only: the beneficial part-side bloom
@@ -67,11 +68,41 @@ def q9_selective_semijoin(sql: str) -> str:
 
     out = re.sub(r"\blineitem\b(?!\.)", semi("lineitem", "l_partkey"), sql, count=1)
     out = re.sub(r"\bpartsupp\b(?!\.)", semi("partsupp", "ps_partkey"), out, count=1)
-    return out
+
+    # REDUNDANT-JOIN ELIMINATION: q9 projects nothing from part — the
+    # outer part ref exists only to apply (p_partkey = l_partkey AND
+    # p_name LIKE ...), which the injected lineitem semi now enforces.
+    # Because p_partkey is the part PRIMARY KEY (TPC-H schema; the
+    # generator enforces uniqueness), the inner join cannot duplicate
+    # rows, so dropping it is semantics-preserving. Spark 4.1 has no
+    # constraint metadata to do this itself; measured at sf100 the
+    # retained join costs either a SECOND fact-scale exchange (filtered
+    # part > autoBroadcastJoinThreshold → SMJ re-hashing the 330M-row
+    # stream by p_partkey) or, broadcast-hinted, a planner-chosen
+    # part×supplier cross product. Only fires on the exact q9 comma-
+    # list/WHERE shape; anything else keeps the join.
+    steps = [
+        (r"(?i)(FROM\s*\n?\s*)part\s*,", r"\1"),
+        (r"(?i)\s*AND\s+p_partkey\s*=\s*l_partkey", ""),
+        (r"(?i)\s*AND\s+p_name\s+like\s+" + re.escape(pat), ""),
+    ]
+    dropped = out
+    for pattern, repl in steps:
+        nxt, n = re.subn(pattern, repl, dropped, count=1)
+        if n != 1:
+            # shape mismatch — keep the (still-correct) semi-only form
+            return out
+        dropped = nxt
+    return dropped
 
 
 def apply_rewrites(sql: str) -> str:
     """All registered dialect rewrites, in order. Every rewrite must be
     semantics-preserving (validated against the DuckDB oracle on the
-    UN-rewritten text by the driver gate)."""
+    UN-rewritten text by the driver gate). SPARK_GRAFT_NO_REWRITES=1
+    disables them (A/B measurement knob)."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_NO_REWRITES") == "1":
+        return sql
     return q9_selective_semijoin(sql)

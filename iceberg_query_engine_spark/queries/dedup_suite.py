@@ -670,6 +670,139 @@ def _minhash_band_expr(toks, band_size: int):
     return F.element_at(F.transform(F.array(md5s), bands_of), 1)
 
 
+def _minhash_sig_expr(toks):
+    """Array of the 8 MinHash signature strings — same salted-md5
+    construction (and let-scope sharing) as _minhash_band_expr, so the
+    values are identical to the band keys' components."""
+
+    def salted_md5(salt: int):
+        return lambda t: F.md5(F.concat(t, F.lit(f"#{salt}")).cast("binary"))
+
+    md5s = F.array(
+        F.transform(toks, salted_md5(0)),
+        F.transform(toks, salted_md5(1)),
+    )
+
+    def sigs_of(ms):
+        def sub_of(piece: int):
+            return lambda h: F.substring(h, 1 + 8 * piece, 8)
+
+        out = []
+        for i in range(N_HASHES):
+            salt, piece = divmod(i, 4)
+            out.append(
+                F.array_min(F.transform(F.element_at(ms, salt + 1), sub_of(piece)))
+            )
+        return F.array(*out)
+
+    return F.element_at(F.transform(F.array(md5s), sigs_of), 1)
+
+
+def dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH quality gate: over the band-generated candidate pairs,
+    (a) candidate PRECISION at the 0.7 exact-Jaccard threshold and
+    (b) the MinHash estimator's mean absolute error (matching-signature
+    fraction vs exact Jaccard) — the recall/precision audit a dedup
+    pipeline runs before trusting its banding parameters at 100 TB
+    (the text twin of sim_recall_eval on the embedding side).
+
+    Scale shape: identical to dedup_minhash_lsh (one scan, one band
+    shuffle, in-bucket pair expansion under the cap) plus an 8-element
+    signature array per doc; the eval summary is a 1-row aggregate."""
+    from pyspark.sql import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens())
+    bands = documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        _minhash_sig_expr(toks).alias("sig"),
+        F.explode(_minhash_band_expr(toks, BAND_SIZE)).alias("band"),
+    )
+    capped = bands.withColumn(
+        "bn", F.count(F.lit(1)).over(Window.partitionBy("band"))
+    ).filter((F.col("bn") >= 2) & (F.col("bn") <= BUCKET_CAP))
+    buckets = capped.groupBy("band").agg(
+        F.collect_list(F.struct("doc_id", "toks", "sig")).alias("docs")
+    )
+    pairs = (
+        buckets.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
+    match = F.size(
+        F.filter(
+            F.zip_with(F.col("a.sig"), F.col("b.sig"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    per = pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        F.round(match.cast("double") / N_HASHES, 6).alias("est"),
+    ).distinct()
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("jaccard") >= 0.7, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        F.round(
+            F.sum(F.when(F.col("jaccard") >= 0.7, 1).otherwise(0))
+            / F.nullif(F.count(F.lit(1)), F.lit(0)),
+            6,
+        ).alias("precision_at_07"),
+        F.round(F.avg(F.abs(F.col("est") - F.col("jaccard"))), 6).alias(
+            "mean_abs_err"
+        ),
+    )
+
+
+def _pr_eval_oracle() -> str:
+    sig_exprs = ", ".join(
+        "list_min(list_transform(toks, t -> substr(md5(t || '#{s}'), {p}, 8))) "
+        "AS h{i}".format(s=i // 4, p=1 + 8 * (i % 4), i=i)
+        for i in range(N_HASHES)
+    )
+    band_exprs = ", ".join(
+        "'{0}' || '|' || {1}".format(
+            bi, " || '|' || ".join(f"h{bi * BAND_SIZE + j}" for j in range(BAND_SIZE))
+        )
+        for bi in range(N_HASHES // BAND_SIZE)
+    )
+    match_terms = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)" for i in range(N_HASHES)
+    )
+    hs = ", ".join(f"h{i}" for i in range(N_HASHES))
+    return f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+), sigs AS (
+  SELECT doc_id, toks, {sig_exprs} FROM docs
+), all_bands AS (
+  SELECT doc_id, toks, {hs}, unnest([{band_exprs}]) AS band FROM sigs
+), bands AS (
+  SELECT * FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band) AS bn FROM all_bands
+  ) WHERE bn >= 2 AND bn <= {BUCKET_CAP}
+), per AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / length(list_distinct(a.toks || b.toks)), 6) AS jaccard,
+    round(({match_terms}) / CAST({N_HASHES} AS DOUBLE), 6) AS est
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+  CAST(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  round(SUM(CASE WHEN jaccard >= 0.7 THEN 1 ELSE 0 END)
+        / CAST(nullif(COUNT(*), 0) AS DOUBLE), 6) AS precision_at_07,
+  round(AVG(ABS(est - jaccard)), 6) AS mean_abs_err
+FROM per
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: signature → band keys → bucket join →
     exact-Jaccard verification of candidates only (the 100 TB path)."""
@@ -1064,6 +1197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": dedup_clusters,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_pr_eval": dedup_pr_eval,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
 }
@@ -1077,6 +1211,7 @@ ORACLE: dict[str, str] = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_pr_eval": _pr_eval_oracle(),
     "dedup_semantic": _dedup_semantic_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_embedding_cosine": DEDUP_EMBEDDING_SQL,

@@ -1063,7 +1063,146 @@ FROM scored GROUP BY r, f, m ORDER BY rfm
 """
 
 
+def ev_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by signup week, then
+    cumulative purchase revenue per user at week offsets 0..3 — the
+    growth metric behind every acquisition-spend decision (pairs with
+    ev_retention's activity view).
+
+    Scale shape: one signup aggregate (per-user min — partial+final),
+    one purchases⋈cohort hash join on user_id, one (cohort, offset)
+    partial+final aggregate; the cumulative sum runs on the tiny
+    cohort×4 grid with a PARTITIONED window (never event-sized)."""
+    (events,) = tables(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    cohorts = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.to_date(F.date_trunc("week", F.min(ts))).alias("cohort"))
+    )
+    sizes = cohorts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_users"))
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.to_date(F.date_trunc("week", ts)).alias("pweek"),
+        "value",
+    )
+    j = purchases.join(cohorts, F.col("p_user") == F.col("user_id")).select(
+        "cohort",
+        (F.datediff(F.col("pweek"), F.col("cohort")) / 7).cast("int").alias("week_offset"),
+        "value",
+        "p_user",
+    )
+    per = (
+        j.filter((F.col("week_offset") >= 0) & (F.col("week_offset") <= 3))
+        .groupBy("cohort", "week_offset")
+        .agg(
+            F.countDistinct("p_user").alias("n_buyers"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+    )
+    w = Window.partitionBy("cohort").orderBy("week_offset")
+    return (
+        per.join(sizes, "cohort")
+        .withColumn("cum_revenue", F.round(F.sum("revenue").over(w), 4))
+        .select(
+            F.col("cohort").cast("string").alias("cohort"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            F.col("n_buyers").cast("bigint").alias("n_buyers"),
+            "revenue",
+            F.round(F.col("cum_revenue") / F.col("cohort_users"), 6).alias(
+                "ltv_per_user"
+            ),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+EV_COHORT_LTV_SQL = """
+WITH cohorts AS (
+  SELECT user_id,
+         CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), sizes AS (
+  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM cohorts GROUP BY cohort
+), purchases AS (
+  SELECT user_id AS p_user,
+         CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS pweek,
+         value
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT cohort,
+         CAST(FLOOR(date_diff('day', cohort, pweek) / 7) AS INTEGER) AS week_offset,
+         value, p_user
+  FROM purchases JOIN cohorts ON p_user = user_id
+), per AS (
+  SELECT cohort, week_offset,
+         CAST(COUNT(DISTINCT p_user) AS BIGINT) AS n_buyers,
+         round(SUM(value), 4) AS revenue
+  FROM j WHERE week_offset BETWEEN 0 AND 3
+  GROUP BY cohort, week_offset
+)
+SELECT CAST(per.cohort AS VARCHAR) AS cohort,
+       CAST(week_offset AS BIGINT) AS week_offset, n_buyers, revenue,
+       round(SUM(revenue) OVER (PARTITION BY per.cohort ORDER BY week_offset)
+             / cohort_users, 6) AS ltv_per_user
+FROM per JOIN sizes ON per.cohort = sizes.cohort
+ORDER BY cohort, week_offset
+"""
+
+
+def ev_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic seasonality matrix: event volume and average value by
+    (day-of-week, hour-of-day), with each weekday's peak hour flagged —
+    the capacity-planning heatmap behind autoscaling schedules.
+
+    Scale shape: one partial+final aggregate over a 7×24 grid; the
+    peak-hour rank is a window PARTITIONED by dow over ≤24 rows per
+    group. DOW uses Spark's 1=Sunday convention (DuckDB's 0=Sunday
+    shifted by +1 in the oracle)."""
+    (events,) = tables(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    grid = (
+        events.select(
+            F.dayofweek(ts).alias("dow"), F.hour(ts).alias("hour"), "value"
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+    rk = Window.partitionBy("dow").orderBy(F.col("n_events").desc(), "hour")
+    return (
+        grid.withColumn("is_peak", F.row_number().over(rk) == 1)
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            F.col("hour").cast("bigint").alias("hour"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "avg_value",
+            "is_peak",
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+EV_SEASONALITY_SQL = """
+WITH grid AS (
+  SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) + 1 AS BIGINT) AS dow,
+         CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         round(AVG(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2
+)
+SELECT dow, hour, n_events, avg_value,
+       row_number() OVER (PARTITION BY dow ORDER BY n_events DESC, hour) = 1
+         AS is_peak
+FROM grid ORDER BY dow, hour
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_cohort_ltv": ev_cohort_ltv,
+    "ev_seasonality": ev_seasonality,
     "ev_anomaly": ev_anomaly,
     "ev_path_transitions": ev_path_transitions,
     "ev_gapfill": ev_gapfill,
@@ -1083,6 +1222,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_cohort_ltv": EV_COHORT_LTV_SQL,
+    "ev_seasonality": EV_SEASONALITY_SQL,
     "ev_anomaly": EV_ANOMALY_SQL,
     "ev_path_transitions": EV_PATH_TRANSITIONS_SQL,
     "ev_gapfill": EV_GAPFILL_SQL,

@@ -1040,7 +1040,112 @@ ORDER BY "check"
 """
 
 
+def op_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two time slices of the order
+    totalprice distribution — THE production drift monitor for a
+    feature/score column (PSI < 0.1 stable, > 0.25 action). Reference
+    period = orders before 1995, comparison = 1995 onward; 10
+    equal-width bins over the GLOBAL min/max so both periods share the
+    grid.
+
+    Scale shape: one 1-row bounds aggregate (value min/max + the date
+    MIDPOINT that splits ref/compare — data-driven, so the op is
+    corpus-agnostic; broadcast as a 1-row cross, allowlisted scalar
+    pattern), one partial+final count per (bin, period), and a 20-row
+    reshape — the fact table crosses one exchange, bin math is
+    map-side codegen. Zero-count bins contribute 0 by convention
+    (documented; avoids the +epsilon fudge that makes PSI depend on
+    corpus size). Shares divide as DOUBLE (ANSI-safe: a degenerate
+    single-period corpus reads NaN, never a DIVIDE_BY_ZERO abort)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_totalprice").cast("double").alias("x"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    bounds = base.agg(
+        F.min("x").alias("lo"),
+        F.max("x").alias("hi"),
+        F.date_add(
+            F.min("d"),
+            F.floor(F.datediff(F.max("d"), F.min("d")) / 2).cast("int"),
+        ).alias("mid"),
+    )
+    binned = base.crossJoin(F.broadcast(bounds)).select(
+        (F.col("d") < F.col("mid")).alias("is_ref"),
+        F.least(
+            F.lit(9),
+            F.floor((F.col("x") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 10.0)),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("is_ref"), 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(~F.col("is_ref"), 1).otherwise(0)).alias("n_cmp"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cmp").alias("t_cmp")
+    )
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cmp").cast("bigint").alias("n_cmp"),
+        (F.col("n_ref").cast("double") / F.col("t_ref").cast("double")).alias("p_ref"),
+        (F.col("n_cmp").cast("double") / F.col("t_cmp").cast("double")).alias("p_cmp"),
+    )
+    contrib = F.when(
+        (F.col("p_ref") > 0) & (F.col("p_cmp") > 0),
+        (F.col("p_ref") - F.col("p_cmp")) * F.log(F.col("p_ref") / F.col("p_cmp")),
+    ).otherwise(F.lit(0.0))
+    return (
+        shares.select(
+            "bin",
+            "n_ref",
+            "n_cmp",
+            F.round("p_ref", 6).alias("p_ref"),
+            F.round("p_cmp", 6).alias("p_cmp"),
+            F.round(contrib, 6).alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+OP_PSI_DRIFT_SQL = """
+WITH base AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS x, CAST(o_orderdate AS DATE) AS d
+  FROM orders
+), bounds AS (
+  SELECT MIN(x) AS lo, MAX(x) AS hi,
+         MIN(d) + CAST(FLOOR(date_diff('day', MIN(d), MAX(d)) / 2) AS INTEGER) AS mid
+  FROM base
+), binned AS (
+  SELECT d < mid AS is_ref,
+         CAST(LEAST(9, FLOOR((x - lo) / ((hi - lo) / 10.0))) AS INTEGER) AS bin
+  FROM base CROSS JOIN bounds
+), counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS BIGINT) AS n_cmp
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT SUM(n_ref) AS t_ref, SUM(n_cmp) AS t_cmp FROM counts
+), shares AS (
+  SELECT bin, n_ref, n_cmp,
+         n_ref / CAST(t_ref AS DOUBLE) AS p_ref,
+         n_cmp / CAST(t_cmp AS DOUBLE) AS p_cmp
+  FROM counts CROSS JOIN tot
+)
+SELECT bin, n_ref, n_cmp,
+       round(p_ref, 6) AS p_ref, round(p_cmp, 6) AS p_cmp,
+       round(CASE WHEN p_ref > 0 AND p_cmp > 0
+                  THEN (p_ref - p_cmp) * ln(p_ref / p_cmp) ELSE 0.0 END, 6)
+         AS psi_contrib
+FROM shares ORDER BY bin
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_psi_drift": op_psi_drift,
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
     "op_range_join": op_range_join,
@@ -1065,6 +1170,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_psi_drift": OP_PSI_DRIFT_SQL,
     "op_asof_join": OP_ASOF_JOIN_SQL,
     "op_mixture_weights": OP_MIXTURE_WEIGHTS_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,

@@ -219,6 +219,8 @@ def register_catalog_layout(
     sf_name: str,
     buckets: int | None = None,
     analyze: bool = True,
+    only: set[str] | None = None,
+    reclaim_flat: bool = False,
 ) -> str:
     """Register the full schema as CATALOG tables — fact tables
     bucketed+sorted on their join keys, dimensions external — and feed
@@ -240,12 +242,22 @@ def register_catalog_layout(
     Idempotent per process; the bucketed write happens once per
     warehouse (re-registered from the existing files on later
     sessions via CREATE TABLE ... CLUSTERED BY ... LOCATION).
+
+    ``only`` restricts the pass to a table subset and ``reclaim_flat``
+    deletes a fact's FLAT parquet once its bucketed copy is written and
+    analyzed — together they let an sf100-scale ingest run one fact at
+    a time within a single-disk budget (flat+bucketed lineitem alone is
+    ~38 GB; all facts both ways would be ~50 GB — what r5 did by hand).
     """
+    import shutil
+
     if buckets is None:
         buckets = pick_bucket_count(data_dir)
     db = f"tpch_{sf_name.replace('.', '_')}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
     for t in FULL_TABLES:
+        if only is not None and t not in only:
+            continue
         full = f"{db}.{t}"
         if spark.catalog.tableExists(full):
             continue
@@ -313,6 +325,11 @@ def register_catalog_layout(
             spark.sql(f"CREATE TABLE {full} USING parquet LOCATION '{path}'")
         if analyze:
             spark.sql(f"ANALYZE TABLE {full} COMPUTE STATISTICS FOR ALL COLUMNS")
+        if reclaim_flat and t in BUCKET_SPECS and os.path.exists(path):
+            # bucketed copy is written+analyzed; the flat fact is now
+            # redundant (ensure_full_data(layout="flat") regenerates it
+            # on demand for flat consumers)
+            shutil.rmtree(path) if os.path.isdir(path) else os.remove(path)
     spark.catalog.setCurrentDatabase(db)
     for t in FULL_TABLES:
         try:

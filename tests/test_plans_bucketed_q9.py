@@ -87,6 +87,51 @@ def test_q9_single_fact_exchange(bucketed_q9_plan):
     assert len(hash_exchanges) <= 2, bucketed_q9_plan  # joined stream + partial agg
 
 
+@pytest.fixture(scope="module")
+def rewritten_q9_plan(spark):
+    """Same bucketed layout, the REWRITTEN q9 (plans/rewrites.py):
+    semi-filtered facts + the redundant part inner join eliminated."""
+    from iceberg_query_engine_spark.plans.rewrites import apply_rewrites
+
+    data_dir = tpch_full.ensure_full_data(spark, "/root/testdata/sf0.1")
+    tpch_full.register_catalog_layout(spark, data_dir, "sf0.1", buckets=16)
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        # pin blooms OFF for this shape check — the sibling fixture's
+        # module-scoped shrunken thresholds would otherwise add a bloom
+        # build's part re-scan and break the scan-count pin
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(1 << 20))
+        spark.conf.set(keys[1], "1000GB")
+        df = spark.sql(apply_rewrites(tpch_full.QUERY_TEXTS[9]))
+        yield df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+        spark.catalog.setCurrentDatabase("default")
+
+
+def test_rewritten_q9_shape(rewritten_q9_plan):
+    """The sf100-measured winning shape: part appears ONLY as the two
+    broadcast semi builds (the filter-only inner join is eliminated —
+    its SMJ re-hashed the whole joined stream by p_partkey at sf100),
+    and the lineitem⋈orders SMJ stays exchange-free on the buckets."""
+    plan = rewritten_q9_plan
+    assert plan.count("BroadcastHashJoin [l_partkey") + plan.count(
+        "BroadcastHashJoin [ps_partkey"
+    ) == 2 or len(re.findall(r"LeftSemi", plan)) >= 2, plan
+    # part scanned exactly twice (both semi builds) — the third scan
+    # (the eliminated inner join) must NOT reappear
+    assert len(re.findall(r"Scan parquet [^\n]*\.part\b", plan)) == 2, plan
+    assert not re.search(r"Exchange hashpartitioning\(l_orderkey", plan), plan
+    # one fact-scale hash exchange (joined stream → partsupp) + partial
+    # agg; a regression to the part SMJ would add a third
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2, plan
+
+
 def test_pick_bucket_count_scales_with_lineitem_bytes(tmp_path):
     """64 buckets up to ~16 GB of lineitem (sf10 keeps the measured-best
     64); past 256 MB/bucket the count doubles (sf100 ~19 GB -> 128)."""

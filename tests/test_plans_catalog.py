@@ -46,6 +46,7 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "q11": "scalar total-value subquery (1 row) applied as HAVING threshold",
     "q20": "scalar 0.5*sum(l_quantity) subquery is correlated-grouped; the BNLJ side is the 1-row fallback branch",
     "q22": "scalar avg(c_acctbal) subquery (1 row) crossed into the filter",
+    "op_psi_drift": "1-row global min/max and totals aggregates crossed into the bin grid",
     "sim_pair_histogram": "1-row corpus-size aggregate crossed into bucket shares",
     "text_tfidf": "1-row document-count aggregate crossed into the idf term",
 }
