@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join, range_join_bucketed
-from ..operators.rank import ntile_by_range
+from ..operators.rank import ntile_by_range, ranked_by_range
 from .tpch import tables
 
 
@@ -1144,8 +1144,68 @@ FROM shares ORDER BY bin
 """
 
 
+def op_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew report for orders.o_custkey: exact count
+    percentiles, the max key's load, the top-5 keys' share, and the
+    GINI coefficient of the per-key distribution — the diagnostic that
+    decides whether a key needs salting (op_skew_join) before a 100 TB
+    shuffle.
+
+    Scale shape: one partial+final count per key, percentiles on the
+    keys-sized aggregate, and the Gini's rank-weighted sum via
+    operators.rank.ranked_by_range — the same distributed two-pass
+    rank as ev_rfm/op_zorder (a global row_number window here would
+    single-task the 10^8-key cardinality of a real fact table). The
+    rank-weighted sum accumulates as DOUBLE: bigint would overflow at
+    10^9 keys x 10^4 rows (rn*cnt ~ 1e13 summed), and the Gini is a
+    magnitude-uniform positive ratio, so double partial-sum order
+    cannot move round(.,6)."""
+    (orders,) = tables(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked, n = ranked_by_range(per_key, ["cnt", "o_custkey"], out="rn")
+    top5 = F.sum(F.when(F.col("rn") > n - 5, F.col("cnt")).otherwise(0))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(cnt, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.round(top5.cast("double") / F.sum("cnt"), 6).alias("top5_share"),
+        F.round(
+            (2.0 * F.sum(F.col("rn").cast("double") * F.col("cnt").cast("double")))
+            / (F.count(F.lit(1)).cast("double") * F.sum("cnt").cast("double"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+OP_KEY_SKEW_SQL = """
+WITH per_key AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt, o_custkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM per_key
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+  round(CAST(quantile_cont(cnt, 0.5) AS DOUBLE), 6) AS p50,
+  round(CAST(quantile_cont(cnt, 0.9) AS DOUBLE), 6) AS p90,
+  round(CAST(quantile_cont(cnt, 0.99) AS DOUBLE), 6) AS p99,
+  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+  round(SUM(CASE WHEN rn > n - 5 THEN cnt ELSE 0 END)
+        / CAST(SUM(cnt) AS DOUBLE), 6) AS top5_share,
+  round((2.0 * SUM(CAST(rn AS DOUBLE) * CAST(cnt AS DOUBLE)))
+        / (COUNT(*) * SUM(cnt))
+        - (COUNT(*) + 1) / CAST(COUNT(*) AS DOUBLE), 6) AS gini
+FROM ranked
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_psi_drift": op_psi_drift,
+    "op_key_skew": op_key_skew,
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
     "op_range_join": op_range_join,
@@ -1171,6 +1231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "op_psi_drift": OP_PSI_DRIFT_SQL,
+    "op_key_skew": OP_KEY_SKEW_SQL,
     "op_asof_join": OP_ASOF_JOIN_SQL,
     "op_mixture_weights": OP_MIXTURE_WEIGHTS_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,
