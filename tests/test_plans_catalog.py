@@ -9,7 +9,10 @@ sweep closes that hole for every query in `catalog.all_queries()`:
       ALL the work no matter the cluster size),
   (b) CartesianProduct (quadratic blowup),
   (c) BroadcastNestedLoopJoin over anything but a provably tiny side
-      (the non-equi-join quadratic trap).
+      (the non-equi-join quadratic trap),
+  (d) row-at-a-time Python evaluation (BatchEvalPython) — 10-100x
+      slower than Arrow-vectorized; every Python node must be
+      ArrowEvalPython / *InPandas unless deliberately allowlisted.
 
 Bounded exceptions are allowlisted WITH justification — a new entry
 must argue its input is bounded, not just silence the gate.
@@ -51,6 +54,15 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "text_tfidf": "1-row document-count aggregate crossed into the idf term",
 }
 
+# Row-at-a-time Python nodes allowed ONLY on bounded input.
+ROW_PYTHON_ALLOWLIST: dict[str, str] = {
+    "op_udtf_installments": (
+        "deliberate Spark-4 Python-UDTF API demo, input bounded to "
+        "o_orderkey < 300 (operators_suite docstring); bulk row "
+        "expansion uses explode/inline (f_generator)"
+    ),
+}
+
 _ALL = sorted(catalog.all_queries())
 
 
@@ -80,8 +92,14 @@ def test_no_scale_killer_plan_shapes(spark, sf, name):
             f"(quadratic unless the broadcast side is provably tiny)"
         )
 
+    if name not in ROW_PYTHON_ALLOWLIST:
+        assert "BatchEvalPython" not in plan, (
+            f"{name}: row-at-a-time Python UDF in the plan — use built-in "
+            f"functions or an Arrow-vectorized pandas UDF"
+        )
+
 
 def test_allowlists_reference_live_queries():
     # a renamed/deleted query must not leave a stale allowlist entry
-    for k in list(WINDOW_ALLOWLIST) + list(BNLJ_ALLOWLIST):
+    for k in list(WINDOW_ALLOWLIST) + list(BNLJ_ALLOWLIST) + list(ROW_PYTHON_ALLOWLIST):
         assert k in catalog.all_queries(), f"stale allowlist entry: {k}"
