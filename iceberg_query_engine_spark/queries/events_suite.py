@@ -1200,7 +1200,60 @@ FROM grid ORDER BY dow, hour
 """
 
 
+def ev_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user, rolled into a
+    streak-length histogram — the classic GAPS-AND-ISLANDS shape
+    (engagement/DAU-streak analytics). Island anchor = day −
+    row_number(days) per user: consecutive days share an anchor.
+
+    Scale shape: one distinct over (user, day) (partial+final), one
+    row_number window PARTITIONED by user (per-user day counts are
+    tiny), two grid-sized aggregates. Never an unpartitioned window —
+    the catalog plan gate checks."""
+    (events,) = tables(spark, sf_dir, "events")
+    days = events.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn(
+        "anchor", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    best = islands.groupBy("user_id").agg(F.max("len").alias("best"))
+    return (
+        best.groupBy("best")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("best").cast("bigint").alias("streak_days"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
+        .orderBy("streak_days")
+    )
+
+
+EV_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), anchored AS (
+  SELECT user_id,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                    AS INTEGER) AS anchor
+  FROM days
+), islands AS (
+  SELECT user_id, anchor, COUNT(*) AS len FROM anchored GROUP BY 1, 2
+), best AS (
+  SELECT user_id, MAX(len) AS best FROM islands GROUP BY user_id
+)
+SELECT CAST(best AS BIGINT) AS streak_days,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM best GROUP BY best ORDER BY streak_days
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_streaks": ev_streaks,
     "ev_cohort_ltv": ev_cohort_ltv,
     "ev_seasonality": ev_seasonality,
     "ev_anomaly": ev_anomaly,
@@ -1222,6 +1275,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_streaks": EV_STREAKS_SQL,
     "ev_cohort_ltv": EV_COHORT_LTV_SQL,
     "ev_seasonality": EV_SEASONALITY_SQL,
     "ev_anomaly": EV_ANOMALY_SQL,

@@ -1155,7 +1155,47 @@ ORDER BY seg
 """
 
 
+def f_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL arithmetic family (Spark 4 ANSI intervals): timestamp ±
+    day-time intervals, date + year-month intervals, make_dt_interval /
+    make_ym_interval constructors, and timestampdiff extraction at
+    multiple units. Interval values never cross the comparer directly
+    (Spark and DuckDB print them differently) — every output is a
+    timestamp/date string or a number, the unit-safe contract."""
+    (events,) = tables(spark, sf_dir, "events")
+    ev = events.filter(F.col("event_id") < 25).select(
+        "event_id", F.col("ts").cast("timestamp").alias("t")
+    )
+    return ev.selectExpr(
+        "event_id",
+        "CAST(t + INTERVAL 36 HOUR AS STRING) AS plus36h",
+        "CAST(t - INTERVAL 90 MINUTE AS STRING) AS minus90m",
+        "CAST(t + make_dt_interval(1, 2, 3, 4) AS STRING) AS plus_dt",
+        "CAST(CAST(t AS DATE) + make_ym_interval(1, 2) AS STRING) AS plus_ym",
+        "CAST(timestampdiff(HOUR, t, t + INTERVAL 3 DAY) AS BIGINT) AS h72",
+        "CAST(timestampdiff(MINUTE, t - INTERVAL 45 MINUTE, t) AS BIGINT) AS m45",
+        "CAST(datediff(CAST(t + INTERVAL 1000 MINUTE AS DATE), CAST(t AS DATE)) AS BIGINT) AS dcal",
+        "CAST(timestampdiff(SECOND, t, t + INTERVAL 1 DAY) AS BIGINT) AS day_secs",
+    )
+
+
+F_INTERVAL_SQL = """
+SELECT event_id,
+  CAST(t + INTERVAL 36 HOUR AS VARCHAR) AS plus36h,
+  CAST(t - INTERVAL 90 MINUTE AS VARCHAR) AS minus90m,
+  CAST(t + INTERVAL 1 DAY + INTERVAL 2 HOUR + INTERVAL 3 MINUTE
+         + INTERVAL 4 SECOND AS VARCHAR) AS plus_dt,
+  CAST(CAST(CAST(t AS DATE) + INTERVAL 14 MONTH AS DATE) AS VARCHAR) AS plus_ym,
+  CAST(date_diff('hour', t, t + INTERVAL 3 DAY) AS BIGINT) AS h72,
+  CAST(date_diff('minute', t - INTERVAL 45 MINUTE, t) AS BIGINT) AS m45,
+  CAST(date_diff('day', CAST(t AS DATE), CAST(t + INTERVAL 1000 MINUTE AS DATE)) AS BIGINT) AS dcal,
+  CAST(date_diff('second', t, t + INTERVAL 1 DAY) AS BIGINT) AS day_secs
+FROM (SELECT event_id, CAST(ts AS TIMESTAMP) AS t FROM events WHERE event_id < 25)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "f_interval": f_interval,
     "f_math": f_math,
     "f_trig": f_trig,
     "f_string": f_string,
@@ -1183,6 +1223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "f_interval": F_INTERVAL_SQL,
     "f_math": F_MATH_SQL,
     "f_trig": F_TRIG_SQL,
     "f_string": F_STRING_SQL,

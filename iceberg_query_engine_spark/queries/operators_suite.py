@@ -1203,9 +1203,119 @@ FROM ranked
 """
 
 
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph (nodes = event
+    types, edge weights = lag-derived bigram counts), damping 0.85,
+    exactly PR_ITERS iterations from a uniform start — the iterative-
+    algorithm shape (influence scoring, link analysis) expressed as a
+    deterministic unrolled DataFrame loop with an exact unrolled-CTE
+    oracle.
+
+    Scale shape: the ONLY fact-sized work is the bigram aggregate (one
+    user-partitioned window + partial+final count, same as
+    ev_path_transitions); every iteration then runs on the |types|^2
+    grid (tiny broadcast joins). On a BILLION-edge graph the identical
+    loop is one edges-shuffle per iteration, partitioned by dst — the
+    same per-round shape as dedup_clusters' pointer-jumping CC, this
+    repo's large-graph sibling. Dangling mass is redistributed
+    uniformly (the standard correction), so ranks sum to 1 every
+    iteration."""
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        events.select(
+            F.lag("event_type").over(w).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .filter(F.col("src").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    out_w = edges.groupBy("src").agg(F.sum("n").alias("out_n"))
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(out_w, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("n") / F.col("out_n")).alias("inflow"))
+        )
+        dangling = (
+            ranks.join(out_w, ranks.node == out_w.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0.0)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - PR_DAMPING) / n_nodes)
+                    + PR_DAMPING
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dang") / n_nodes)
+                ).alias("r"),
+            )
+        )
+    return ranks.select("node", F.round("r", 6).alias("pagerank")).orderBy(
+        F.col("pagerank").desc(), "node"
+    )
+
+
+def _pagerank_oracle() -> str:
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT node,
+    (1 - {PR_DAMPING}) / nn.n_nodes
+    + {PR_DAMPING} * (
+        COALESCE((SELECT SUM(p.r * e.n / ow.out_n)
+                  FROM {prev} p JOIN edges e ON e.src = p.node
+                  JOIN out_w ow ON ow.src = p.node
+                  WHERE e.dst = nodes.node), 0.0)
+        + (SELECT COALESCE(SUM(p.r), 0.0) FROM {prev} p
+           WHERE p.node NOT IN (SELECT src FROM out_w)) / nn.n_nodes
+      ) AS r
+  FROM nodes CROSS JOIN nn
+)""")
+        prev = f"r{i}"
+    body = ",".join(iters)
+    return f"""
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), edges AS (
+  SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM ordered WHERE prev IS NOT NULL GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_nodes FROM nodes),
+out_w AS (SELECT src, SUM(n) AS out_n FROM edges GROUP BY src),
+r0 AS (SELECT node, 1.0 / nn.n_nodes AS r FROM nodes CROSS JOIN nn),{body}
+SELECT node, round(r, 6) AS pagerank FROM {prev}
+ORDER BY pagerank DESC, node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "op_psi_drift": op_psi_drift,
     "op_key_skew": op_key_skew,
+    "op_pagerank": op_pagerank,
     "op_asof_join": op_asof_join,
     "op_mixture_weights": op_mixture_weights,
     "op_range_join": op_range_join,
@@ -1232,6 +1342,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "op_psi_drift": OP_PSI_DRIFT_SQL,
     "op_key_skew": OP_KEY_SKEW_SQL,
+    "op_pagerank": _pagerank_oracle(),
     "op_asof_join": OP_ASOF_JOIN_SQL,
     "op_mixture_weights": OP_MIXTURE_WEIGHTS_SQL,
     "op_range_join": OP_RANGE_JOIN_SQL,

@@ -50,6 +50,7 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "q20": "scalar 0.5*sum(l_quantity) subquery is correlated-grouped; the BNLJ side is the 1-row fallback branch",
     "q22": "scalar avg(c_acctbal) subquery (1 row) crossed into the filter",
     "op_psi_drift": "1-row global min/max and totals aggregates crossed into the bin grid",
+    "op_pagerank": "1-row dangling-mass aggregate crossed into each iteration's node grid",
     "sim_pair_histogram": "1-row corpus-size aggregate crossed into bucket shares",
     "text_tfidf": "1-row document-count aggregate crossed into the idf term",
 }
