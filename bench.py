@@ -57,6 +57,13 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "text_zipf_fit",
     "op_contract_check",
     "op_ks_test",
+    "sim_range_search",
+    "op_gini",
+    "op_profile",
+    "op_fuzzy_join",
+    "ev_survival",
+    "ev_ewma",
+    "op_iv_woe",
 )
 
 

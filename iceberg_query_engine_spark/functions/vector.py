@@ -226,6 +226,52 @@ def multi_query_topk_fn(
     return topk
 
 
+def multi_query_range_fn(query_vecs: np.ndarray, query_ids: np.ndarray, threshold: float):
+    """Factory: a mapInPandas function emitting every (q_id, n_id,
+    cosine) pair with cosine ≥ threshold — RADIUS search, the dual of
+    multi_query_topk_fn's top-k. Same one-Arrow-pass shape (each corpus
+    vector crosses the channel once, scored against the closure-held
+    query matrix) and the same strict left-to-right per-dimension fold
+    + round-to-6-BEFORE-compare, so the inclusion decision is
+    bit-identical to the sequential-fold oracle and independent of
+    Arrow batch size. Output is match-sized (selectivity-bounded), not
+    corpus-sized — the filter runs inside the kernel.
+    """
+    q = np.ascontiguousarray(query_vecs, dtype=np.float64)
+    qids = np.asarray(query_ids, dtype=np.int64)
+    order = np.argsort(qids, kind="stable")
+    q, qids = q[order], qids[order]
+    nq, dim = q.shape
+    qn = np.sqrt(_seq_sq_norms(q))
+
+    def rng(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            ids = pdf["n_id"].to_numpy(dtype=np.int64)
+            n = m.shape[0]
+            vn2 = np.zeros(n)  # inlined fold — see multi_query_topk_fn note
+            for i in range(dim):
+                vn2 += m[:, i] * m[:, i]
+            vn = np.sqrt(vn2)
+            dots = np.zeros((n, nq))
+            for i in range(dim):  # strict left-to-right accumulation
+                dots += m[:, i][:, None] * q[None, :, i]
+            cos_all = np.round(dots / (vn[:, None] * qn[None, :]), 6)
+            rows, cols = np.nonzero(cos_all >= threshold)
+            if len(rows):
+                yield pd.DataFrame(
+                    {
+                        "q_id": qids[cols],
+                        "n_id": ids[rows],
+                        "cosine": cos_all[rows, cols],
+                    }
+                )
+
+    return rng
+
+
 def pq_adc_topk_fn(
     codeword_vecs: np.ndarray,
     codeword_ids: np.ndarray,

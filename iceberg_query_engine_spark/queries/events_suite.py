@@ -1252,7 +1252,186 @@ FROM best GROUP BY best ORDER BY streak_days
 """
 
 
+# --------------------------------------------------------------------------
+CHURN_HORIZON_DAYS = 7  # silent ≥ this long before corpus end => churned
+
+
+def ev_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of user lifetime (days from first
+    to last event). Users still active within CHURN_HORIZON_DAYS of
+    the corpus end are right-CENSORED — the estimator the retention
+    team runs instead of a naive churn-rate.
+
+    S(t) = Π_{t_i ≤ t} (1 − d_i/n_i) with d_i churn events at
+    lifetime t_i and n_i the at-risk count (lifetime ≥ t_i). Scale
+    shape: one shuffle to the per-user (first, last) aggregate, one
+    more to the per-lifetime (d, c) table, which is CALENDAR-BOUNDED
+    (≤ corpus day-span rows, independent of user count) — the
+    cumulative windows run over that bounded grid. The product is
+    exp(Σ ln(1−d/n)); a d=n final row would be ln(0), so both sides
+    substitute −1000 (exp ≡ 0.0 in IEEE double) to stay engine-portable
+    (Spark ln(0) is NULL, DuckDB's is -inf).
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("timestamp")).alias("first_ts"),
+        F.max(F.col("ts").cast("timestamp")).alias("last_ts"),
+    )
+    bounds = events.agg(F.max(F.col("ts").cast("timestamp")).alias("corpus_end"))
+    lives = per_user.crossJoin(F.broadcast(bounds)).select(
+        F.datediff(F.to_date("last_ts"), F.to_date("first_ts")).alias("t"),
+        (
+            F.col("last_ts")
+            < F.col("corpus_end") - F.expr(f"INTERVAL {CHURN_HORIZON_DAYS} DAYS")
+        ).cast("int").alias("churned"),
+    )
+    grid = lives.groupBy("t").agg(
+        F.sum("churned").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).alias("c"),
+    )
+    w_ord = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    at_risk = (
+        F.sum(F.col("d") + F.col("c")).over(w_all)
+        - F.sum(F.col("d") + F.col("c")).over(w_ord)
+        + F.col("d")
+        + F.col("c")
+    )
+    term = F.when(
+        F.col("d") >= F.col("n_risk"), F.lit(-1000.0)
+    ).otherwise(F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")))
+    return (
+        grid.withColumn("n_risk", at_risk)
+        .withColumn("survival", F.round(F.exp(F.sum(term).over(w_ord)), 6))
+        .select(
+            "t",
+            F.col("d").cast("bigint").alias("d"),
+            F.col("c").cast("bigint").alias("c"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            "survival",
+        )
+        .orderBy("t")
+    )
+
+
+EV_SURVIVAL_SQL = f"""
+WITH per_user AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+  FROM events GROUP BY user_id
+),
+bounds AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS corpus_end FROM events),
+lives AS (
+  SELECT datediff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) AS t,
+         CASE WHEN last_ts < corpus_end - INTERVAL {CHURN_HORIZON_DAYS} DAY
+              THEN 1 ELSE 0 END AS churned
+  FROM per_user CROSS JOIN bounds
+),
+grid AS (
+  SELECT t, SUM(churned) AS d, SUM(1 - churned) AS c FROM lives GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         SUM(d + c) OVER () - SUM(d + c) OVER (ORDER BY t) + d + c AS n_risk
+  FROM grid
+)
+SELECT t, CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+  CAST(n_risk AS BIGINT) AS n_risk,
+  round(exp(SUM(CASE WHEN d >= n_risk THEN -1000.0
+                ELSE ln(1.0 - d / CAST(n_risk AS DOUBLE)) END)
+            OVER (ORDER BY t)), 6) AS survival
+FROM risk
+ORDER BY t
+"""
+
+
+# --------------------------------------------------------------------------
+EWMA_ALPHA = 0.25  # exactly representable in binary
+
+
+def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per event_type over the
+    hourly mean-value series (s_t = α·y_t + (1−α)·s_{t−1}, s_1 = y_1)
+    — the smoother behind every ops dashboard's trend line.
+
+    The recursion is sequential per series, so like ev_holt_forecast
+    the kernel is applyInPandas over the ALREADY-AGGREGATED hourly
+    series (cost independent of raw event volume; one shuffle to the
+    hourly grid, one to group series). Inputs rounded to 6 first and
+    outputs rounded to 6 last so the recursive-CTE oracle replays the
+    identical IEEE sequence.
+    """
+    import numpy as np
+    import pandas as pd
+
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("t"),
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    a = EWMA_ALPHA
+
+    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        y = pdf["v"].to_numpy(dtype=np.float64)
+        s = np.empty(len(y), dtype=np.float64)
+        s[0] = y[0]
+        for i in range(1, len(y)):
+            s[i] = a * y[i] + (1 - a) * s[i - 1]
+        # DuckDB round(x, 6) is half-AWAY-from-zero on the scaled
+        # double; python round is half-even — with α dyadic and y exact
+        # 6-dp decimals, s hits exact .5 ties at the 7th digit
+        # structurally, so the tie rule must match the oracle's.
+        scaled = s * 1e6
+        rounded = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"],
+                "t": pdf["t"],
+                "v": y,
+                "ewma": rounded,
+            }
+        )
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(ewma, "event_type string, t bigint, v double, ewma double")
+        .orderBy("event_type", "t")
+    )
+
+
+EV_EWMA_SQL = f"""
+WITH RECURSIVE
+hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t,
+         round(AVG(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, t, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) - 1 AS idx
+  FROM hourly
+),
+rec AS (
+  SELECT event_type, t, v, idx, v AS s FROM base WHERE idx = 0
+  UNION ALL
+  SELECT b.event_type, b.t, b.v, b.idx,
+         {EWMA_ALPHA} * b.v + {1 - EWMA_ALPHA} * rec.s
+  FROM rec JOIN base b
+    ON b.event_type = rec.event_type AND b.idx = rec.idx + 1
+)
+SELECT event_type, t, v, round(s, 6) AS ewma
+FROM rec
+ORDER BY event_type, t
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_survival": ev_survival,
+    "ev_ewma": ev_ewma,
     "ev_streaks": ev_streaks,
     "ev_cohort_ltv": ev_cohort_ltv,
     "ev_seasonality": ev_seasonality,
@@ -1275,6 +1454,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_survival": EV_SURVIVAL_SQL,
+    "ev_ewma": EV_EWMA_SQL,
     "ev_streaks": EV_STREAKS_SQL,
     "ev_cohort_ltv": EV_COHORT_LTV_SQL,
     "ev_seasonality": EV_SEASONALITY_SQL,

@@ -1312,7 +1312,340 @@ ORDER BY pagerank DESC, node
 """
 
 
+# --------------------------------------------------------------------------
+def op_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime revenue, global + per
+    market segment — inequality/concentration report for a corpus
+    (the revenue twin of op_key_skew's row-count view).
+
+    Gini = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over revenues x sorted
+    ascending with rank i. Scale shape: one shuffle to the per-customer
+    aggregate, then the GLOBAL rank uses operators/rank.ranked_by_range
+    (range-partitioned two-pass — never a single-partition window);
+    per-segment ranks are windows PARTITIONED by segment. The final
+    sums are ordinary partial+final aggregates.
+    """
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .join(customer.select("c_custkey", "c_mktsegment"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_mktsegment", "revenue")
+    )
+    ranked, _ = ranked_by_range(rev, ["revenue", "c_custkey"], out="rn")
+
+    def gini_agg():
+        n = F.count(F.lit(1)).cast("double")
+        s = F.sum("revenue")
+        s1 = F.sum(F.col("rn") * F.col("revenue"))
+        return [
+            F.round(F.lit(2.0) * s1 / (n * s) - (n + F.lit(1.0)) / n, 6).alias("gini"),
+            F.count(F.lit(1)).alias("n_customers"),
+        ]
+
+    glob = ranked.agg(*gini_agg()).select(F.lit("GLOBAL").alias("scope"), "gini", "n_customers")
+    w = Window.partitionBy("c_mktsegment").orderBy("revenue", "c_custkey")
+    seg = (
+        rev.withColumn("rn", F.row_number().over(w))
+        .groupBy(F.col("c_mktsegment").alias("scope"))
+        .agg(*gini_agg())
+    )
+    return glob.unionByName(seg).orderBy("scope")
+
+
+OP_GINI_SQL = """
+WITH rev AS (
+  SELECT o_custkey AS c_custkey, c_mktsegment, SUM(o_totalprice) AS revenue
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT c_mktsegment, revenue,
+         row_number() OVER (ORDER BY revenue, c_custkey) AS rn,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue, c_custkey) AS seg_rn
+  FROM rev
+)
+SELECT 'GLOBAL' AS scope,
+  round(2.0 * SUM(rn * revenue) / (COUNT(*) * SUM(revenue))
+        - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+  COUNT(*) AS n_customers
+FROM g
+UNION ALL
+SELECT c_mktsegment AS scope,
+  round(2.0 * SUM(seg_rn * revenue) / (COUNT(*) * SUM(revenue))
+        - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+  COUNT(*) AS n_customers
+FROM g GROUP BY c_mktsegment
+ORDER BY scope
+"""
+
+
+# --------------------------------------------------------------------------
+IV_BIN_WIDTH = 60000.0  # fixed-width o_totalprice bins: no data-dependent edges
+IV_MAX_BINS = 10
+
+
+def op_iv_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value feature screen — the
+    standard scorecard diagnostic for 'does this feature separate the
+    target?', here target = order fully shipped (o_orderstatus = 'F').
+
+    Two features: categorical o_orderpriority (its 5 levels are the
+    bins) and numeric o_totalprice in fixed-width bins (width a
+    CONSTANT, so bin edges are not data-dependent and no global
+    min/max pass is needed). WOE_i = ln(good_i/good_tot ÷
+    bad_i/bad_tot); IV = Σ (good_share - bad_share) * WOE.
+
+    Scale shape: one partial+final aggregate to (feature, bin) counts
+    (bin count bounded: 5 + 10), then windows PARTITIONED by feature
+    over that bounded grid. Zero-count cells yield NULL woe (no
+    epsilon fudge), excluded from the IV sum on both sides.
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    binned = orders.select(
+        F.col("o_orderstatus"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orderpriority").alias("feature"),
+                    F.col("o_orderpriority").alias("bin"),
+                ),
+                F.struct(
+                    F.lit("totalprice").alias("feature"),
+                    F.format_string(
+                        "bin_%02d",
+                        F.least(
+                            F.floor(F.col("o_totalprice") / F.lit(IV_BIN_WIDTH)),
+                            F.lit(IV_MAX_BINS - 1),
+                        ).cast("int"),
+                    ).alias("bin"),
+                ),
+            )
+        ).alias("fb"),
+    ).select("o_orderstatus", "fb.feature", "fb.bin")
+    counts = binned.groupBy("feature", "bin").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("bad"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0)).alias("good"),
+    )
+    w = Window.partitionBy("feature")
+    shares = counts.select(
+        "feature",
+        "bin",
+        "bad",
+        "good",
+        (F.col("good") / F.sum("good").over(w)).alias("gs"),
+        (F.col("bad") / F.sum("bad").over(w)).alias("bs"),
+    )
+    woe = F.when(
+        (F.col("good") > 0) & (F.col("bad") > 0), F.log(F.col("gs") / F.col("bs"))
+    )
+    out = shares.select(
+        "feature",
+        "bin",
+        "bad",
+        "good",
+        F.round(woe, 6).alias("woe"),
+        F.round(
+            F.sum(
+                F.when((F.col("good") > 0) & (F.col("bad") > 0),
+                       (F.col("gs") - F.col("bs")) * woe).otherwise(0.0)
+            ).over(w),
+            6,
+        ).alias("feature_iv"),
+    )
+    return out.orderBy("feature", "bin")
+
+
+OP_IV_WOE_SQL = f"""
+WITH binned AS (
+  SELECT o_orderstatus, 'orderpriority' AS feature, o_orderpriority AS bin FROM orders
+  UNION ALL
+  SELECT o_orderstatus, 'totalprice' AS feature,
+         printf('bin_%02d', CAST(least(floor(o_totalprice / {IV_BIN_WIDTH}),
+                                       {IV_MAX_BINS - 1}) AS INT)) AS bin
+  FROM orders
+),
+counts AS (
+  SELECT feature, bin,
+         SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS bad,
+         SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS good
+  FROM binned GROUP BY 1, 2
+),
+shares AS (
+  SELECT feature, bin, bad, good,
+         good / CAST(SUM(good) OVER (PARTITION BY feature) AS DOUBLE) AS gs,
+         bad / CAST(SUM(bad) OVER (PARTITION BY feature) AS DOUBLE) AS bs
+  FROM counts
+)
+SELECT feature, bin, CAST(bad AS BIGINT) AS bad, CAST(good AS BIGINT) AS good,
+  round(CASE WHEN good > 0 AND bad > 0 THEN ln(gs / bs) END, 6) AS woe,
+  round(SUM(CASE WHEN good > 0 AND bad > 0 THEN (gs - bs) * ln(gs / bs)
+            ELSE 0.0 END) OVER (PARTITION BY feature), 6) AS feature_iv
+FROM shares
+ORDER BY feature, bin
+"""
+
+
+# --------------------------------------------------------------------------
+PROFILE_COLS = ["o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey"]
+
+
+def op_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset profiler: per-column rows / nulls / distincts / Shannon
+    entropy / modal value over selected orders columns — the first
+    thing a data-curation pipeline runs on a new 100 TB drop.
+
+    Scale shape: map-side explode to (column, value) pairs (×C rows,
+    no shuffle), ONE shuffle to (column, value) counts, then a
+    partial+final aggregate per column. Entropy uses the one-pass
+    identity H = ln(n) − Σ c·ln(c)/n so no second scan is needed; the
+    modal value is max(struct(cnt, value)) — an ordinary aggregate,
+    deterministic under ties (highest count, then lexicographically
+    largest value).
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    pairs = orders.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.coalesce(F.col(c).cast("string"), F.lit("<null>")).alias("value"),
+                        F.col(c).isNull().cast("int").alias("is_null"),
+                    )
+                    for c in PROFILE_COLS
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value", "p.is_null")
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_null").alias("nulls")
+    )
+    n = F.sum("cnt")
+    return (
+        counts.groupBy("column")
+        .agg(
+            n.alias("n_rows"),
+            F.sum("nulls").alias("n_nulls"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.log(n.cast("double"))
+                - F.sum(F.col("cnt") * F.log(F.col("cnt").cast("double"))) / n,
+                6,
+            ).alias("entropy"),
+            F.max(F.struct(F.col("cnt"), F.col("value"))).getField("value").alias("top_value"),
+            F.max(F.struct(F.col("cnt"), F.col("value"))).getField("cnt").alias("top_count"),
+        )
+        .orderBy("column")
+    )
+
+
+def _profile_oracle() -> str:
+    unions = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, COALESCE(CAST({c} AS VARCHAR), '<null>') AS value, "
+        f"CASE WHEN {c} IS NULL THEN 1 ELSE 0 END AS is_null FROM orders"
+        for c in PROFILE_COLS
+    )
+    return f"""
+WITH pairs AS ({unions}),
+counts AS (
+  SELECT col, value, COUNT(*) AS cnt, SUM(is_null) AS nulls
+  FROM pairs GROUP BY 1, 2
+),
+top AS (
+  SELECT col, value AS top_value, cnt AS top_count,
+         row_number() OVER (PARTITION BY col ORDER BY cnt DESC, value DESC) AS rk
+  FROM counts
+)
+SELECT c.col AS "column", CAST(SUM(c.cnt) AS BIGINT) AS n_rows,
+  CAST(SUM(c.nulls) AS BIGINT) AS n_nulls,
+  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+  round(ln(CAST(SUM(c.cnt) AS DOUBLE))
+        - SUM(c.cnt * ln(CAST(c.cnt AS DOUBLE))) / SUM(c.cnt), 6) AS entropy,
+  MAX(t.top_value) AS top_value, CAST(MAX(t.top_count) AS BIGINT) AS top_count
+FROM counts c JOIN top t ON t.col = c.col AND t.rk = 1
+GROUP BY c.col
+ORDER BY c.col
+"""
+
+
+# --------------------------------------------------------------------------
+FUZZY_MAX_DIST = 3
+FUZZY_PREFIX = 4  # block on the name's first 4 chars + length band
+
+
+def op_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join of the part-name dictionary — the
+    entity-resolution primitive (find near-identical names without the
+    O(V²) cross product). Semantics are blocking-inclusive by design,
+    the standard ER trade: a candidate pair must share its first
+    FUZZY_PREFIX chars and sit within ±2 length, then pass
+    levenshtein ≤ FUZZY_MAX_DIST.
+
+    Scale shape: DISTINCT names first (dictionary-sized, not
+    row-sized), then an EQUI-join on the block key — Catalyst shuffles
+    on the prefix, so cost is Σ block² over blocks instead of V²; the
+    length band and edit distance run as residual filters inside the
+    join. At 100 TB the dictionary is the distinct-value count and the
+    block histogram (op_key_skew) tells you if a prefix needs salting.
+    """
+    (part,) = tables(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, FUZZY_PREFIX).alias("blk_a"),
+        F.length("p_name").alias("len_a"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, FUZZY_PREFIX).alias("blk_b"),
+        F.length("p_name").alias("len_b"),
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, F.col("blk_a") == F.col("blk_b"))
+        .filter(
+            (F.abs(F.col("len_a") - F.col("len_b")) <= 2)
+            & (F.col("name_a") < F.col("name_b"))
+            & (dist <= FUZZY_MAX_DIST)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            dist.cast("bigint").alias("edit_dist"),
+            F.round(
+                F.lit(1.0)
+                - dist / F.greatest("len_a", "len_b").cast("double"),
+                6,
+            ).alias("similarity"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+OP_FUZZY_JOIN_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+  round(1.0 - levenshtein(a.p_name, b.p_name)
+              / CAST(greatest(length(a.p_name), length(b.p_name)) AS DOUBLE),
+        6) AS similarity
+FROM names a JOIN names b
+  ON substr(a.p_name, 1, {FUZZY_PREFIX}) = substr(b.p_name, 1, {FUZZY_PREFIX})
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND a.p_name < b.p_name
+  AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_fuzzy_join": op_fuzzy_join,
+    "op_gini": op_gini,
+    "op_iv_woe": op_iv_woe,
+    "op_profile": op_profile,
     "op_psi_drift": op_psi_drift,
     "op_key_skew": op_key_skew,
     "op_pagerank": op_pagerank,
@@ -1340,6 +1673,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_fuzzy_join": OP_FUZZY_JOIN_SQL,
+    "op_gini": OP_GINI_SQL,
+    "op_iv_woe": OP_IV_WOE_SQL,
+    "op_profile": _profile_oracle(),
     "op_psi_drift": OP_PSI_DRIFT_SQL,
     "op_key_skew": OP_KEY_SKEW_SQL,
     "op_pagerank": _pagerank_oracle(),

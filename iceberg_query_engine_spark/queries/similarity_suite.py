@@ -1158,7 +1158,60 @@ ORDER BY 1, 2
 """
 
 
+# --------------------------------------------------------------------------
+RANGE_TAU = 0.2  # cosine radius — ~30 matches/query on the isotropic corpus
+
+
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RADIUS search: every corpus vector with cosine ≥ RANGE_TAU of a
+    query — the retrieval mode dedup/recall audits need when "top-k"
+    truncates (give me EVERYTHING closer than τ).
+
+    Scale shape: same one-Arrow-pass kernel family as sim_brute_topk
+    (functions/vector.py:multi_query_range_fn) — queries live in the
+    kernel closure, each corpus vector crosses the Python channel once,
+    and the filter runs INSIDE the kernel so the downstream stream is
+    match-sized (selectivity-bounded), not corpus-sized. No shuffle
+    until the final presentation sort. The threshold compares the
+    6-dp-rounded cosine on both sides, so inclusion is engine-portable.
+    """
+    import numpy as np
+
+    from ..functions.vector import multi_query_range_fn
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    qrows = e.filter(F.col("vec_id") < N_QUERIES).collect()  # tiny: Q×dim
+    fn = multi_query_range_fn(
+        np.array([r.v for r in qrows]), np.array([r.vec_id for r in qrows]), RANGE_TAU
+    )
+    return (
+        e.filter(F.col("vec_id") >= N_QUERIES)
+        .select(F.col("vec_id").alias("n_id"), "v")
+        .mapInPandas(fn, "q_id bigint, n_id bigint, cosine double")
+        .orderBy("q_id", "n_id")
+    )
+
+
+SIM_RANGE_SEARCH_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}
+)
+SELECT q_id, n_id, cosine FROM (
+  SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
+  FROM queries q CROSS JOIN vecs e
+  WHERE e.vec_id >= {N_QUERIES}
+)
+WHERE cosine >= {RANGE_TAU}
+ORDER BY q_id, n_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sim_range_search": sim_range_search,
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_topk": sim_ivf_topk,
     "sim_ivf_persist": sim_ivf_persist,
@@ -1173,6 +1226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "sim_range_search": SIM_RANGE_SEARCH_SQL,
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
     "sim_kmeans": SIM_KMEANS_SQL,
     "sim_ivf_topk": SIM_IVF_TOPK_SQL,

@@ -36,6 +36,11 @@ WINDOW_ALLOWLIST: dict[str, str] = {
         "<=20 rows; the selection itself is TakeOrderedAndProject "
         "(plan-pinned in test_plans.py)"
     ),
+    "ev_survival": (
+        "Kaplan-Meier cumulative windows run over the per-lifetime-day "
+        "grid (≤ corpus day-span rows, CALENDAR-bounded — independent "
+        "of user count), after two full aggregates"
+    ),
 }
 
 # BroadcastNestedLoopJoin allowed ONLY when the broadcast side is a
@@ -43,6 +48,7 @@ WINDOW_ALLOWLIST: dict[str, str] = {
 BNLJ_ALLOWLIST: dict[str, str] = {
     "ev_ab_test": "1-row pivoted arm totals crossed into the z-test projection",
     "ev_gapfill": "1-row min/max time-bounds aggregate seeds the hour grid",
+    "ev_survival": "1-row corpus-end aggregate broadcast into the per-user censoring flag",
     "join_cross": "deliberate CROSS JOIN demo over nation x region (25 x 5)",
     "op_ks_test": "1-row per-sample totals crossed into the ECDF grid",
     "op_mixture_weights": "1-row global aggregate normalizes component weights",
