@@ -1429,7 +1429,133 @@ ORDER BY event_type, t
 """
 
 
+# --------------------------------------------------------------------------
+# MATCH_RECOGNIZE-style sequence patterns over per-session event strings.
+# Initials are unique across the 5 event types (signup error click view
+# purchase → s e c v p).
+SEQ_PATTERNS = [
+    ("view_to_purchase", "v.*p"),
+    ("clean_funnel", "v[^e]*p"),  # view→purchase with no error between
+    ("double_error", "e.*e"),
+]
+
+
+def ev_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (SQL MATCH_RECOGNIZE's common cases):
+    sessionize (30-min gap), render each session as its event-initial
+    string in (ts, event_id) order, then count sessions whose string
+    matches each regex — the funnel/journey analysis a product team
+    writes in MATCH_RECOGNIZE on engines that have it.
+
+    Scale shape: sessionization is the standard one-shuffle-per-user
+    lag window; the per-session string is collect_list over a session
+    (human-scale by construction — the 30-min gap bounds it); the
+    regex evaluation is map-only JVM (rlike); the final rollup is one
+    tiny aggregate. Patterns ride an explode so the output is one row
+    per pattern.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ini"),
+        (
+            F.coalesce(
+                (F.unix_timestamp(F.col("ts").cast("timestamp"))
+                 - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")))
+                > SESSION_GAP_MIN * 60,
+                F.lit(True),
+            )
+        )
+        .cast("int")
+        .alias("new_sess"),
+    )
+    sess = with_gap.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    seqs = sess.groupBy("user_id", "sess_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ini"))),
+                lambda x: x.getField("ini"),
+            ),
+            "",
+        ).alias("seq")
+    )
+    flags = seqs.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        *[
+            F.sum(F.col("seq").rlike(rx).cast("int")).alias(f"m_{name}")
+            for name, rx in SEQ_PATTERNS
+        ],
+    )
+    return (
+        flags.select(
+            "n_sessions",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(name).alias("pattern"),
+                            F.col(f"m_{name}").alias("n_matched"),
+                        )
+                        for name, _ in SEQ_PATTERNS
+                    ]
+                )
+            ).alias("pm"),
+        )
+        .select(
+            F.col("pm.pattern").alias("pattern"),
+            F.col("pm.n_matched").cast("bigint").alias("n_matched"),
+            F.col("n_sessions").cast("bigint").alias("n_sessions"),
+            F.round(F.col("pm.n_matched") / F.col("n_sessions"), 6).alias("share"),
+        )
+        .orderBy("pattern")
+    )
+
+
+def _pattern_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{name}' AS pattern, '{rx}' AS rx" for name, rx in SEQ_PATTERNS
+    )
+    return f"""
+WITH pats AS ({rows}),
+gaps AS (
+  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ini,
+    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+              - epoch(lag(CAST(ts AS TIMESTAMP)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id))
+              > {SESSION_GAP_MIN * 60} OR
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ini, ts, event_id,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM gaps
+),
+seqs AS (
+  SELECT user_id, sess_id,
+         string_agg(ini, '' ORDER BY ts, event_id) AS seq
+  FROM sess GROUP BY user_id, sess_id
+)
+SELECT p.pattern,
+  CAST(SUM(CASE WHEN regexp_matches(s.seq, p.rx) THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_matched,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  round(SUM(CASE WHEN regexp_matches(s.seq, p.rx) THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 6) AS share
+FROM seqs s CROSS JOIN pats p
+GROUP BY p.pattern
+ORDER BY p.pattern
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_pattern_match": ev_pattern_match,
     "ev_survival": ev_survival,
     "ev_ewma": ev_ewma,
     "ev_streaks": ev_streaks,
@@ -1454,6 +1580,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_pattern_match": _pattern_oracle(),
     "ev_survival": EV_SURVIVAL_SQL,
     "ev_ewma": EV_EWMA_SQL,
     "ev_streaks": EV_STREAKS_SQL,

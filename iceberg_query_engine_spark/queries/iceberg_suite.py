@@ -501,7 +501,99 @@ FROM customer WHERE c_custkey < 200 ORDER BY c_custkey
 """
 
 
+_WAP_CACHE: dict[str, str] = {}
+
+
+def _wap_table(spark: SparkSession, sf_dir: str) -> str:
+    """Write-audit-publish fixture: main gets orders < 800; a GOOD
+    batch (800–999) lands on branch `audit`, passes the audit and is
+    fast-forwarded into main; a BAD batch (1000–1099, prices negated)
+    lands on branch `audit_bad`, fails the audit and the branch is
+    dropped — main must never see it."""
+    from ..sources.iceberg_lite import create_branch, create_tag, drop_ref, fast_forward
+
+    key = sf_dir
+    if key in _WAP_CACHE and os.path.exists(_WAP_CACHE[key]):
+        return _WAP_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(), "iceberg_lite", sf_dir.strip("/").replace("/", "_"),
+        "orders_wap",
+    )
+    if not os.path.exists(os.path.join(path, "metadata", "v0.metadata.json")):
+        (orders,) = tables(spark, sf_dir, "orders")
+        write_snapshot(orders.filter(F.col("o_orderkey") < 800), path)
+        create_tag(path, "v1")
+        t = IcebergLiteTable(path)
+        # --- good batch: write to branch, audit, publish ---
+        create_branch(path, "audit")
+        write_snapshot(
+            orders.filter(F.col("o_orderkey").between(800, 999)),
+            path,
+            branch="audit",
+        )
+        bad = (
+            t.read(spark, ref="audit").filter(F.col("o_totalprice") <= 0).count()
+        )
+        assert bad == 0, "good batch must pass its own audit"
+        fast_forward(path, "main", "audit")
+        # --- bad batch: write to branch, audit fails, drop branch ---
+        create_branch(path, "audit_bad")
+        write_snapshot(
+            orders.filter(F.col("o_orderkey").between(1000, 1099)).withColumn(
+                "o_totalprice", -F.col("o_totalprice")
+            ),
+            path,
+            branch="audit_bad",
+        )
+        n_bad = (
+            t.read(spark, ref="audit_bad").filter(F.col("o_totalprice") <= 0).count()
+        )
+        assert n_bad > 0, "bad batch must fail its audit"
+        drop_ref(path, "audit_bad")
+    _WAP_CACHE[key] = path
+    return path
+
+
+def iceberg_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish via branch refs (Iceberg WAP): stage each
+    batch on an isolated branch, audit THAT branch, and publish by
+    metadata-only fast-forward — the pattern that keeps a 100 TB main
+    always-consistent while audits run on staged data. Also reads the
+    immutable `v1` tag, proving ref time travel. The rejected batch's
+    negated prices would shift every sum if branch isolation leaked.
+
+    Beyond reference: its iceberg.rs is read-only single-ref
+    (/root/reference/src/physical/operators/iceberg.rs:27-110); refs,
+    WAP, and fast-forward are surplus matching real Iceberg semantics.
+    """
+    path = _wap_table(spark, sf_dir)
+    t = IcebergLiteTable(path)
+
+    def agg(df: DataFrame, scope: str) -> DataFrame:
+        return df.groupBy(F.lit(scope).alias("scope"), "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+
+    published = agg(t.read(spark), "published_main")
+    at_tag = agg(t.read(spark, ref="v1"), "tag_v1")
+    return published.unionByName(at_tag).orderBy("scope", "o_orderstatus")
+
+
+ICEBERG_WAP_SQL = """
+SELECT 'published_main' AS scope, o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n, round(SUM(o_totalprice), 4) AS total
+FROM orders WHERE o_orderkey < 1000 GROUP BY o_orderstatus
+UNION ALL
+SELECT 'tag_v1' AS scope, o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n, round(SUM(o_totalprice), 4) AS total
+FROM orders WHERE o_orderkey < 800 GROUP BY o_orderstatus
+ORDER BY scope, o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "iceberg_wap": iceberg_wap,
     "catalog_join": catalog_join,
     "iceberg_time_travel": iceberg_time_travel,
     "iceberg_pruned_scan": iceberg_pruned_scan,
@@ -514,6 +606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "iceberg_wap": ICEBERG_WAP_SQL,
     "catalog_join": CATALOG_JOIN_SQL,
     "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,
     "iceberg_pruned_scan": ICEBERG_PRUNED_SCAN_SQL,

@@ -1641,7 +1641,105 @@ ORDER BY name_a, name_b
 """
 
 
+# --------------------------------------------------------------------------
+TRIANGLE_TOP = 20
+
+
+def op_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the co-purchase graph (parts
+    sharing an order), by DEGREE ORIENTATION — the algorithm behind
+    GraphFrames/GraphX triangleCount and every MapReduce triangle
+    paper: direct each undirected edge from its lower-(degree, id)
+    endpoint to the higher, so out-degree is O(√m) even on power-law
+    graphs, then count wedges that close.
+
+    Scale shape: edge build is a self-equi-join on l_orderkey (one
+    co-partitioned shuffle) + DISTINCT; orientation joins the bounded
+    degree table; the wedge join e1.t = e2.s carries Σ outdeg² pairs —
+    the term orientation exists to bound (unoriented it would be
+    Σ deg², quadratic in hub degree). Per-node participation is an
+    explode + count; top-N is TakeOrderedAndProject.
+    """
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey")
+    raw = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        raw.select(F.col("u").alias("node"))
+        .unionAll(raw.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    lower = (F.struct(F.col("du.d"), F.col("u")) < F.struct(F.col("dv.d"), F.col("v")))
+    dire = (
+        raw.join(deg.alias("du"), F.col("u") == F.col("du.node"))
+        .join(deg.alias("dv"), F.col("v") == F.col("dv.node"))
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("t"),
+        )
+    )
+    e1 = dire.select(F.col("s").alias("ta"), F.col("t").alias("tb"))
+    e2 = dire.select(F.col("s").alias("tb2"), F.col("t").alias("tc"))
+    e3 = dire.select(F.col("s").alias("ta3"), F.col("t").alias("tc3"))
+    tri = (
+        e1.join(e2, F.col("tb") == F.col("tb2"))
+        .join(e3, (F.col("ta") == F.col("ta3")) & (F.col("tc") == F.col("tc3")))
+        .select("ta", "tb", "tc")
+    )
+    per_node = (
+        tri.select(F.explode(F.array("ta", "tb", "tc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        per_node.join(deg, "node")
+        .select("node", "d", "n_triangles")
+        .orderBy(F.col("n_triangles").desc(), "node")
+        .limit(TRIANGLE_TOP)
+    )
+
+
+OP_TRIANGLE_COUNT_SQL = f"""
+WITH raw AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM raw UNION ALL SELECT v FROM raw)
+  GROUP BY node
+),
+dir AS (
+  SELECT CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.u ELSE r.v END AS s,
+         CASE WHEN (du.d, r.u) < (dv.d, r.v) THEN r.v ELSE r.u END AS t
+  FROM raw r JOIN deg du ON du.node = r.u JOIN deg dv ON dv.node = r.v
+),
+tri AS (
+  SELECT e1.s AS ta, e1.t AS tb, e2.t AS tc
+  FROM dir e1 JOIN dir e2 ON e2.s = e1.t
+  JOIN dir e3 ON e3.s = e1.s AND e3.t = e2.t
+),
+per_node AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (SELECT unnest([ta, tb, tc]) AS node FROM tri)
+  GROUP BY node
+)
+SELECT p.node, CAST(g.d AS BIGINT) AS d, CAST(p.n_triangles AS BIGINT) AS n_triangles
+FROM per_node p JOIN deg g ON g.node = p.node
+ORDER BY n_triangles DESC, p.node
+LIMIT {TRIANGLE_TOP}
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_triangle_count": op_triangle_count,
     "op_fuzzy_join": op_fuzzy_join,
     "op_gini": op_gini,
     "op_iv_woe": op_iv_woe,
@@ -1673,6 +1771,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_triangle_count": OP_TRIANGLE_COUNT_SQL,
     "op_fuzzy_join": OP_FUZZY_JOIN_SQL,
     "op_gini": OP_GINI_SQL,
     "op_iv_woe": OP_IV_WOE_SQL,

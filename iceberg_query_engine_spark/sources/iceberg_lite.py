@@ -97,6 +97,25 @@ class IcebergLiteTable:
     def current_snapshot_id(self) -> int | None:
         return self.metadata().get("current_snapshot_id")
 
+    def refs(self) -> dict:
+        """Named refs (Iceberg branches/tags). Tables written before
+        branch support have no `refs` key — `main` is synthesized from
+        the current pointer, so every table has at least one branch."""
+        meta = self.metadata()
+        refs = dict(meta.get("refs", {}))
+        if "main" not in refs and meta.get("current_snapshot_id") is not None:
+            refs["main"] = {
+                "snapshot_id": meta["current_snapshot_id"],
+                "type": "branch",
+            }
+        return refs
+
+    def resolve_ref(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}; have {sorted(refs)}")
+        return refs[name]["snapshot_id"]
+
     def snapshot_as_of(self, timestamp_ms: int) -> int:
         """Latest snapshot committed at or before `timestamp_ms` —
         Iceberg's TIMESTAMP AS OF selection (commit timestamps are
@@ -152,6 +171,7 @@ class IcebergLiteTable:
         partition_filters: list[PartitionFilter] | None = None,
         predicates: list[tuple[str, str, object]] | None = None,
         as_of_timestamp_ms: int | None = None,
+        ref: str | None = None,
     ) -> DataFrame:
         """Scan with snapshot selection + partition/stats file pruning.
 
@@ -173,6 +193,9 @@ class IcebergLiteTable:
         Both anti-joins broadcast the (small) delete side — the same
         physical shape the real Iceberg Spark reader produces.
         """
+        if snapshot_id is None and ref is not None:
+            # VERSION AS OF '<branch-or-tag>' — resolve the named ref
+            snapshot_id = self.resolve_ref(ref)
         if snapshot_id is None and as_of_timestamp_ms is not None:
             snapshot_id = self.snapshot_as_of(as_of_timestamp_ms)
         triples = self._files_with_meta(snapshot_id)
@@ -321,12 +344,13 @@ def _append_snapshot_files(
     content: str,
     operation: str,
     replace: bool = False,
+    branch: str = "main",
 ) -> int:
     """Chain a new snapshot whose manifest holds `entries` of `content`
     kind onto the current table state; returns the new snapshot id.
     With replace=True the new manifest REPLACES all prior manifests
     (compaction / rewrite_data_files) instead of accumulating."""
-    return _append_snapshot_manifests(path, [(entries, content)], operation, replace)
+    return _append_snapshot_manifests(path, [(entries, content)], operation, replace, branch)
 
 
 @contextmanager
@@ -371,6 +395,7 @@ def _append_snapshot_manifests(
     manifest_groups: list[tuple[list[dict], str]],
     operation: str,
     replace: bool = False,
+    branch: str = "main",
 ) -> int:
     """Commit ONE snapshot carrying several manifests (e.g. a MERGE's
     equality-delete manifest + data manifest, which must share a
@@ -379,7 +404,7 @@ def _append_snapshot_manifests(
     the table commit lock (see _commit_lock)."""
     with _commit_lock(path):
         return _append_snapshot_manifests_locked(
-            path, manifest_groups, operation, replace
+            path, manifest_groups, operation, replace, branch
         )
 
 
@@ -388,17 +413,27 @@ def _append_snapshot_manifests_locked(
     manifest_groups: list[tuple[list[dict], str]],
     operation: str,
     replace: bool = False,
+    branch: str = "main",
 ) -> int:
     table = IcebergLiteTable(path)
-    prev_id = (
-        table.current_snapshot_id() if os.path.exists(table._meta_path()) else None
-    )
+    has_meta = os.path.exists(table._meta_path())
+    refs = table.refs() if has_meta else {}
+    if branch != "main" and branch not in refs:
+        raise ValueError(
+            f"unknown branch {branch!r}; create_branch first (have {sorted(refs)})"
+        )
+    if branch in refs and refs[branch].get("type") == "tag":
+        raise ValueError(f"cannot commit to tag {branch!r} — tags are immutable")
+    # Parent is the BRANCH head, not the table pointer; snapshot ids
+    # stay globally unique across branches (max over all snapshots).
+    prev_id = refs[branch]["snapshot_id"] if branch in refs else None
+    all_snaps = table.snapshots() if has_meta else []
     prev_manifests = []
     if prev_id is not None and not replace:
         snap = table._snapshot(prev_id)
         with open(os.path.join(path, snap["manifest_list"])) as f:
             prev_manifests = json.load(f)
-    snapshot_id = (prev_id or 0) + 1
+    snapshot_id = max([s["snapshot_id"] for s in all_snaps], default=0) + 1
     manifests = list(prev_manifests)
     for gi, (entries, content) in enumerate(manifest_groups):
         suffix = f"-{gi}" if len(manifest_groups) > 1 else ""
@@ -419,10 +454,9 @@ def _append_snapshot_manifests_locked(
     with open(os.path.join(path, mlist_rel), "w") as f:
         json.dump(manifests, f)
     # strictly-increasing commit timestamps so as-of-timestamp reads
-    # are well-defined even for commits within one wall-clock ms
-    prev_ts = 0
-    if prev_id is not None:
-        prev_ts = table._snapshot(prev_id).get("timestamp_ms", 0)
+    # are well-defined even for commits within one wall-clock ms —
+    # GLOBAL max across branches, not just this chain's parent
+    prev_ts = max([s.get("timestamp_ms", 0) for s in all_snaps], default=0)
     _atomic_json(
         os.path.join(path, "metadata", f"snap-{snapshot_id}.snapshot.json"),
         {
@@ -440,14 +474,20 @@ def _append_snapshot_manifests_locked(
     # os.replace, every reader sees either the old or the new pointer,
     # never an in-between state (the filesystem analogue of the
     # catalog's atomic swap).
-    _atomic_json(
-        table._meta_path(),
-        {
-            "format_version": 2,
-            "uuid": f"lite-{os.path.basename(path)}",
-            "current_snapshot_id": snapshot_id,
-        },
-    )
+    new_refs = dict(refs)
+    new_refs[branch] = {"snapshot_id": snapshot_id, "type": "branch"}
+    meta = {
+        "format_version": 2,
+        "uuid": f"lite-{os.path.basename(path)}",
+        # the table pointer tracks MAIN; branch commits leave it alone
+        "current_snapshot_id": (
+            snapshot_id
+            if branch == "main"
+            else (table.current_snapshot_id() if has_meta else None)
+        ),
+        "refs": new_refs,
+    }
+    _atomic_json(table._meta_path(), meta)
     return snapshot_id
 
 
@@ -577,11 +617,94 @@ def upsert_snapshot(
     )
 
 
+def create_branch(path: str, name: str, at_snapshot: int | None = None) -> int:
+    """Create branch `name` at `at_snapshot` (default: main head) —
+    Iceberg's `ALTER TABLE ... CREATE BRANCH`, the first step of the
+    write-audit-publish (WAP) pattern. Metadata-only: one atomic
+    pointer write, no data movement at any scale."""
+    return _create_ref(path, name, "branch", at_snapshot)
+
+
+def create_tag(path: str, name: str, at_snapshot: int | None = None) -> int:
+    """Create an immutable tag (commits to it are refused)."""
+    return _create_ref(path, name, "tag", at_snapshot)
+
+
+def _create_ref(path: str, name: str, kind: str, at_snapshot: int | None) -> int:
+    with _commit_lock(path):
+        table = IcebergLiteTable(path)
+        refs = table.refs()
+        if name in refs:
+            raise ValueError(f"ref {name!r} already exists")
+        sid = at_snapshot if at_snapshot is not None else table.current_snapshot_id()
+        if sid is None:
+            raise ValueError("cannot create a ref on an empty table")
+        table._snapshot(sid)  # must exist
+        refs[name] = {"snapshot_id": sid, "type": kind}
+        meta = table.metadata()
+        meta["refs"] = refs
+        _atomic_json(table._meta_path(), meta)
+        return sid
+
+
+def drop_ref(path: str, name: str) -> None:
+    """Drop a branch/tag (abandoning a failed audit branch). The
+    branch's snapshots stay on disk until expire_snapshots reclaims
+    them — same as Iceberg's dropBranch + expireSnapshots split."""
+    if name == "main":
+        raise ValueError("cannot drop main")
+    with _commit_lock(path):
+        table = IcebergLiteTable(path)
+        refs = table.refs()
+        if name not in refs:
+            raise ValueError(f"unknown ref {name!r}")
+        del refs[name]
+        meta = table.metadata()
+        meta["refs"] = refs
+        _atomic_json(table._meta_path(), meta)
+
+
+def fast_forward(path: str, branch: str, to_ref: str) -> int:
+    """Publish: advance `branch` to `to_ref`'s head, REQUIRING the
+    current `branch` head to be an ancestor of the target (a true
+    fast-forward — exactly Iceberg's `fast_forward` procedure; a
+    diverged branch needs a cherry-pick/merge, which WAP by
+    construction never produces). Metadata-only pointer swap."""
+    with _commit_lock(path):
+        table = IcebergLiteTable(path)
+        refs = table.refs()
+        target = refs[to_ref]["snapshot_id"] if to_ref in refs else None
+        if target is None:
+            raise ValueError(f"unknown ref {to_ref!r}")
+        base = refs.get(branch, {}).get("snapshot_id")
+        # ancestor walk along parent chain
+        cur: int | None = target
+        ok = base is None
+        while cur is not None and not ok:
+            if cur == base:
+                ok = True
+                break
+            cur = table._snapshot(cur).get("parent_snapshot_id")
+        if not ok:
+            raise ValueError(
+                f"{branch!r} ({base}) is not an ancestor of {to_ref!r} ({target}); "
+                f"fast-forward refused"
+            )
+        refs[branch] = {"snapshot_id": target, "type": "branch"}
+        meta = table.metadata()
+        meta["refs"] = refs
+        if branch == "main":
+            meta["current_snapshot_id"] = target
+        _atomic_json(table._meta_path(), meta)
+        return target
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
     partition_by: str | None = None,
     stats_columns: list[str] | None = None,
+    branch: str = "main",
 ) -> int:
     """Append a snapshot: ONE distributed Spark write job producing as
     many data files as the upstream plan has tasks (grouped by partition
@@ -601,7 +724,7 @@ def write_snapshot(
     snapshot_id = (prev_id or 0) + 1
 
     entries = _write_data_entries(df, path, snapshot_id, partition_by, stats_columns)
-    return _append_snapshot_files(path, entries, "data", "append")
+    return _append_snapshot_files(path, entries, "data", "append", branch=branch)
 
 
 def _json_scalar(v):
@@ -838,11 +961,26 @@ def expire_snapshots(
     with _commit_lock(path):
         table = IcebergLiteTable(path)
         current = table.current_snapshot_id()
+        # every named ref's head is protected (Iceberg: expire never
+        # drops a snapshot a branch/tag points at); snapshots on NO
+        # ref's ancestor chain (e.g. a dropped audit branch's commits)
+        # are unreachable and expire unconditionally
+        ref_heads = {r["snapshot_id"] for r in table.refs().values()}
         snaps = table.snapshots()
+        by_id = {s["snapshot_id"]: s for s in snaps}
+        reachable: set[int] = set()
+        for head in ref_heads:
+            cur: int | None = head
+            while cur is not None and cur not in reachable:
+                reachable.add(cur)
+                cur = by_id.get(cur, {}).get("parent_snapshot_id")
         expire: list[int] = []
         for s in snaps:
             sid = s["snapshot_id"]
-            if sid == current:
+            if sid == current or sid in ref_heads:
+                continue
+            if sid not in reachable:
+                expire.append(sid)
                 continue
             too_old = older_than_ms is not None and s.get(
                 "timestamp_ms", 0
