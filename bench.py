@@ -64,6 +64,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "ev_survival",
     "ev_ewma",
     "op_iv_woe",
+    "op_running_total",
+    "op_bloom_semi_join",
+    "op_triangle_count",
+    "ev_pattern_match",
 )
 
 

@@ -99,6 +99,70 @@ def ranked_by_range(
     return ranked.drop(pid_c, loc_c), total
 
 
+def cumsum_by_range(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    out: str = "running",
+    num_partitions: int | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Exact global running total over ``order_cols`` without a
+    single-partition window — the cumulative-sum twin of
+    :func:`ranked_by_range` (per-shard SUM offsets instead of COUNT
+    offsets; pass 2 is a per-shard cumulative window + its shard's
+    prefix sum).
+
+    ``value_col`` must be EXACT-ADDITIVE (integer or decimal): the
+    shard totals are accumulated in a different order than a serial
+    scan, so only order-independent addition keeps the result
+    bit-identical to the ``SUM() OVER (ORDER BY ...)`` it replaces
+    (floats would drift at the ulp level and can flip a rounded 4th
+    decimal ~1e9 rows in). Cast upstream: ``col.cast("decimal(18,2)")``.
+    """
+    cols = _as_columns(order_cols)
+    n_part = _pick_partitions(df, num_partitions)
+    pid_c = f"__{out}_pid"
+
+    part = df.repartitionByRange(n_part, *cols).withColumn(
+        pid_c, F.spark_partition_id()
+    )
+    if checkpoint:
+        part = part.localCheckpoint(eager=True)
+
+    sums = {
+        row[pid_c]: row["s"]
+        for row in part.groupBy(pid_c).agg(F.sum(value_col).alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += sums[pid] if sums[pid] is not None else 0
+
+    if offsets:
+        off_map = F.create_map(
+            *[
+                lit
+                for pid, off in offsets.items()
+                for lit in (F.lit(pid), F.lit(off))
+            ]
+        )
+    else:
+        off_map = F.create_map()
+    w = (
+        Window.partitionBy(pid_c)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = part.withColumn(
+        out,
+        F.sum(value_col).over(w)
+        + F.coalesce(F.try_element_at(off_map, F.col(pid_c)), F.lit(0)),
+    )
+    return run.drop(pid_c)
+
+
 def ntile_by_range(
     df: DataFrame,
     n_buckets: int,

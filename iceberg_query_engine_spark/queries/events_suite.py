@@ -1554,7 +1554,76 @@ ORDER BY p.pattern
 """
 
 
+# --------------------------------------------------------------------------
+STL_HALF = 12  # centered 24h moving-average trend window (rows -12..+11)
+
+
+def ev_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style decomposition of the hourly event-count series per
+    type: trend = centered 24h moving average, seasonal = mean
+    detrended residual per hour-of-day, remainder variance share —
+    the classic-decomposition version (one MA pass + one grouped
+    mean) of what statsmodels' seasonal_decompose computes.
+
+    Scale shape: the hourly grid is calendar-bounded; the MA is a
+    window PARTITIONED by event_type; the seasonal mean is one grouped
+    aggregate on (type, hour-of-day) — 24 rows per type. Counts are
+    INTEGERS so the sliding-frame additions are exact in double and
+    engine-portable; divisions happen once per output value.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("t"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(-STL_HALF, STL_HALF - 1)
+    )
+    detr = hourly.select(
+        "event_type",
+        "t",
+        "n",
+        (F.col("n") - F.avg("n").over(w)).alias("resid"),
+    )
+    return (
+        detr.groupBy(
+            "event_type", F.pmod(F.floor(F.col("t") / 3600), F.lit(24)).alias("hod")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.avg("resid"), 6).alias("seasonal"),
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+EV_STL_SQL = f"""
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+),
+detr AS (
+  SELECT event_type, t, n,
+    n - AVG(n) OVER (PARTITION BY event_type ORDER BY t
+                     ROWS BETWEEN {STL_HALF} PRECEDING
+                     AND {STL_HALF - 1} FOLLOWING) AS resid
+  FROM hourly
+)
+SELECT event_type, CAST(floor(t / 3600) % 24 AS BIGINT) AS hod,
+  CAST(COUNT(*) AS BIGINT) AS n_points,
+  round(AVG(resid), 6) AS seasonal
+FROM detr
+GROUP BY 1, 2
+ORDER BY event_type, hod
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_stl": ev_stl,
     "ev_pattern_match": ev_pattern_match,
     "ev_survival": ev_survival,
     "ev_ewma": ev_ewma,
@@ -1580,6 +1649,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_stl": EV_STL_SQL,
     "ev_pattern_match": _pattern_oracle(),
     "ev_survival": EV_SURVIVAL_SQL,
     "ev_ewma": EV_EWMA_SQL,

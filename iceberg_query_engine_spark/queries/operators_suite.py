@@ -1738,7 +1738,172 @@ LIMIT {TRIANGLE_TOP}
 """
 
 
+# --------------------------------------------------------------------------
+RUNNING_EVERY = 500  # emit every Nth rank — presentation thinning only
+
+
+def op_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global running revenue over the full order history — the
+    classic 'cumulative revenue to date' query that is a
+    single-partition `SUM() OVER (ORDER BY ...)` stall on naive
+    engines. Here both the rank and the running sum are
+    range-partitioned two-pass operators (operators/rank.py): shard by
+    date range, per-shard cumulative window, add the shard's prefix
+    total. The value is summed as DECIMAL so the distributed addition
+    order is irrelevant (bit-identical to the serial oracle); every
+    RUNNING_EVERY-th rank is emitted (thinning the print, not the
+    computation).
+    """
+    from ..operators.rank import cumsum_by_range, ranked_by_range
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    run = cumsum_by_range(base, ["o_orderdate", "o_orderkey"], "price", out="running")
+    ranked, _ = ranked_by_range(run, ["o_orderdate", "o_orderkey"], out="rn")
+    return (
+        ranked.filter(F.col("rn") % RUNNING_EVERY == 0)
+        .select(
+            "rn",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.col("running").cast("double").alias("running"),
+        )
+        .orderBy("rn")
+    )
+
+
+OP_RUNNING_TOTAL_SQL = f"""
+WITH r AS (
+  SELECT o_orderkey, o_orderdate,
+    row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn,
+    SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+      OVER (ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM orders
+)
+SELECT rn, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(running AS DOUBLE) AS running
+FROM r WHERE rn % {RUNNING_EVERY} = 0
+ORDER BY rn
+"""
+
+
+# --------------------------------------------------------------------------
+BSJ_K = 3  # bloom hash functions
+BSJ_M = 4096  # bit space = one 3-hex-char md5 slice, no modulo bias
+
+
+def op_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-semi-join as an EXPLICIT operator: build a deterministic
+    Bloom filter from the filtered dimension's keys (parts with 'red'
+    in the name) and pre-filter the fact MAP-SIDE before the exact
+    join — the reduction Spark's runtime bloom join applies when its
+    cost model fires, here reproducible and oracle-verified (it is
+    also what plans/rewrites.py injects into q9 at sf100).
+
+    Scale shape: the bit set is ≤ BSJ_M distinct positions (grid-sized
+    exchange); testing the fact is BSJ_K broadcast hash joins on hash
+    positions — map-only over the fact, NO fact shuffle; the exact
+    semi-join runs only to measure the bloom's false-positive budget,
+    which the output reports per returnflag (no-false-negative is a
+    structural guarantee: n_pass ≥ n_true always).
+    """
+    part, lineitem = tables(spark, sf_dir, "part", "lineitem")
+    dim = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
+
+    def positions(c):
+        return [
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"j{i}:"), c.cast("string"))), 1, 3
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            for i in range(BSJ_K)
+        ]
+
+    bits = (
+        dim.select(F.explode(F.array(*positions(F.col("p_partkey")))).alias("pos"))
+        .distinct()
+    )
+    fact = lineitem.select("l_partkey", "l_returnflag")
+    probed = fact
+    verdict = None
+    for i, p in enumerate(positions(F.col("l_partkey"))):
+        bi = bits.select(F.col("pos").alias(f"p{i}"))
+        probed = probed.withColumn(f"p{i}", p).join(
+            F.broadcast(bi.withColumn(f"hit{i}", F.lit(True))), f"p{i}", "left"
+        )
+        hit = F.coalesce(F.col(f"hit{i}"), F.lit(False))
+        verdict = hit if verdict is None else (verdict & hit)
+    probed = probed.withColumn("passed", verdict)
+    true_m = fact.join(
+        dim, F.col("l_partkey") == F.col("p_partkey"), "leftsemi"
+    ).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_true"))
+    stats = probed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.col("passed").cast("int")).cast("bigint").alias("n_pass"),
+    )
+    return (
+        stats.join(true_m, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_fact",
+            "n_pass",
+            "n_true",
+            F.round(
+                (F.col("n_pass") - F.col("n_true")) / F.col("n_pass"), 6
+            ).alias("fp_share_of_pass"),
+            (F.col("n_pass") >= F.col("n_true")).alias("no_false_negative"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+OP_BLOOM_SEMI_JOIN_SQL = f"""
+WITH dim AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE '%red%'
+),
+bits AS (
+  SELECT DISTINCT
+    CAST(('0x' || substr(md5('j' || g.i || ':' || CAST(p_partkey AS VARCHAR)), 1, 3))
+         AS BIGINT) AS pos
+  FROM dim CROSS JOIN (SELECT unnest(range({BSJ_K})) AS i) g
+),
+keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+key_verdict AS (
+  SELECT l_partkey,
+    ((SELECT COUNT(*) FROM (SELECT unnest(range({BSJ_K})) AS i) g
+      WHERE CAST(('0x' || substr(md5('j' || g.i || ':'
+                 || CAST(l_partkey AS VARCHAR)), 1, 3)) AS BIGINT)
+            IN (SELECT pos FROM bits)) = {BSJ_K}) AS passed,
+    EXISTS (SELECT 1 FROM dim d WHERE d.p_partkey = keys.l_partkey) AS is_true
+  FROM keys
+)
+SELECT l.l_returnflag,
+  CAST(COUNT(*) AS BIGINT) AS n_fact,
+  CAST(SUM(CASE WHEN kv.passed THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  CAST(SUM(CASE WHEN kv.is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+  round((SUM(CASE WHEN kv.passed THEN 1 ELSE 0 END)
+         - SUM(CASE WHEN kv.is_true THEN 1 ELSE 0 END))
+        / CAST(SUM(CASE WHEN kv.passed THEN 1 ELSE 0 END) AS DOUBLE), 6)
+    AS fp_share_of_pass,
+  SUM(CASE WHEN kv.passed THEN 1 ELSE 0 END)
+    >= SUM(CASE WHEN kv.is_true THEN 1 ELSE 0 END) AS no_false_negative
+FROM lineitem l JOIN key_verdict kv ON kv.l_partkey = l.l_partkey
+GROUP BY l.l_returnflag
+ORDER BY l.l_returnflag
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_bloom_semi_join": op_bloom_semi_join,
+    "op_running_total": op_running_total,
     "op_triangle_count": op_triangle_count,
     "op_fuzzy_join": op_fuzzy_join,
     "op_gini": op_gini,
@@ -1771,6 +1936,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_bloom_semi_join": OP_BLOOM_SEMI_JOIN_SQL,
+    "op_running_total": OP_RUNNING_TOTAL_SQL,
     "op_triangle_count": OP_TRIANGLE_COUNT_SQL,
     "op_fuzzy_join": OP_FUZZY_JOIN_SQL,
     "op_gini": OP_GINI_SQL,

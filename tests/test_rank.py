@@ -59,3 +59,31 @@ def test_no_unpartitioned_window_in_plan(spark):
     # sanity: the detector DOES flag the naive formulation
     naive = df.withColumn("t", F.ntile(5).over(Window.orderBy("v", "id")))
     assert len(pi.unpartitioned_windows(naive)) == 1
+
+
+@pytest.mark.parametrize("n,parts", [(0, 4), (1, 4), (97, 8), (1000, 16)])
+def test_cumsum_exact(spark, n, parts):
+    from iceberg_query_engine_spark.operators.rank import cumsum_by_range
+
+    # decimal values: order-independent addition (the function's contract)
+    df = _corpus(spark, n).select(
+        "id", "v", ((F.col("v") + 100) / 4).cast("decimal(18,2)").alias("x")
+    )
+    got = cumsum_by_range(df, ["v", "id"], "x", out="run", num_partitions=parts)
+    want = df.withColumn(
+        "run",
+        F.sum("x").over(
+            Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    assert sorted(map(str, got.collect())) == sorted(map(str, want.collect()))
+
+
+def test_cumsum_no_unpartitioned_window(spark):
+    from iceberg_query_engine_spark.operators.rank import cumsum_by_range
+
+    df = _corpus(spark, 300).select(
+        "id", "v", F.col("v").cast("decimal(18,2)").alias("x")
+    )
+    got = cumsum_by_range(df, ["v", "id"], "x", out="run", num_partitions=8)
+    assert pi.unpartitioned_windows(got) == []
