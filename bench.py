@@ -66,7 +66,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "op_iv_woe",
     "op_running_total",
     "op_bloom_semi_join",
-    "op_triangle_count",
+    # op_triangle_count deliberately NOT benched: triangle counting is
+    # inherently Σ outdeg² (20-40 s at sf0.1) and its shuffle residue
+    # degrades every query timed after it in the shared JVM — it stays
+    # oracle-validated at sf0.01 in the test suite.
     "ev_pattern_match",
 )
 
@@ -102,25 +105,15 @@ def main() -> None:
             fn(spark, sf_dir).explain(mode="formatted")
         times[name] = round(best, 4)
 
-    # extension operators (headline value stays the BASELINE-comparable
-    # TPC-H total; these timings are recorded alongside)
-    from iceberg_query_engine_spark.queries import catalog
-
-    all_q = catalog.all_queries()
-    extras = {name: all_q[name] for name in BENCH_EXTRAS}
-    for name, fn in extras.items():
-        best = float("inf")
-        for _ in range(repeat):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 4)
-
     # The genuine (unadapted) TPC-H 22 over the full 8-table generated
     # corpus at the same sf — the BASELINE-comparable number on the
     # reference's own query texts, not the driver-schema adaptations.
     # Corpus is generated once per sf and cached (committed for
-    # sf0.001/sf0.01; ~30s one-time at sf0.1).
+    # sf0.001/sf0.01; ~30s one-time at sf0.1). Runs BEFORE the
+    # extension extras: the heavy extras' shuffle residue measurably
+    # degrades later queries in the shared JVM (q7 0.6 s standalone →
+    # 2.1 s after a 60M-row wedge join), and the headline numbers must
+    # not pay that tail.
     from iceberg_query_engine_spark.plans.rewrites import apply_rewrites
     from iceberg_query_engine_spark.queries import tpch_full
 
@@ -133,6 +126,26 @@ def main() -> None:
             spark.sql(apply_rewrites(tpch_full.QUERY_TEXTS[n])).collect()
             best = min(best, time.perf_counter() - t0)
         times[f"tpchfull_q{n}"] = round(best, 4)
+
+    # extension operators (headline value stays the BASELINE-comparable
+    # TPC-H total; these timings are recorded alongside)
+    import gc
+
+    from iceberg_query_engine_spark.queries import catalog
+
+    all_q = catalog.all_queries()
+    extras = {name: all_q[name] for name in BENCH_EXTRAS}
+    for name, fn in extras.items():
+        best = float("inf")
+        for _ in range(repeat):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 4)
+        # release localCheckpoint RDDs / cached frames an op may have
+        # pinned, so one op's residue doesn't tax the next one's timing
+        spark.catalog.clearCache()
+        gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     tpch_total = sum(

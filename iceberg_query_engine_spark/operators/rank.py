@@ -106,6 +106,7 @@ def cumsum_by_range(
     out: str = "running",
     num_partitions: int | None = None,
     checkpoint: bool = True,
+    rank_out: str | None = None,
 ) -> DataFrame:
     """Exact global running total over ``order_cols`` without a
     single-partition window — the cumulative-sum twin of
@@ -119,6 +120,10 @@ def cumsum_by_range(
     bit-identical to the ``SUM() OVER (ORDER BY ...)`` it replaces
     (floats would drift at the ulp level and can flip a rounded 4th
     decimal ~1e9 rows in). Cast upstream: ``col.cast("decimal(18,2)")``.
+
+    ``rank_out``: also emit the exact global ``row_number`` under that
+    name — FUSED into the same shuffle/checkpoint/offsets-collect (a
+    separate ranked_by_range call would pay the range exchange twice).
     """
     cols = _as_columns(order_cols)
     n_part = _pick_partitions(df, num_partitions)
@@ -130,26 +135,31 @@ def cumsum_by_range(
     if checkpoint:
         part = part.localCheckpoint(eager=True)
 
-    sums = {
-        row[pid_c]: row["s"]
-        for row in part.groupBy(pid_c).agg(F.sum(value_col).alias("s")).collect()
+    stats = {
+        row[pid_c]: (row["s"], row["c"])
+        for row in part.groupBy(pid_c)
+        .agg(F.sum(value_col).alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
     }
-    offsets = {}
-    acc = 0
-    for pid in sorted(sums):
+    offsets: dict[int, object] = {}
+    rank_offsets: dict[int, int] = {}
+    acc: object = 0
+    racc = 0
+    for pid in sorted(stats):
         offsets[pid] = acc
-        acc += sums[pid] if sums[pid] is not None else 0
+        rank_offsets[pid] = racc
+        s, c = stats[pid]
+        acc += s if s is not None else 0
+        racc += c
 
-    if offsets:
-        off_map = F.create_map(
-            *[
-                lit
-                for pid, off in offsets.items()
-                for lit in (F.lit(pid), F.lit(off))
-            ]
+    def _mk_map(d):
+        if not d:
+            return F.create_map()
+        return F.create_map(
+            *[lit for pid, off in d.items() for lit in (F.lit(pid), F.lit(off))]
         )
-    else:
-        off_map = F.create_map()
+
+    off_map = _mk_map(offsets)
     w = (
         Window.partitionBy(pid_c)
         .orderBy(*cols)
@@ -160,6 +170,13 @@ def cumsum_by_range(
         F.sum(value_col).over(w)
         + F.coalesce(F.try_element_at(off_map, F.col(pid_c)), F.lit(0)),
     )
+    if rank_out is not None:
+        roff_map = _mk_map(rank_offsets)
+        run = run.withColumn(
+            rank_out,
+            F.row_number().over(Window.partitionBy(pid_c).orderBy(*cols)).cast("long")
+            + F.coalesce(F.try_element_at(roff_map, F.col(pid_c)), F.lit(0)),
+        )
     return run.drop(pid_c)
 
 

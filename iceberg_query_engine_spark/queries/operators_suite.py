@@ -1754,7 +1754,7 @@ def op_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     RUNNING_EVERY-th rank is emitted (thinning the print, not the
     computation).
     """
-    from ..operators.rank import cumsum_by_range, ranked_by_range
+    from ..operators.rank import cumsum_by_range
 
     (orders,) = tables(spark, sf_dir, "orders")
     base = orders.select(
@@ -1762,8 +1762,9 @@ def op_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate",
         F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
     )
-    run = cumsum_by_range(base, ["o_orderdate", "o_orderkey"], "price", out="running")
-    ranked, _ = ranked_by_range(run, ["o_orderdate", "o_orderkey"], out="rn")
+    ranked = cumsum_by_range(
+        base, ["o_orderdate", "o_orderkey"], "price", out="running", rank_out="rn"
+    )
     return (
         ranked.filter(F.col("rn") % RUNNING_EVERY == 0)
         .select(
