@@ -72,6 +72,12 @@ PIPELINE_OPS = [
     # big-corpus point (500k docs / 10M events per --sf 10 unit)
     "text_zipf_fit",
     "ev_rfm",
+    # appended r6 session 2: radius retrieval + the event-grid ops
+    "sim_range_search",
+    "ev_survival",
+    "ev_ewma",
+    "ev_stl",
+    "ev_pattern_match",
 ]
 
 
@@ -107,7 +113,7 @@ def pipeline_bench(args) -> int:
         generate_tpch(
             spark, args.sf, gen_dir,
             single_file=args.sf <= 1,
-            only={"documents", "embeddings"},
+            only={"documents", "embeddings", "events"},
         )
         print(f"generated {gen_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
     tune_for_corpus(spark, gen_dir, cpus=args.cpus)

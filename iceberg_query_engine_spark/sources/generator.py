@@ -161,6 +161,12 @@ def generate_tpch(
             for c, unit in _TS_COLS.get(name, []):
                 to_ts = {"us": F.timestamp_micros, "ms": F.timestamp_millis}[unit]
                 df = df.withColumn(c, to_ts(F.col(c)))
+            # match /root/testdata's timestamp[us] encoding — the stock
+            # INT96 output reads back as arrow timestamp[ns], which
+            # downstream footer-driven readers must special-case
+            spark.conf.set(
+                "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+            )
             df.write.mode("overwrite").parquet(dest)
             return spark.read.parquet(dest).count()
         tmp = os.path.join(out_dir, f"_tmp_{name}")

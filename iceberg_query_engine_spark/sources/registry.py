@@ -56,8 +56,26 @@ def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
         schema = pq.read_schema(target)
     except Exception:
         return df
+    # INT96 legacy timestamps ALSO surface as timestamp[ns] in arrow,
+    # but Spark reads them as TIMESTAMP natively (nanosAsLong only
+    # affects INT64-ns) — converting those would div a TIMESTAMP.
+    int96_cols: set[str] = set()
+    try:
+        md = pq.ParquetFile(target).metadata
+        if md.num_row_groups:
+            rg = md.row_group(0)
+            for i in range(rg.num_columns):
+                col = rg.column(i)
+                if col.physical_type == "INT96":
+                    int96_cols.add(col.path_in_schema)
+    except Exception:
+        pass
     for field in schema:
-        if str(field.type) == "timestamp[ns]" and field.name in df.columns:
+        if (
+            str(field.type) == "timestamp[ns]"
+            and field.name in df.columns
+            and field.name not in int96_cols
+        ):
             # Exact integer division: float division loses µs precision
             # (ns epochs ~1.7e18 exceed double's 53-bit mantissa).
             df = df.withColumn(
