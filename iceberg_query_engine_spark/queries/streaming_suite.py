@@ -13,11 +13,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from ..queries.events_suite import EV_ANOMALY_SQL as _EV_ANOMALY_SQL
+from ..queries.events_suite import EV_EWMA_SQL as _EV_EWMA_SQL
 from ..streaming import jobs, stateful
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling": jobs.stream_tumbling,
     "stream_anomaly": jobs.stream_anomaly,
+    "stream_ewma": jobs.stream_ewma,
     "stream_sliding": jobs.stream_sliding,
     "stream_join": jobs.stream_join,
     "stream_static_enrich": jobs.stream_static_enrich,
@@ -30,6 +32,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "stream_tumbling": jobs.STREAM_TUMBLING_SQL,
     "stream_anomaly": _EV_ANOMALY_SQL,
+    "stream_ewma": _EV_EWMA_SQL,
     "stream_sliding": jobs.STREAM_SLIDING_SQL,
     "stream_join": jobs.STREAM_JOIN_SQL,
     "stream_static_enrich": jobs.STREAM_STATIC_ENRICH_SQL,

@@ -131,6 +131,56 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ev_ewma: the hourly per-type means are
+    maintained INCREMENTALLY by a watermarked tumbling-window stream
+    (state = open windows only, grid-sized); the sequential EWMA
+    recursion then runs per type on the sink table via the SAME
+    applyInPandas kernel as the batch twin — the smoother's cost is
+    the hourly grid, never the raw event volume. Shares EV_EWMA_SQL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..queries.events_suite import EWMA_ALPHA
+
+    events = read_event_stream(spark, sf_dir)
+    agg = (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.avg("value").alias("av"))
+    )
+    name = "mem_stream_ewma"
+    _run_to_completion(agg, name)
+    hourly = spark.table(name).select(
+        "event_type",
+        F.unix_timestamp(F.col("w").getField("start")).alias("t"),
+        F.round(F.col("av"), 6).alias("v"),
+    )
+    a = EWMA_ALPHA
+
+    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        y = pdf["v"].to_numpy(dtype=np.float64)
+        s = np.empty(len(y), dtype=np.float64)
+        s[0] = y[0]
+        for i in range(1, len(y)):
+            s[i] = a * y[i] + (1 - a) * s[i - 1]
+        scaled = s * 1e6  # DuckDB tie rule — see ev_ewma
+        rounded = (
+            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
+        )
+        return pd.DataFrame(
+            {"event_type": pdf["event_type"], "t": pdf["t"], "v": y, "ewma": rounded}
+        )
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(ewma, "event_type string, t bigint, v double, ewma double")
+        .orderBy("event_type", "t")
+    )
+
+
 def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ev_anomaly: the hourly per-type counts are
     maintained INCREMENTALLY by a watermarked tumbling-window stream

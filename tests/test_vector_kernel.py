@@ -9,6 +9,7 @@ multi-probe bucket mask.
 
 from __future__ import annotations
 
+import math
 import numpy as np
 import pandas as pd
 import pytest
@@ -344,3 +345,69 @@ def test_semantic_window_cluster_boundary_isolation():
     # first row of each cluster has no predecessor; others point inside
     assert got["vec_id"].tolist() == [1, 2, 4, 5]
     assert got["dup_of"].tolist() == [0, 0, 3, 3]
+
+
+# ---------------------------------------------------------------------------
+# multi_query_range_fn (radius search)
+
+
+def _reference_range(df: pd.DataFrame, q: np.ndarray, qids, tau):
+    """Sequential-fold cosine, rounded to 6, thresholded — the oracle's
+    arithmetic, independent of the kernel's vectorized fold."""
+    out = set()
+    qn = [math.sqrt(math.fsum(x * x for x in row)) for row in q]
+    for r in df.itertuples():
+        v = np.asarray(r.v, dtype=np.float64)
+        vn2 = 0.0
+        for x in v:
+            vn2 += x * x
+        vn = math.sqrt(vn2)
+        for j, qrow in enumerate(q):
+            dot = 0.0
+            for i in range(len(qrow)):
+                dot += v[i] * qrow[i]
+            cos = round(dot / (vn * qn[j]), 6)
+            if cos >= tau:
+                out.add((int(qids[j]), int(r.n_id), cos))
+    return out
+
+
+def test_range_search_matches_reference_any_batching():
+    from iceberg_query_engine_spark.functions.vector import multi_query_range_fn
+
+    corpus = _corpus(300)
+    q = RNG.normal(size=(4, 8))
+    qids = np.array([0, 1, 2, 3])
+    tau = 0.25
+    for nsplit in (1, 3, 7, 299):
+        fn = multi_query_range_fn(q, qids, tau)
+        got = {
+            (int(r.q_id), int(r.n_id), r.cosine)
+            for r in _run(fn, _split(corpus, nsplit)).itertuples()
+        }
+        # set equality on (q, n); cosines compared bit-exact below
+        assert {(a, b) for a, b, _ in got} == {
+            (a, b) for a, b, _ in _reference_range(corpus, q, qids, tau)
+        }, f"nsplit={nsplit}"
+
+
+def test_range_search_cosines_bit_identical_across_batch_sizes():
+    from iceberg_query_engine_spark.functions.vector import multi_query_range_fn
+
+    corpus = _corpus(128)
+    q = RNG.normal(size=(2, 8))
+    qids = np.array([10, 11])
+    a = _run(multi_query_range_fn(q, qids, 0.0), [corpus])
+    b = _run(multi_query_range_fn(q, qids, 0.0), _split(corpus, 17))
+    am = {(r.q_id, r.n_id): r.cosine for r in a.itertuples()}
+    bm = {(r.q_id, r.n_id): r.cosine for r in b.itertuples()}
+    assert am == bm  # exact float equality
+
+
+def test_range_search_empty_below_threshold():
+    from iceberg_query_engine_spark.functions.vector import multi_query_range_fn
+
+    corpus = _corpus(50)
+    q = RNG.normal(size=(1, 8))
+    fn = multi_query_range_fn(q, np.array([0]), 1.1)  # cosine can't exceed 1
+    assert len(_run(fn, [corpus])) == 0
