@@ -278,13 +278,25 @@ def main(argv: list[str] | None = None) -> int:
     )
     c_p.add_argument("--descriptor", required=True)
     c_p.add_argument("--query")
+    br_p = sub.add_parser(
+        "branch",
+        help="iceberg-lite ref management (create/tag/list/drop/"
+        "fast-forward) — the write-audit-publish control surface",
+    )
+    br_p.add_argument("--table", required=True, help="iceberg-lite table path")
+    br_p.add_argument(
+        "action", choices=["list", "create", "tag", "drop", "fast-forward"]
+    )
+    br_p.add_argument("name", nargs="?", help="ref name (not needed for list)")
+    br_p.add_argument("--at", type=int, help="snapshot id for create/tag")
+    br_p.add_argument("--to", help="source ref for fast-forward")
     args = p.parse_args(argv)
 
     eng = Engine()
     if args.cmd == "benchmark-parquet":
         args.sf_dir = args.path
         args.repeat = args.iterations
-    if args.cmd not in ("generate-parquet", "load-parquet", "catalog"):
+    if args.cmd not in ("generate-parquet", "load-parquet", "catalog", "branch"):
         eng.register_sf_dir(args.sf_dir)
 
     if args.cmd == "sql":
@@ -346,6 +358,25 @@ def main(argv: list[str] | None = None) -> int:
             print(name)
         if args.query:
             print(_fmt_table(eng.sql(args.query)))
+    elif args.cmd == "branch":
+        from .sources import iceberg_lite as il
+
+        t = il.IcebergLiteTable(args.table)
+        if args.action == "list":
+            for name, r in sorted(t.refs().items()):
+                print(f"{name:>16}  {r['type']:>6}  snapshot {r['snapshot_id']}")
+        elif args.action == "create":
+            sid = il.create_branch(args.table, args.name, at_snapshot=args.at)
+            print(f"branch {args.name} -> snapshot {sid}")
+        elif args.action == "tag":
+            sid = il.create_tag(args.table, args.name, at_snapshot=args.at)
+            print(f"tag {args.name} -> snapshot {sid}")
+        elif args.action == "drop":
+            il.drop_ref(args.table, args.name)
+            print(f"dropped {args.name}")
+        elif args.action == "fast-forward":
+            sid = il.fast_forward(args.table, args.name, args.to)
+            print(f"{args.name} fast-forwarded to {args.to} (snapshot {sid})")
     elif args.cmd == "repl":
         from .repl import Repl
 

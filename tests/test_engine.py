@@ -302,3 +302,28 @@ def test_cli_catalog_subcommand(spark, sf_oracle, tmp_path, capsys):
     assert "cli_demo.nation" in out and "cli_demo.region" in out
     assert "25" in out
     spark.sql("DROP DATABASE IF EXISTS cli_demo CASCADE")
+
+
+def test_cli_branch_subcommand(spark, tmp_path, capsys):
+    """branch list/create/tag/fast-forward/drop drive the WAP surface
+    end-to-end from the CLI (surplus vs the reference's read-only
+    iceberg.rs; semantics match Iceberg's branch procedures)."""
+    from pyspark.sql import functions as F
+
+    from iceberg_query_engine_spark.engine import main
+    from iceberg_query_engine_spark.sources.iceberg_lite import write_snapshot
+
+    path = str(tmp_path / "t")
+    df = spark.range(5).select(F.col("id").alias("k"))
+    write_snapshot(df, path)
+
+    assert main(["branch", "--table", path, "create", "audit"]) == 0
+    write_snapshot(df, path, branch="audit")
+    assert main(["branch", "--table", path, "tag", "v1", "--at", "1"]) == 0
+    assert main(["branch", "--table", path, "list"]) == 0
+    out = capsys.readouterr().out
+    assert "audit" in out and "v1" in out and "main" in out
+    assert main(["branch", "--table", path, "fast-forward", "main", "--to", "audit"]) == 0
+    assert main(["branch", "--table", path, "drop", "audit"]) == 0
+    out = capsys.readouterr().out
+    assert "fast-forwarded" in out and "dropped audit" in out
