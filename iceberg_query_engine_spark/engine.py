@@ -361,6 +361,10 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "branch":
         from .sources import iceberg_lite as il
 
+        if args.action != "list" and not args.name:
+            p.error(f"branch {args.action} requires a ref name")
+        if args.action == "fast-forward" and not args.to:
+            p.error("branch fast-forward requires --to <source ref>")
         t = il.IcebergLiteTable(args.table)
         if args.action == "list":
             for name, r in sorted(t.refs().items()):

@@ -1622,7 +1622,79 @@ ORDER BY event_type, hod
 """
 
 
+# --------------------------------------------------------------------------
+def ev_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution: hours from a user's FIRST view
+    to their first purchase AFTER it, summarized as exact quartiles +
+    conversion share — the funnel's "how long" companion (ev_funnel
+    answers "how many").
+
+    Scale shape: two per-user aggregates (one shuffle each on
+    user_id — the second filter-joins purchases after the first view),
+    then ONE exact-percentile aggregate over the per-user delays
+    (users-sized input into a single partial+final agg, no window, no
+    sort of the raw stream).
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    # fractional epoch seconds (unix_timestamp TRUNCATES sub-second
+    # parts; DuckDB's epoch() keeps them — cast-to-double matches)
+    ts = F.col("ts").cast("timestamp").cast("double")
+    first_view = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts).alias("t_view"))
+    )
+    purch = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", ts.alias("t_p")
+    )
+    delays = (
+        first_view.join(purch, "user_id", "left")
+        .groupBy("user_id", "t_view")
+        .agg(
+            F.min(F.when(F.col("t_p") >= F.col("t_view"), F.col("t_p"))).alias(
+                "t_conv"
+            )
+        )
+        .select(
+            "user_id",
+            ((F.col("t_conv") - F.col("t_view")) / 3600.0).alias("delay_h"),
+        )
+    )
+    return delays.agg(
+        F.count(F.lit(1)).alias("n_viewers"),
+        F.count("delay_h").alias("n_converted"),
+        F.round(F.count("delay_h") / F.count(F.lit(1)), 6).alias("conversion"),
+        F.round(F.percentile("delay_h", F.lit(0.25)), 6).alias("p25_h"),
+        F.round(F.percentile("delay_h", F.lit(0.5)), 6).alias("median_h"),
+        F.round(F.percentile("delay_h", F.lit(0.75)), 6).alias("p75_h"),
+    )
+
+
+EV_TIME_TO_CONVERT_SQL = """
+WITH first_view AS (
+  SELECT user_id, MIN(epoch(CAST(ts AS TIMESTAMP))) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+delays AS (
+  SELECT fv.user_id,
+    (MIN(CASE WHEN epoch(CAST(p.ts AS TIMESTAMP)) >= fv.t_view
+         THEN epoch(CAST(p.ts AS TIMESTAMP)) END) - fv.t_view) / 3600.0 AS delay_h
+  FROM first_view fv
+  LEFT JOIN events p ON p.user_id = fv.user_id AND p.event_type = 'purchase'
+  GROUP BY fv.user_id, fv.t_view
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_viewers,
+  CAST(COUNT(delay_h) AS BIGINT) AS n_converted,
+  round(COUNT(delay_h) / CAST(COUNT(*) AS DOUBLE), 6) AS conversion,
+  round(quantile_cont(delay_h, 0.25), 6) AS p25_h,
+  round(quantile_cont(delay_h, 0.5), 6) AS median_h,
+  round(quantile_cont(delay_h, 0.75), 6) AS p75_h
+FROM delays
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_time_to_convert": ev_time_to_convert,
     "ev_stl": ev_stl,
     "ev_pattern_match": ev_pattern_match,
     "ev_survival": ev_survival,
@@ -1649,6 +1721,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_time_to_convert": EV_TIME_TO_CONVERT_SQL,
     "ev_stl": EV_STL_SQL,
     "ev_pattern_match": _pattern_oracle(),
     "ev_survival": EV_SURVIVAL_SQL,
