@@ -1902,7 +1902,193 @@ ORDER BY l.l_returnflag
 """
 
 
+# --------------------------------------------------------------------------
+FI_MIN_SUPPORT = 3  # absolute pair-support floor (sf-dependent; ~60 pairs at sf0.01)
+FI_TOP = 25
+
+
+def op_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent item pairs with lift (A-Priori's second pass, the
+    market-basket primitive): parts co-occurring in ≥ FI_MIN_SUPPORT
+    orders, scored by lift = P(ab)/(P(a)·P(b)).
+
+    Scale shape: the pair stream is one co-partitioned self-join on
+    the order key (map-side pair emission, partial+final count) —
+    never an all-pairs product over the catalog; item supports are one
+    aggregate; the support floor prunes BEFORE the lift join (the
+    A-Priori downward-closure trick), so the join input is
+    frequent-pairs-sized. Top-N is TakeOrderedAndProject.
+    """
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_orders = li.select("l_orderkey").distinct().count()  # scalar, bounded
+    pairs = (
+        li.alias("a")
+        .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("item_a"),
+            F.col("b.l_partkey").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= FI_MIN_SUPPORT)
+    )
+    items = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).alias("item_n")
+    )
+    return (
+        pairs.join(items.withColumnRenamed("item", "item_a")
+                   .withColumnRenamed("item_n", "n_a"), "item_a")
+        .join(items.withColumnRenamed("item", "item_b")
+              .withColumnRenamed("item_n", "n_b"), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.round(
+                (F.col("support") / F.lit(float(n_orders)))
+                / ((F.col("n_a") / F.lit(float(n_orders)))
+                   * (F.col("n_b") / F.lit(float(n_orders)))),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("support").desc(), "item_a", "item_b")
+        .limit(FI_TOP)
+    )
+
+
+OP_FREQ_ITEMSETS_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_orders FROM li),
+pairs AS (
+  SELECT a.l_partkey AS item_a, b.l_partkey AS item_b, COUNT(*) AS support
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {FI_MIN_SUPPORT}
+),
+items AS (SELECT l_partkey AS item, COUNT(*) AS item_n FROM li GROUP BY 1)
+SELECT p.item_a, p.item_b, CAST(p.support AS BIGINT) AS support,
+  round((p.support / n.n_orders)
+        / ((ia.item_n / n.n_orders) * (ib.item_n / n.n_orders)), 6) AS lift
+FROM pairs p
+JOIN items ia ON ia.item = p.item_a
+JOIN items ib ON ib.item = p.item_b
+CROSS JOIN n
+ORDER BY support DESC, item_a, item_b
+LIMIT {FI_TOP}
+"""
+
+
+# --------------------------------------------------------------------------
+def op_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a CDC change stream (I/U/D ops with sequence numbers) to a
+    base table in ONE batch — the Debezium-consumer primitive. The
+    change log is synthesized deterministically from orders: every
+    20th key gets an Update (+10% price), every 30th a Delete, keys
+    900..949 are Inserts; sequence = the change's rank for the key.
+
+    Semantics: latest change per key wins (max sequence); D removes the
+    row; U/I upserts. Scale shape: latest-change reduction is ONE
+    aggregate on the key (max_by struct — no window), the apply is a
+    full outer join base⟗changes — both sides shuffle once on the key,
+    exactly the MERGE INTO physical shape.
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") < 900).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = orders.filter(
+        (F.col("o_orderkey") < 900) & (F.col("o_orderkey") % 20 == 0)
+    ).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        F.lit(1).alias("seq"),
+        F.round(F.col("o_totalprice") * 1.1, 2).alias("new_price"),
+    )
+    deletes = orders.filter(
+        (F.col("o_orderkey") < 900) & (F.col("o_orderkey") % 30 == 0)
+    ).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(2).alias("seq"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    inserts = orders.filter(F.col("o_orderkey").between(900, 949)).select(
+        "o_orderkey",
+        F.lit("I").alias("op"),
+        F.lit(1).alias("seq"),
+        F.col("o_totalprice").alias("new_price"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    latest = changes.groupBy("o_orderkey").agg(
+        F.max(F.struct("seq", "op", "new_price")).alias("c")
+    ).select(
+        "o_orderkey",
+        F.col("c.op").alias("op"),
+        F.col("c.new_price").alias("new_price"),
+    )
+    applied = (
+        base.join(latest, "o_orderkey", "full_outer")
+        .filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.round(
+                F.coalesce(F.col("new_price"), F.col("o_totalprice")), 2
+            ).alias("price"),
+            F.coalesce(F.col("op"), F.lit("=")).alias("last_op"),
+        )
+    )
+    return (
+        applied.groupBy("last_op")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .orderBy("last_op")
+    )
+
+
+OP_CDC_APPLY_SQL = """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 900
+),
+changes AS (
+  SELECT o_orderkey, 'U' AS op, 1 AS seq,
+         round(o_totalprice * 1.1, 2) AS new_price
+  FROM orders WHERE o_orderkey < 900 AND o_orderkey % 20 = 0
+  UNION ALL
+  SELECT o_orderkey, 'D', 2, NULL
+  FROM orders WHERE o_orderkey < 900 AND o_orderkey % 30 = 0
+  UNION ALL
+  SELECT o_orderkey, 'I', 1, o_totalprice
+  FROM orders WHERE o_orderkey BETWEEN 900 AND 949
+),
+latest AS (
+  SELECT o_orderkey, op, new_price FROM (
+    SELECT o_orderkey, op, new_price,
+           row_number() OVER (PARTITION BY o_orderkey
+                              ORDER BY seq DESC, op DESC,
+                                       new_price DESC NULLS LAST) AS rk
+    FROM changes
+  ) WHERE rk = 1
+),
+applied AS (
+  SELECT COALESCE(b.o_orderkey, l.o_orderkey) AS o_orderkey,
+         round(COALESCE(l.new_price, b.o_totalprice), 2) AS price,
+         COALESCE(l.op, '=') AS last_op
+  FROM base b FULL OUTER JOIN latest l ON l.o_orderkey = b.o_orderkey
+  WHERE l.op IS NULL OR l.op <> 'D'
+)
+SELECT last_op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(SUM(price), 2) AS total_price
+FROM applied GROUP BY last_op ORDER BY last_op
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_freq_itemsets": op_freq_itemsets,
+    "op_cdc_apply": op_cdc_apply,
     "op_bloom_semi_join": op_bloom_semi_join,
     "op_running_total": op_running_total,
     "op_triangle_count": op_triangle_count,
@@ -1937,6 +2123,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_freq_itemsets": OP_FREQ_ITEMSETS_SQL,
+    "op_cdc_apply": OP_CDC_APPLY_SQL,
     "op_bloom_semi_join": OP_BLOOM_SEMI_JOIN_SQL,
     "op_running_total": OP_RUNNING_TOTAL_SQL,
     "op_triangle_count": OP_TRIANGLE_COUNT_SQL,
