@@ -592,7 +592,62 @@ ORDER BY scope, o_orderstatus
 """
 
 
+def iceberg_snapshots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg metadata tables (`table.snapshots` / `table.history`):
+    per-snapshot operation, parent, and rows-added computed from the
+    MANIFESTS ONLY — a metadata-scale scan (one JSON per snapshot,
+    never touching data files), exactly how Iceberg's snapshots
+    metadata table answers 'what changed when'. The oracle recomputes
+    expected added-row counts from the deterministic fixture filters.
+
+    Beyond reference: its iceberg.rs reads data snapshots but exposes
+    no metadata relations (/root/reference/src/physical/operators/
+    iceberg.rs:27-110)."""
+    import json as _json
+
+    path = _table(spark, sf_dir)
+    t = IcebergLiteTable(path)
+    rows = []
+    prev_files: set[str] = set()
+    for s in t.snapshots():
+        with open(os.path.join(path, s["manifest_list"])) as f:
+            manifests = _json.load(f)
+        added = 0
+        files: set[str] = set()
+        for m in manifests:
+            with open(os.path.join(path, m["manifest_path"])) as f:
+                for e in _json.load(f)["entries"]:
+                    df_entry = e["data_file"]
+                    files.add(df_entry["file_path"])
+                    if df_entry["file_path"] not in prev_files:
+                        added += df_entry.get("record_count", 0)
+        rows.append(
+            (
+                s["snapshot_id"],
+                s.get("parent_snapshot_id"),
+                s["summary"]["operation"],
+                added,
+            )
+        )
+        prev_files = files
+    return spark.createDataFrame(
+        rows, "snapshot_id bigint, parent_id bigint, operation string, rows_added bigint"
+    ).orderBy("snapshot_id")
+
+
+ICEBERG_SNAPSHOTS_META_SQL = """
+SELECT 1 AS snapshot_id, CAST(NULL AS BIGINT) AS parent_id,
+       'append' AS operation,
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey < 500) AS rows_added
+UNION ALL
+SELECT 2, 1, 'append',
+       (SELECT COUNT(*) FROM orders WHERE o_orderkey BETWEEN 500 AND 999)
+ORDER BY snapshot_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "iceberg_snapshots_meta": iceberg_snapshots_meta,
     "iceberg_wap": iceberg_wap,
     "catalog_join": catalog_join,
     "iceberg_time_travel": iceberg_time_travel,
@@ -606,6 +661,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "iceberg_snapshots_meta": ICEBERG_SNAPSHOTS_META_SQL,
     "iceberg_wap": ICEBERG_WAP_SQL,
     "catalog_join": CATALOG_JOIN_SQL,
     "iceberg_time_travel": ICEBERG_TIME_TRAVEL_SQL,

@@ -2086,7 +2086,58 @@ FROM applied GROUP BY last_op ORDER BY last_op
 """
 
 
+# --------------------------------------------------------------------------
+def op_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-key join decomposed into a UNION of equi-joins — the rewrite
+    engines need because a join on `a.x = b.x OR a.y = b.y` has no
+    single hash key and falls back to a nested-loop product. Here:
+    customer matches supplier when they share a nation OR share the
+    exact account-balance cent value.
+
+    Scale shape: two independent shuffled equi-joins (each
+    hash-partitioned on its own key) + a distinct to dedupe rows
+    matching BOTH arms — cost is the sum of two hash joins instead of
+    |A|×|B|. The plan gate proves no BroadcastNestedLoopJoin/
+    CartesianProduct survives; the oracle runs DuckDB's native OR join
+    to pin equivalence.
+    """
+    customer, supplier = tables(spark, sf_dir, "customer", "supplier")
+    c = customer.select(
+        F.col("c_custkey"), F.col("c_nationkey"), F.col("c_acctbal")
+    )
+    s = supplier.select(
+        F.col("s_suppkey"), F.col("s_nationkey"), F.col("s_acctbal")
+    )
+    arm_nation = c.join(s, c.c_nationkey == s.s_nationkey).select(
+        "c_custkey", "s_suppkey"
+    )
+    arm_bal = c.join(s, c.c_acctbal == s.s_acctbal).select(
+        "c_custkey", "s_suppkey"
+    )
+    matched = arm_nation.unionByName(arm_bal).distinct()
+    return (
+        matched.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        .orderBy(F.col("n_suppliers").desc(), "c_custkey")
+        .limit(30)
+    )
+
+
+OP_DISJUNCTIVE_JOIN_SQL = """
+SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM (
+  SELECT DISTINCT c.c_custkey, s.s_suppkey
+  FROM customer c JOIN supplier s
+    ON c.c_nationkey = s.s_nationkey OR c.c_acctbal = s.s_acctbal
+)
+GROUP BY c_custkey
+ORDER BY n_suppliers DESC, c_custkey
+LIMIT 30
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_disjunctive_join": op_disjunctive_join,
     "op_freq_itemsets": op_freq_itemsets,
     "op_cdc_apply": op_cdc_apply,
     "op_bloom_semi_join": op_bloom_semi_join,
@@ -2123,6 +2174,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_disjunctive_join": OP_DISJUNCTIVE_JOIN_SQL,
     "op_freq_itemsets": OP_FREQ_ITEMSETS_SQL,
     "op_cdc_apply": OP_CDC_APPLY_SQL,
     "op_bloom_semi_join": OP_BLOOM_SEMI_JOIN_SQL,
