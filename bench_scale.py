@@ -106,16 +106,26 @@ def pipeline_bench(args) -> int:
     spark.sparkContext.setLogLevel("ERROR")
     sf_name = f"sf{args.sf:g}"
     gen_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "gen", sf_name)
-    if not os.path.exists(os.path.join(gen_dir, "documents.parquet")):
+    # per-table guard: a gen dir from before the events-needing ops
+    # existed has documents+embeddings but no events — generate exactly
+    # the missing tables instead of skipping on documents alone
+    needed = {"documents", "embeddings", "events"}
+    missing = {
+        t for t in needed
+        if not os.path.exists(os.path.join(gen_dir, f"{t}.parquet"))
+    }
+    if missing:
         t0 = time.perf_counter()
-        # The 14 ops read only documents+embeddings; directory output
-        # past sf1 (no driver-side concat of a multi-GB corpus).
         generate_tpch(
             spark, args.sf, gen_dir,
             single_file=args.sf <= 1,
-            only={"documents", "embeddings", "events"},
+            only=missing,
         )
-        print(f"generated {gen_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        print(
+            f"generated {sorted(missing)} in {gen_dir} "
+            f"in {time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
     tune_for_corpus(spark, gen_dir, cpus=args.cpus)
     n_docs = spark.read.parquet(os.path.join(gen_dir, "documents.parquet")).count()
     queries = all_queries()

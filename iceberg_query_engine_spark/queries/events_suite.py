@@ -1351,6 +1351,35 @@ ORDER BY t
 EWMA_ALPHA = 0.25  # exactly representable in binary
 
 
+def ewma_kernel(alpha: float):
+    """The per-series EWMA applyInPandas kernel, shared by ev_ewma and
+    streaming.jobs.stream_ewma (both validate against EV_EWMA_SQL — a
+    divergent copy would silently split the twins). Rounds
+    half-AWAY-from-zero to match DuckDB: with α dyadic and y exact
+    6-dp decimals, s hits exact .5 ties at the 7th digit structurally,
+    so python round's half-even diverges."""
+    import numpy as np
+    import pandas as pd
+
+    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        y = pdf["v"].to_numpy(dtype=np.float64)
+        s = np.empty(len(y), dtype=np.float64)
+        s[0] = y[0]
+        for i in range(1, len(y)):
+            s[i] = alpha * y[i] + (1 - alpha) * s[i - 1]
+        scaled = s * 1e6
+        rounded = (
+            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5))
+            / 1e6
+        )
+        return pd.DataFrame(
+            {"event_type": pdf["event_type"], "t": pdf["t"], "v": y, "ewma": rounded}
+        )
+
+    return ewma
+
+
 def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average per event_type over the
     hourly mean-value series (s_t = α·y_t + (1−α)·s_{t−1}, s_1 = y_1)
@@ -1363,41 +1392,17 @@ def ev_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     outputs rounded to 6 last so the recursive-CTE oracle replays the
     identical IEEE sequence.
     """
-    import numpy as np
-    import pandas as pd
-
     (events,) = tables(spark, sf_dir, "events")
     hourly = events.groupBy(
         "event_type",
         F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("t"),
     ).agg(F.round(F.avg("value"), 6).alias("v"))
-    a = EWMA_ALPHA
-
-    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("t").reset_index(drop=True)
-        y = pdf["v"].to_numpy(dtype=np.float64)
-        s = np.empty(len(y), dtype=np.float64)
-        s[0] = y[0]
-        for i in range(1, len(y)):
-            s[i] = a * y[i] + (1 - a) * s[i - 1]
-        # DuckDB round(x, 6) is half-AWAY-from-zero on the scaled
-        # double; python round is half-even — with α dyadic and y exact
-        # 6-dp decimals, s hits exact .5 ties at the 7th digit
-        # structurally, so the tie rule must match the oracle's.
-        scaled = s * 1e6
-        rounded = np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
-        return pd.DataFrame(
-            {
-                "event_type": pdf["event_type"],
-                "t": pdf["t"],
-                "v": y,
-                "ewma": rounded,
-            }
-        )
-
     return (
         hourly.groupBy("event_type")
-        .applyInPandas(ewma, "event_type string, t bigint, v double, ewma double")
+        .applyInPandas(
+            ewma_kernel(EWMA_ALPHA),
+            "event_type string, t bigint, v double, ewma double",
+        )
         .orderBy("event_type", "t")
     )
 

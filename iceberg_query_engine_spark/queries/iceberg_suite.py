@@ -512,6 +512,24 @@ def _wap_table(spark: SparkSession, sf_dir: str) -> str:
     dropped — main must never see it."""
     from ..sources.iceberg_lite import create_branch, create_tag, drop_ref, fast_forward
 
+    def _complete(p: str) -> bool:
+        """The 7-step build is done iff the final ref state holds — a
+        crash mid-build must trigger a rebuild, not poison the cache
+        (the metadata file alone appears after step 1)."""
+        if not os.path.exists(os.path.join(p, "metadata", "v0.metadata.json")):
+            return False
+        try:
+            t = IcebergLiteTable(p)
+            refs = t.refs()
+            return (
+                "v1" in refs
+                and "audit" in refs
+                and "audit_bad" not in refs
+                and refs["main"]["snapshot_id"] == refs["audit"]["snapshot_id"]
+            )
+        except Exception:
+            return False
+
     key = sf_dir
     if key in _WAP_CACHE and os.path.exists(_WAP_CACHE[key]):
         return _WAP_CACHE[key]
@@ -519,7 +537,10 @@ def _wap_table(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "iceberg_lite", sf_dir.strip("/").replace("/", "_"),
         "orders_wap",
     )
-    if not os.path.exists(os.path.join(path, "metadata", "v0.metadata.json")):
+    if not _complete(path):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         (orders,) = tables(spark, sf_dir, "orders")
         write_snapshot(orders.filter(F.col("o_orderkey") < 800), path)
         create_tag(path, "v1")

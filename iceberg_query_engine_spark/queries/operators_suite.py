@@ -1851,7 +1851,10 @@ def op_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("passed").cast("int")).cast("bigint").alias("n_pass"),
     )
     return (
-        stats.join(true_m, "l_returnflag")
+        # LEFT join: a returnflag whose parts never match the dim must
+        # still report (n_true = 0) — the oracle covers every key
+        stats.join(true_m, "l_returnflag", "left")
+        .withColumn("n_true", F.coalesce(F.col("n_true"), F.lit(0)))
         .select(
             "l_returnflag",
             "n_fact",

@@ -673,18 +673,27 @@ def fast_forward(path: str, branch: str, to_ref: str) -> int:
     with _commit_lock(path):
         table = IcebergLiteTable(path)
         refs = table.refs()
+        if refs.get(branch, {}).get("type") == "tag":
+            raise ValueError(
+                f"cannot fast-forward tag {branch!r} — tags are immutable"
+            )
         target = refs[to_ref]["snapshot_id"] if to_ref in refs else None
         if target is None:
             raise ValueError(f"unknown ref {to_ref!r}")
         base = refs.get(branch, {}).get("snapshot_id")
-        # ancestor walk along parent chain
+        # ancestor walk along parent chain; an expired (missing)
+        # intermediate snapshot means we cannot PROVE ancestry → refuse
+        # cleanly instead of crashing
         cur: int | None = target
         ok = base is None
         while cur is not None and not ok:
             if cur == base:
                 ok = True
                 break
-            cur = table._snapshot(cur).get("parent_snapshot_id")
+            try:
+                cur = table._snapshot(cur).get("parent_snapshot_id")
+            except FileNotFoundError:
+                cur = None
         if not ok:
             raise ValueError(
                 f"{branch!r} ({base}) is not an ancestor of {to_ref!r} ({target}); "
@@ -964,20 +973,37 @@ def expire_snapshots(
         # every named ref's head is protected (Iceberg: expire never
         # drops a snapshot a branch/tag points at); snapshots on NO
         # ref's ancestor chain (e.g. a dropped audit branch's commits)
-        # are unreachable and expire unconditionally
-        ref_heads = {r["snapshot_id"] for r in table.refs().values()}
+        # are unreachable and expire unconditionally; snapshots on a
+        # NON-main ref's chain are protected entirely — fast_forward
+        # must be able to walk the chain from a live branch's head back
+        # to main, so expiring a mid-chain ancestor would strand the
+        # branch unpublishable (main's own history keeps the normal
+        # retention rules).
+        refs = table.refs()
+        ref_heads = {r["snapshot_id"] for r in refs.values()}
         snaps = table.snapshots()
         by_id = {s["snapshot_id"]: s for s in snaps}
-        reachable: set[int] = set()
-        for head in ref_heads:
-            cur: int | None = head
-            while cur is not None and cur not in reachable:
-                reachable.add(cur)
+
+        def _chain(head: int | None) -> set[int]:
+            out: set[int] = set()
+            cur = head
+            while cur is not None and cur not in out:
+                out.add(cur)
                 cur = by_id.get(cur, {}).get("parent_snapshot_id")
+            return out
+
+        reachable: set[int] = set()
+        side_chain: set[int] = set()
+        for name, r in refs.items():
+            c = _chain(r["snapshot_id"])
+            reachable |= c
+            if name != "main":
+                side_chain |= c
+        side_chain -= _chain(refs.get("main", {}).get("snapshot_id"))
         expire: list[int] = []
         for s in snaps:
             sid = s["snapshot_id"]
-            if sid == current or sid in ref_heads:
+            if sid == current or sid in ref_heads or sid in side_chain:
                 continue
             if sid not in reachable:
                 expire.append(sid)

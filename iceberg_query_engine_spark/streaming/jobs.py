@@ -139,10 +139,7 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas kernel as the batch twin — the smoother's cost is
     the hourly grid, never the raw event volume. Shares EV_EWMA_SQL.
     """
-    import numpy as np
-    import pandas as pd
-
-    from ..queries.events_suite import EWMA_ALPHA
+    from ..queries.events_suite import EWMA_ALPHA, ewma_kernel
 
     events = read_event_stream(spark, sf_dir)
     agg = (
@@ -157,26 +154,12 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.col("w").getField("start")).alias("t"),
         F.round(F.col("av"), 6).alias("v"),
     )
-    a = EWMA_ALPHA
-
-    def ewma(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values("t").reset_index(drop=True)
-        y = pdf["v"].to_numpy(dtype=np.float64)
-        s = np.empty(len(y), dtype=np.float64)
-        s[0] = y[0]
-        for i in range(1, len(y)):
-            s[i] = a * y[i] + (1 - a) * s[i - 1]
-        scaled = s * 1e6  # DuckDB tie rule — see ev_ewma
-        rounded = (
-            np.where(scaled >= 0, np.floor(scaled + 0.5), np.ceil(scaled - 0.5)) / 1e6
-        )
-        return pd.DataFrame(
-            {"event_type": pdf["event_type"], "t": pdf["t"], "v": y, "ewma": rounded}
-        )
-
     return (
         hourly.groupBy("event_type")
-        .applyInPandas(ewma, "event_type string, t bigint, v double, ewma double")
+        .applyInPandas(
+            ewma_kernel(EWMA_ALPHA),
+            "event_type string, t bigint, v double, ewma double",
+        )
         .orderBy("event_type", "t")
     )
 

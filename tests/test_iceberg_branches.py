@@ -106,3 +106,31 @@ def test_snapshot_ids_globally_unique_across_branches(spark, base):
     meta_dir = os.path.join(path, "metadata")
     snaps = [f for f in os.listdir(meta_dir) if f.startswith("snap-")]
     assert len(snaps) == 3  # base + branch + main, no overwrite
+
+
+def test_fast_forward_refuses_tags(spark, base):
+    path, df = base
+    create_tag(path, "v1")
+    create_branch(path, "dev")
+    write_snapshot(df, path, branch="dev")
+    with pytest.raises(ValueError, match="immutable"):
+        fast_forward(path, "v1", "dev")
+    # the tag still points where it was created and stays a tag
+    t = IcebergLiteTable(path)
+    assert t.refs()["v1"] == {"snapshot_id": 1, "type": "tag"}
+
+
+def test_expire_protects_live_branch_chain(spark, base):
+    """A live branch's mid-chain ancestors must survive expiry so
+    fast_forward can still walk+publish it (the chain is metadata-only,
+    so protecting it costs nothing at any scale)."""
+    path, df = base
+    create_branch(path, "audit")
+    write_snapshot(df, path, branch="audit")  # snap 2 (mid-chain soon)
+    write_snapshot(df, path, branch="audit")  # snap 3 (head)
+    res = expire_snapshots(path, older_than_ms=int(1e18))
+    assert 2 not in res.expired_snapshot_ids
+    # publish still works after expiry
+    fast_forward(path, "main", "audit")
+    t = IcebergLiteTable(path)
+    assert t.read(spark).count() == 30
