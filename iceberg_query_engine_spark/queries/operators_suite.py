@@ -2139,7 +2139,118 @@ LIMIT 30
 """
 
 
+# --------------------------------------------------------------------------
+SPLIT_TEST_PCT = 10  # hash buckets 0-9 of 100 → test
+
+
+def op_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free grouped train/test split: EVERY row of a customer
+    lands in the same split (hash the GROUP key, never the row), the
+    invariant that keeps a user's history out of both sides of an ML
+    split. Deterministic (md5 — any engine/run reproduces it; never
+    rand()).
+
+    Scale shape: split assignment is map-only on the fact; the
+    leakage audit (does any customer straddle?) is one aggregate on
+    the group key counting distinct splits — partial+final, no window,
+    no self-join. Output: per-split row/group counts + the straddler
+    count, which must be 0 by construction.
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    split = F.when(
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10)
+        .cast("bigint") % 100 < SPLIT_TEST_PCT,
+        "test",
+    ).otherwise("train")
+    tagged = orders.select("o_orderkey", "o_custkey", split.alias("split"))
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_groups"),
+    )
+    straddlers = (
+        tagged.groupBy("o_custkey")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0)).alias("s"))
+        .select(F.coalesce(F.col("s"), F.lit(0)).cast("bigint").alias("n_straddlers"))
+    )
+    return (
+        per_split.crossJoin(F.broadcast(straddlers))
+        .select("split", "n_rows", "n_groups", "n_straddlers")
+        .orderBy("split")
+    )
+
+
+OP_GROUP_SPLIT_SQL = f"""
+WITH tagged AS (
+  SELECT o_orderkey, o_custkey,
+    CASE WHEN CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+              AS BIGINT) % 100 < {SPLIT_TEST_PCT}
+         THEN 'test' ELSE 'train' END AS split
+  FROM orders
+),
+per_split AS (
+  SELECT split, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_groups
+  FROM tagged GROUP BY split
+),
+straddle AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_straddlers
+  FROM (SELECT o_custkey, COUNT(DISTINCT split) AS n_splits
+        FROM tagged GROUP BY o_custkey)
+)
+SELECT split, n_rows, n_groups, n_straddlers
+FROM per_split CROSS JOIN straddle
+ORDER BY split
+"""
+
+
+# --------------------------------------------------------------------------
+HIST_BUCKETS = 8
+
+
+def op_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram of o_totalprice (equal row counts per
+    bucket, data-driven edges — the optimizer-statistics histogram, vs
+    op_psi_drift's fixed-width bins): bucket by the exact distributed
+    ntile (operators/rank.ntile_by_range — no single-partition window),
+    then one aggregate for min/max/count per bucket.
+    """
+    from ..operators.rank import ntile_by_range
+
+    (orders,) = tables(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice")
+    bucketed = ntile_by_range(
+        base, HIST_BUCKETS, ["o_totalprice", "o_orderkey"], out="bucket"
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n", "lo", "hi")
+        .orderBy("bucket")
+    )
+
+
+OP_EQUIDEPTH_HIST_SQL = f"""
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+  round(MIN(o_totalprice), 2) AS lo, round(MAX(o_totalprice), 2) AS hi
+FROM (
+  SELECT o_totalprice,
+         ntile({HIST_BUCKETS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+  FROM orders
+)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_group_split": op_group_split,
+    "op_equidepth_hist": op_equidepth_hist,
     "op_disjunctive_join": op_disjunctive_join,
     "op_freq_itemsets": op_freq_itemsets,
     "op_cdc_apply": op_cdc_apply,
@@ -2177,6 +2288,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_group_split": OP_GROUP_SPLIT_SQL,
+    "op_equidepth_hist": OP_EQUIDEPTH_HIST_SQL,
     "op_disjunctive_join": OP_DISJUNCTIVE_JOIN_SQL,
     "op_freq_itemsets": OP_FREQ_ITEMSETS_SQL,
     "op_cdc_apply": OP_CDC_APPLY_SQL,
