@@ -1698,7 +1698,224 @@ FROM delays
 """
 
 
+# --------------------------------------------------------------------------
+WF_WINDOW_H = 72  # funnel completion window (hours from step-1)
+WF_STEPS = ["signup", "view", "purchase"]
+
+
+def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel (ClickHouse windowFunnel): the deepest
+    ordered prefix of signup → view → purchase a user completes with
+    every step inside WF_WINDOW_H hours of their FIRST signup — unlike
+    ev_funnel's unordered ever-did-step counts, order and the clock
+    both matter.
+
+    Scale shape: one aggregate per funnel level, each a key-partitioned
+    shuffle on user_id (level k's timestamps condition on level k-1's
+    via a broadcast-sized join of per-user step times — user-count
+    rows, not event rows). No windows, no collect of event streams.
+    Output: users at each completed level (0..3).
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp").cast("double")
+    ev = events.select("user_id", "event_type", ts.alias("t"))
+    t1 = ev.filter(F.col("event_type") == WF_STEPS[0]).groupBy("user_id").agg(
+        F.min("t").alias("t1")
+    )
+    win = WF_WINDOW_H * 3600.0
+    t2 = (
+        ev.filter(F.col("event_type") == WF_STEPS[1])
+        .join(t1, "user_id")
+        .filter((F.col("t") >= F.col("t1")) & (F.col("t") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == WF_STEPS[2])
+        .join(t2.join(t1, "user_id"), "user_id")
+        .filter((F.col("t") >= F.col("t2")) & (F.col("t") <= F.col("t1") + win))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t3"))
+    )
+    all_users = ev.select("user_id").distinct()
+    levels = (
+        all_users.join(t1, "user_id", "left")
+        .join(t2.select("user_id", "t2"), "user_id", "left")
+        .join(t3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .when(F.col("t1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level"),
+        )
+    )
+    return (
+        levels.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("level").cast("bigint").alias("level"), "n_users")
+        .orderBy("level")
+    )
+
+
+EV_WINDOW_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, epoch(CAST(ts AS TIMESTAMP)) AS t FROM events
+),
+t1 AS (
+  SELECT user_id, MIN(t) AS t1 FROM ev
+  WHERE event_type = '{WF_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.t) AS t2
+  FROM ev e JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = '{WF_STEPS[1]}'
+    AND e.t >= t1.t1 AND e.t <= t1.t1 + {WF_WINDOW_H * 3600.0}
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.t) AS t3
+  FROM ev e JOIN t2 ON t2.user_id = e.user_id
+  JOIN t1 ON t1.user_id = e.user_id
+  WHERE e.event_type = '{WF_STEPS[2]}'
+    AND e.t >= t2.t2 AND e.t <= t1.t1 + {WF_WINDOW_H * 3600.0}
+  GROUP BY e.user_id
+),
+levels AS (
+  SELECT u.user_id,
+    CASE WHEN t3.t3 IS NOT NULL THEN 3
+         WHEN t2.t2 IS NOT NULL THEN 2
+         WHEN t1.t1 IS NOT NULL THEN 1
+         ELSE 0 END AS level
+  FROM (SELECT DISTINCT user_id FROM ev) u
+  LEFT JOIN t1 ON t1.user_id = u.user_id
+  LEFT JOIN t2 ON t2.user_id = u.user_id
+  LEFT JOIN t3 ON t3.user_id = u.user_id
+)
+SELECT CAST(level AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM levels GROUP BY level ORDER BY level
+"""
+
+
+# --------------------------------------------------------------------------
+FE_HOLDOUT = 24  # backtest horizon: last 24 hourly points held out
+
+
+def ev_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST: refit ev_holt_forecast's model per type on
+    everything but the last FE_HOLDOUT hourly points, forecast the
+    holdout, and score MAPE against the actuals — the eval loop that
+    must accompany any forecaster before anyone trusts it.
+
+    Scale shape: identical to ev_holt_forecast (applyInPandas over the
+    ALREADY-AGGREGATED series; train/forecast/score all inside the
+    per-type kernel — no second pass over raw events). Holdout indexing
+    is positional on the hourly grid, so the recursive-CTE oracle
+    replays the identical IEEE sequence (inputs rounded 6 first).
+    """
+    import numpy as np
+    import pandas as pd
+
+    (events,) = tables(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts").cast("timestamp"))).alias("t"),
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    a, bb, hold = HOLT_ALPHA, HOLT_BETA, FE_HOLDOUT
+
+    def backtest(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("t").reset_index(drop=True)
+        y = pdf["v"].to_numpy(dtype=np.float64)
+        n = len(y)
+        if n < hold + 2:  # need >=2 training points
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "n_eval": pd.Series(dtype=np.int64),
+                    "mape": pd.Series(dtype=np.float64),
+                }
+            )
+        tr_y = y[: n - hold]
+        lvl, tr = tr_y[0], tr_y[1] - tr_y[0]
+        for i in range(1, len(tr_y)):
+            nl = a * tr_y[i] + (1 - a) * (lvl + tr)
+            tr = bb * (nl - lvl) + (1 - bb) * tr
+            lvl = nl
+        err = 0.0
+        for k in range(1, hold + 1):  # strict left-to-right accumulation
+            yhat = lvl + k * tr
+            err += abs((yhat - y[n - hold + k - 1]) / y[n - hold + k - 1])
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_eval": np.array([hold], dtype=np.int64),
+                "mape": [round(err / hold, 6)],
+            }
+        )
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(backtest, "event_type string, n_eval bigint, mape double")
+        .orderBy("event_type")
+    )
+
+
+def _forecast_eval_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t,
+         round(AVG(value), 6) AS v
+  FROM events GROUP BY 1, 2
+),
+base AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY t) - 1 AS idx,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM hourly
+),
+train AS (
+  SELECT event_type, v, idx, n - {FE_HOLDOUT} AS n_train
+  FROM base WHERE idx < n - {FE_HOLDOUT} AND n >= {FE_HOLDOUT} + 2
+),
+hw AS (
+  SELECT b0.event_type, 0 AS idx, b0.v AS l, b1.v - b0.v AS b, b0.n_train
+  FROM train b0 JOIN train b1
+    ON b1.event_type = b0.event_type AND b1.idx = 1
+  WHERE b0.idx = 0
+  UNION ALL
+  SELECT s.event_type, s.idx,
+         {HOLT_ALPHA} * s.v + {1 - HOLT_ALPHA} * (hw.l + hw.b),
+         {HOLT_BETA} * ({HOLT_ALPHA} * s.v + {1 - HOLT_ALPHA} * (hw.l + hw.b)
+                        - hw.l) + {1 - HOLT_BETA} * hw.b,
+         hw.n_train
+  FROM hw JOIN train s
+    ON s.event_type = hw.event_type AND s.idx = hw.idx + 1
+),
+final AS (
+  SELECT event_type, l, b, n_train FROM hw WHERE idx = n_train - 1
+),
+scored AS (
+  SELECT f.event_type,
+         abs((f.l + g.h * f.b - a.v) / a.v) AS ape,
+         g.h
+  FROM final f
+  CROSS JOIN (SELECT unnest(range(1, {FE_HOLDOUT + 1})) AS h) g
+  JOIN base a ON a.event_type = f.event_type
+             AND a.idx = f.n_train + g.h - 1
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       round(SUM(ape ORDER BY h) / COUNT(*), 6) AS mape
+FROM scored GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_forecast_eval": ev_forecast_eval,
+    "ev_window_funnel": ev_window_funnel,
     "ev_time_to_convert": ev_time_to_convert,
     "ev_stl": ev_stl,
     "ev_pattern_match": ev_pattern_match,
@@ -1726,6 +1943,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_forecast_eval": _forecast_eval_oracle(),
+    "ev_window_funnel": EV_WINDOW_FUNNEL_SQL,
     "ev_time_to_convert": EV_TIME_TO_CONVERT_SQL,
     "ev_stl": EV_STL_SQL,
     "ev_pattern_match": _pattern_oracle(),
