@@ -1913,7 +1913,104 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day by SWEEP LINE: each session
+    (30-min-gap, as ev_sessionize) emits +1 at its start and −1 one
+    second after its end; the running sum over the merged boundary
+    stream is the instantaneous concurrency, maxed per day — the
+    'how many users at once' question interval self-joins answer
+    quadratically.
+
+    Scale shape: session intervals are the standard per-user lag
+    window; boundaries pre-aggregate per timestamp (kills ordering
+    ties AND bounds the stream at distinct-seconds); the global
+    running sum is operators/rank.cumsum_by_range — INTEGER deltas, so
+    the distributed partial sums replay the serial oracle exactly. No
+    interval self-join at any scale.
+    """
+    from ..operators.rank import cumsum_by_range
+
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.coalesce(
+                (F.unix_timestamp(F.col("ts").cast("timestamp"))
+                 - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")))
+                > SESSION_GAP_MIN * 60,
+                F.lit(True),
+            )
+        ).cast("int").alias("new_sess"),
+    )
+    sess = with_gap.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    intervals = sess.groupBy("user_id", "sess_id").agg(
+        F.unix_timestamp(F.min("ts").cast("timestamp")).alias("t_start"),
+        (F.unix_timestamp(F.max("ts").cast("timestamp")) + 1).alias("t_end"),
+    )
+    deltas = (
+        intervals.select(F.col("t_start").alias("t"), F.lit(1).alias("d"))
+        .unionByName(intervals.select(F.col("t_end").alias("t"), F.lit(-1).alias("d")))
+        .groupBy("t")
+        .agg(F.sum("d").alias("delta"))
+    )
+    running = cumsum_by_range(deltas, ["t"], "delta", out="conc")
+    return (
+        running.groupBy(
+            F.to_date(F.timestamp_seconds(F.col("t"))).cast("string").alias("day")
+        )
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrent"))
+        .orderBy("day")
+    )
+
+
+EV_CONCURRENCY_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
+              - epoch(lag(CAST(ts AS TIMESTAMP)) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id))
+              > {SESSION_GAP_MIN * 60} OR
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+    THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM gaps
+),
+intervals AS (
+  SELECT user_id, sess_id,
+    CAST(floor(epoch(MIN(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t_start,
+    CAST(floor(epoch(MAX(CAST(ts AS TIMESTAMP)))) AS BIGINT) + 1 AS t_end
+  FROM sess GROUP BY user_id, sess_id
+),
+deltas AS (
+  SELECT t, SUM(d) AS delta FROM (
+    SELECT t_start AS t, 1 AS d FROM intervals
+    UNION ALL
+    SELECT t_end, -1 FROM intervals
+  ) GROUP BY t
+),
+running AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM deltas
+)
+SELECT CAST(CAST(to_timestamp(t) AS DATE) AS VARCHAR) AS day,
+       CAST(MAX(conc) AS BIGINT) AS peak_concurrent
+FROM running GROUP BY 1 ORDER BY day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_concurrency": ev_concurrency,
     "ev_forecast_eval": ev_forecast_eval,
     "ev_window_funnel": ev_window_funnel,
     "ev_time_to_convert": ev_time_to_convert,
@@ -1943,6 +2040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_concurrency": EV_CONCURRENCY_SQL,
     "ev_forecast_eval": _forecast_eval_oracle(),
     "ev_window_funnel": EV_WINDOW_FUNNEL_SQL,
     "ev_time_to_convert": EV_TIME_TO_CONVERT_SQL,

@@ -2248,7 +2248,83 @@ ORDER BY bucket
 """
 
 
+# --------------------------------------------------------------------------
+def op_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto frontier) of parts: minimize retail price,
+    maximize size — no other part is ≤ price AND ≥ size with at least
+    one strict. The classic multi-criteria operator relational engines
+    lack.
+
+    Scale shape: the distributive skyline reduction — each partition
+    computes its LOCAL skyline (mapInPandas, O(rows·|local skyline|)),
+    and the global skyline of the union of local skylines equals the
+    global skyline (dominance is transitive; a globally dominated row
+    is dominated by some local-skyline row). The final pass runs over
+    Σ|local skylines| rows, typically orders of magnitude smaller than
+    the table. Oracle: the quadratic NOT EXISTS dominance definition.
+    """
+    import pandas as pd
+
+    (part,) = tables(spark, sf_dir, "part")
+    base = part.select("p_partkey", "p_retailprice", "p_size")
+
+    def skyline(batches, exact: bool):
+        """exact=False: per-partition SUPERSET (cheap prune — keeps any
+        row not strictly dominated in its partition, ties inclusive).
+        exact=True: one pass over ALL rows (concatenated) applying the
+        strict-dominance rule: keep r iff r.size equals its price
+        group's max AND exceeds the max size of every cheaper price."""
+        frames = [pdf for pdf in batches if len(pdf)]
+        if not frames:
+            return
+        pdf = pd.concat(frames, ignore_index=True).sort_values(
+            ["p_retailprice", "p_size"], ascending=[True, False]
+        ).reset_index(drop=True)
+        keep = []
+        best_cheaper = None  # max size among strictly cheaper prices
+        group_price = None
+        group_max = None
+        for r in pdf.itertuples():
+            if group_price is None or r.p_retailprice != group_price:
+                best_cheaper = group_max if best_cheaper is None else (
+                    group_max if group_max is not None and group_max > best_cheaper
+                    else best_cheaper
+                )
+                group_price, group_max = r.p_retailprice, r.p_size
+            if exact:
+                ok = (r.p_size == group_max) and (
+                    best_cheaper is None or r.p_size > best_cheaper
+                )
+            else:
+                ok = best_cheaper is None or r.p_size >= best_cheaper
+            if ok:
+                keep.append(r.Index)
+        yield pdf.loc[keep]
+
+    schema = "p_partkey bigint, p_retailprice double, p_size int"
+    local = base.mapInPandas(lambda it: skyline(it, exact=False), schema)
+    # final exact pass over the candidate union — Σ|local skylines|
+    # rows, orders of magnitude below the table; one task by design
+    final = local.coalesce(1).mapInPandas(lambda it: skyline(it, exact=True), schema)
+    return final.select(
+        "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
+    ).orderBy("price", "p_partkey")
+
+
+OP_SKYLINE_SQL = """
+SELECT p_partkey, round(p_retailprice, 2) AS price, p_size
+FROM part a
+WHERE NOT EXISTS (
+  SELECT 1 FROM part b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY price, p_partkey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_skyline": op_skyline,
     "op_group_split": op_group_split,
     "op_equidepth_hist": op_equidepth_hist,
     "op_disjunctive_join": op_disjunctive_join,
@@ -2288,6 +2364,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_skyline": OP_SKYLINE_SQL,
     "op_group_split": OP_GROUP_SPLIT_SQL,
     "op_equidepth_hist": OP_EQUIDEPTH_HIST_SQL,
     "op_disjunctive_join": OP_DISJUNCTIVE_JOIN_SQL,
