@@ -71,6 +71,18 @@ BENCH_EXTRAS: tuple[str, ...] = (
     # degrades every query timed after it in the shared JVM — it stays
     # oracle-validated at sf0.01 in the test suite.
     "ev_pattern_match",
+    # --- appended r6 session 2, second wave ---
+    "op_freq_itemsets",
+    "op_cdc_apply",
+    "op_disjunctive_join",
+    "op_group_split",
+    "op_equidepth_hist",
+    "op_skyline",
+    "ev_stl",
+    "ev_time_to_convert",
+    "ev_window_funnel",
+    "ev_forecast_eval",
+    "ev_concurrency",
 )
 
 
