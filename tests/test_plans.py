@@ -477,3 +477,76 @@ def test_dedup_semantic_windowed_neighbors_one_udf_pass(spark, sf):
     assert "Generate" not in plan  # no predecessor explode
     assert plan.count("SortMergeJoin") == 0
     assert not pi.has_cartesian(df)
+
+
+def test_bloom_semi_join_fact_tested_map_side(spark, sf):
+    """The bloom probe is K broadcast hash joins on hash positions —
+    the fact is never shuffled to meet the bit set; the only exchanges
+    are the final per-flag aggregates."""
+    from iceberg_query_engine_spark.queries import operators_suite
+
+    df = operators_suite.op_bloom_semi_join(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= operators_suite.BSJ_K
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_disjunctive_join_no_nested_loop(spark, sf):
+    """The OR-key join must decompose to hash joins — a BNLJ here is
+    exactly the quadratic fallback the operator exists to avoid."""
+    from iceberg_query_engine_spark.queries import operators_suite
+
+    df = operators_suite.op_disjunctive_join(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_range_search_single_arrow_pass(spark, sf):
+    """sim_range_search ships each corpus vector across the Python
+    channel ONCE: exactly one Python-eval node over the corpus, no
+    shuffle before the kernel (the only exchange is the result sort)."""
+    from iceberg_query_engine_spark.queries import similarity_suite
+
+    df = similarity_suite.sim_range_search(spark, sf)
+    plan = pi.formatted_plan(df)
+    import re as _re
+
+    py_nodes = _re.findall(
+        r"\(\d+\) (?:ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas)", plan
+    )
+    assert len(py_nodes) == 1, py_nodes
+    assert pi.shuffle_count(df) <= 1
+
+
+def test_running_total_single_range_exchange(spark, sf):
+    """cumsum_by_range(rank_out=) fuses rank+cumsum into ONE range
+    exchange; the windows are PARTITIONED by the shard id."""
+    from iceberg_query_engine_spark.queries import operators_suite
+
+    df = operators_suite.op_running_total(spark, sf)
+    assert pi.unpartitioned_windows(df) == []
+
+
+def test_window_funnel_no_windows_no_collect_shape(spark, sf):
+    """Funnel levels are key-partitioned aggregates — no window
+    functions, no cartesians, every join an equi hash/merge join."""
+    from iceberg_query_engine_spark.queries import events_suite
+
+    df = events_suite.ev_window_funnel(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_concurrency_integer_cumsum_distributed(spark, sf):
+    """The sweep-line running sum is the range-partitioned cumsum —
+    no single-partition window anywhere in the plan."""
+    from iceberg_query_engine_spark.queries import events_suite
+
+    df = events_suite.ev_concurrency(spark, sf)
+    assert pi.unpartitioned_windows(df) == []
