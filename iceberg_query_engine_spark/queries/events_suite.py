@@ -25,6 +25,60 @@ from .tpch import tables
 SESSION_GAP_MIN = 30
 
 
+def sessionized(events: DataFrame, *extra: str) -> DataFrame:
+    """Shared 30-min-gap sessionizer (the ev_sessionize semantics):
+    one lag window per user, gap measured on FLOORED epoch seconds
+    (sub-second parts must not flip a session split differently than
+    the oracles, which floor too). Returns (user_id, ts, event_id,
+    *extra, sess_id). Single implementation — ev_sessionize,
+    ev_pattern_match, and ev_concurrency all build on it, so the gap
+    rule cannot drift between them."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_gap = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        *extra,
+        (
+            F.coalesce(
+                (F.unix_timestamp(F.col("ts").cast("timestamp"))
+                 - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")))
+                > SESSION_GAP_MIN * 60,
+                F.lit(True),
+            )
+        )
+        .cast("int")
+        .alias("new_sess"),
+    )
+    return with_gap.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).drop("new_sess")
+
+
+def _sess_sql_cte(extra_def: str = "", extra_ref: str = "") -> str:
+    """DuckDB CTE fragment mirroring `sessionized` (floored epochs) —
+    yields a relation `sess(user_id, ts, event_id{extra}, sess_id)`.
+    `extra_def` is the projected expression list for the first CTE
+    (e.g. ", substr(event_type,1,1) AS ini"), `extra_ref` its bare
+    column names for the second (e.g. ", ini")."""
+    return f"""
+gaps AS (
+  SELECT user_id, ts, event_id{extra_def},
+    CASE WHEN lag(ts) OVER w IS NULL THEN 1
+         WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+            - CAST(floor(epoch(lag(CAST(ts AS TIMESTAMP)) OVER w)) AS BIGINT)
+            > {SESSION_GAP_MIN * 60} THEN 1
+         ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, event_id{extra_ref},
+    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+  FROM gaps
+)"""
+
+
 # --------------------------------------------------------------------------
 def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-hour tumbling windows: count + sum(value) per event_type."""
@@ -84,25 +138,7 @@ def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity): per-user session
     count, mean session length (events), mean duration seconds."""
     (events,) = tables(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    with_gap = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        (
-            F.coalesce(
-                (F.unix_timestamp(F.col("ts").cast("timestamp"))
-                 - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")))
-                > SESSION_GAP_MIN * 60,
-                F.lit(True),
-            )
-        )
-        .cast("int")
-        .alias("new_sess"),
-    )
-    sess = with_gap.withColumn(
-        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    sess = sessionized(events)
     per_sess = sess.groupBy("user_id", "sess_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         (
@@ -1460,26 +1496,7 @@ def ev_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     per pattern.
     """
     (events,) = tables(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    with_gap = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.substring("event_type", 1, 1).alias("ini"),
-        (
-            F.coalesce(
-                (F.unix_timestamp(F.col("ts").cast("timestamp"))
-                 - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")))
-                > SESSION_GAP_MIN * 60,
-                F.lit(True),
-            )
-        )
-        .cast("int")
-        .alias("new_sess"),
-    )
-    sess = with_gap.withColumn(
-        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    sess = sessionized(events, F.substring("event_type", 1, 1).alias("ini"))
     seqs = sess.groupBy("user_id", "sess_id").agg(
         F.array_join(
             F.transform(
@@ -1527,21 +1544,7 @@ def _pattern_oracle() -> str:
     )
     return f"""
 WITH pats AS ({rows}),
-gaps AS (
-  SELECT user_id, ts, event_id, substr(event_type, 1, 1) AS ini,
-    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
-              - epoch(lag(CAST(ts AS TIMESTAMP)) OVER
-                      (PARTITION BY user_id ORDER BY ts, event_id))
-              > {SESSION_GAP_MIN * 60} OR
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-    THEN 1 ELSE 0 END AS new_sess
-  FROM events
-),
-sess AS (
-  SELECT user_id, ini, ts, event_id,
-    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
-  FROM gaps
-),
+{_sess_sql_cte(", substr(event_type, 1, 1) AS ini", ", ini")},
 seqs AS (
   SELECT user_id, sess_id,
          string_agg(ini, '' ORDER BY ts, event_id) AS seq
@@ -1728,11 +1731,13 @@ def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t1, "user_id")
         .filter((F.col("t") >= F.col("t1")) & (F.col("t") <= F.col("t1") + win))
         .groupBy("user_id")
-        .agg(F.min("t").alias("t2"))
+        # t1 is constant per user — carrying it through saves t3 a
+        # redundant user-sized re-join on t1
+        .agg(F.min("t").alias("t2"), F.min("t1").alias("t1"))
     )
     t3 = (
         ev.filter(F.col("event_type") == WF_STEPS[2])
-        .join(t2.join(t1, "user_id"), "user_id")
+        .join(t2, "user_id")
         .filter((F.col("t") >= F.col("t2")) & (F.col("t") <= F.col("t1") + win))
         .groupBy("user_id")
         .agg(F.min("t").alias("t3"))
@@ -1768,7 +1773,7 @@ t1 AS (
   WHERE event_type = '{WF_STEPS[0]}' GROUP BY user_id
 ),
 t2 AS (
-  SELECT e.user_id, MIN(e.t) AS t2
+  SELECT e.user_id, MIN(e.t) AS t2, MIN(t1.t1) AS t1
   FROM ev e JOIN t1 ON t1.user_id = e.user_id
   WHERE e.event_type = '{WF_STEPS[1]}'
     AND e.t >= t1.t1 AND e.t <= t1.t1 + {WF_WINDOW_H * 3600.0}
@@ -1777,9 +1782,8 @@ t2 AS (
 t3 AS (
   SELECT e.user_id, MIN(e.t) AS t3
   FROM ev e JOIN t2 ON t2.user_id = e.user_id
-  JOIN t1 ON t1.user_id = e.user_id
   WHERE e.event_type = '{WF_STEPS[2]}'
-    AND e.t >= t2.t2 AND e.t <= t1.t1 + {WF_WINDOW_H * 3600.0}
+    AND e.t >= t2.t2 AND e.t <= t2.t1 + {WF_WINDOW_H * 3600.0}
   GROUP BY e.user_id
 ),
 levels AS (
@@ -1842,15 +1846,26 @@ def ev_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             nl = a * tr_y[i] + (1 - a) * (lvl + tr)
             tr = bb * (nl - lvl) + (1 - bb) * tr
             lvl = nl
-        err = 0.0
+        err, cnt = 0.0, 0
         for k in range(1, hold + 1):  # strict left-to-right accumulation
-            yhat = lvl + k * tr
-            err += abs((yhat - y[n - hold + k - 1]) / y[n - hold + k - 1])
+            actual = y[n - hold + k - 1]
+            if actual == 0.0:
+                continue  # APE undefined at 0 — oracle filters v <> 0 too
+            err += abs((lvl + k * tr - actual) / actual)
+            cnt += 1
+        if cnt == 0:  # all-zero holdout: omit, matching the oracle's GROUP BY
+            return pd.DataFrame(
+                {
+                    "event_type": pd.Series(dtype=object),
+                    "n_eval": pd.Series(dtype=np.int64),
+                    "mape": pd.Series(dtype=np.float64),
+                }
+            )
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
-                "n_eval": np.array([hold], dtype=np.int64),
-                "mape": [round(err / hold, 6)],
+                "n_eval": np.array([cnt], dtype=np.int64),
+                "mape": [round(err / cnt, 6)],
             }
         )
 
@@ -1905,6 +1920,7 @@ scored AS (
   CROSS JOIN (SELECT unnest(range(1, {FE_HOLDOUT + 1})) AS h) g
   JOIN base a ON a.event_type = f.event_type
              AND a.idx = f.n_train + g.h - 1
+  WHERE a.v <> 0
 )
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_eval,
        round(SUM(ape ORDER BY h) / COUNT(*), 6) AS mape
@@ -1923,41 +1939,46 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratically.
 
     Scale shape: session intervals are the standard per-user lag
-    window; boundaries pre-aggregate per timestamp (kills ordering
-    ties AND bounds the stream at distinct-seconds); the global
-    running sum is operators/rank.cumsum_by_range — INTEGER deltas, so
-    the distributed partial sums replay the serial oracle exactly. No
+    window (shared `sessionized`); boundaries pre-aggregate per
+    timestamp (kills ordering ties AND bounds the stream at
+    distinct-seconds); a zero-delta SENTINEL at every midnight in the
+    corpus range samples the running level at day START, so a day
+    whose peak is concurrency carried over midnight (no boundary of
+    its own) still reports it; the global running sum is
+    operators/rank.cumsum_by_range — INTEGER deltas, so the
+    distributed partial sums replay the serial oracle exactly. No
     interval self-join at any scale.
     """
     from ..operators.rank import cumsum_by_range
 
     (events,) = tables(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    with_gap = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        (
-            F.coalesce(
-                (F.unix_timestamp(F.col("ts").cast("timestamp"))
-                 - F.unix_timestamp(F.lag("ts").over(w).cast("timestamp")))
-                > SESSION_GAP_MIN * 60,
-                F.lit(True),
-            )
-        ).cast("int").alias("new_sess"),
-    )
-    sess = with_gap.withColumn(
-        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    sess = sessionized(events)
     intervals = sess.groupBy("user_id", "sess_id").agg(
         F.unix_timestamp(F.min("ts").cast("timestamp")).alias("t_start"),
         (F.unix_timestamp(F.max("ts").cast("timestamp")) + 1).alias("t_end"),
     )
+    boundaries = intervals.select(
+        F.col("t_start").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        intervals.select(F.col("t_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    day_grid = (
+        intervals.agg(F.min("t_start").alias("t0"), F.max("t_end").alias("t1"))
+        .select(
+            F.explode(
+                F.sequence(
+                    F.to_date(F.timestamp_seconds("t0")),
+                    F.to_date(F.timestamp_seconds("t1")),
+                )
+            ).alias("d0")
+        )
+        .select(
+            F.unix_timestamp(F.col("d0").cast("timestamp")).alias("t"),
+            F.lit(0).alias("d"),
+        )
+    )
     deltas = (
-        intervals.select(F.col("t_start").alias("t"), F.lit(1).alias("d"))
-        .unionByName(intervals.select(F.col("t_end").alias("t"), F.lit(-1).alias("d")))
-        .groupBy("t")
-        .agg(F.sum("d").alias("delta"))
+        boundaries.unionByName(day_grid).groupBy("t").agg(F.sum("d").alias("delta"))
     )
     running = cumsum_by_range(deltas, ["t"], "delta", out="conc")
     return (
@@ -1970,32 +1991,29 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EV_CONCURRENCY_SQL = f"""
-WITH gaps AS (
-  SELECT user_id, ts, event_id,
-    CASE WHEN epoch(CAST(ts AS TIMESTAMP))
-              - epoch(lag(CAST(ts AS TIMESTAMP)) OVER
-                      (PARTITION BY user_id ORDER BY ts, event_id))
-              > {SESSION_GAP_MIN * 60} OR
-         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-    THEN 1 ELSE 0 END AS new_sess
-  FROM events
-),
-sess AS (
-  SELECT user_id, ts,
-    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
-  FROM gaps
-),
+WITH {_sess_sql_cte()},
 intervals AS (
   SELECT user_id, sess_id,
     CAST(floor(epoch(MIN(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS t_start,
     CAST(floor(epoch(MAX(CAST(ts AS TIMESTAMP)))) AS BIGINT) + 1 AS t_end
   FROM sess GROUP BY user_id, sess_id
 ),
+day_grid AS (
+  SELECT CAST(floor(epoch(CAST(d0 AS TIMESTAMP))) AS BIGINT) AS t, 0 AS d
+  FROM (
+    SELECT unnest(generate_series(
+      CAST(make_timestamp((SELECT MIN(t_start) FROM intervals) * 1000000) AS DATE),
+      CAST(make_timestamp((SELECT MAX(t_end) FROM intervals) * 1000000) AS DATE),
+      INTERVAL 1 DAY)) AS d0
+  )
+),
 deltas AS (
   SELECT t, SUM(d) AS delta FROM (
     SELECT t_start AS t, 1 AS d FROM intervals
     UNION ALL
     SELECT t_end, -1 FROM intervals
+    UNION ALL
+    SELECT t, d FROM day_grid
   ) GROUP BY t
 ),
 running AS (
@@ -2003,7 +2021,7 @@ running AS (
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
   FROM deltas
 )
-SELECT CAST(CAST(to_timestamp(t) AS DATE) AS VARCHAR) AS day,
+SELECT CAST(CAST(make_timestamp(t * 1000000) AS DATE) AS VARCHAR) AS day,
        CAST(MAX(conc) AS BIGINT) AS peak_concurrent
 FROM running GROUP BY 1 ORDER BY day
 """

@@ -2304,8 +2304,11 @@ def op_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "p_partkey bigint, p_retailprice double, p_size int"
     local = base.mapInPandas(lambda it: skyline(it, exact=False), schema)
     # final exact pass over the candidate union — Σ|local skylines|
-    # rows, orders of magnitude below the table; one task by design
-    final = local.coalesce(1).mapInPandas(lambda it: skyline(it, exact=True), schema)
+    # rows, orders of magnitude below the table. repartition(1), NOT
+    # coalesce(1): coalesce collapses the upstream scan+prune into the
+    # single task too (no stage boundary), serializing the whole job;
+    # repartition shuffles only the pruned candidates into it.
+    final = local.repartition(1).mapInPandas(lambda it: skyline(it, exact=True), schema)
     return final.select(
         "p_partkey", F.round("p_retailprice", 2).alias("price"), "p_size"
     ).orderBy("price", "p_partkey")
