@@ -2027,7 +2027,79 @@ FROM running GROUP BY 1 ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + stickiness (DAU/MAU) per active day — the
+    engagement dashboard's backbone. Trailing windows (7 d / 30 d) are
+    DISTINCT-user counts, which cannot partial-aggregate over a sliding
+    frame; the distributed shape is map-side EXPANSION: each distinct
+    (user, day) pair emits its ≤30 anchor days, then ONE shuffle per
+    metric counts distinct users per anchor — cost is pairs×30 map-side
+    rows (pairs = users×active-days, already dedup'd), never a range
+    join or a per-day scan.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    pairs = events.select(
+        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+    ).distinct()
+    active_days = pairs.select("day").distinct()
+
+    def trailing(n_days: int, name: str) -> DataFrame:
+        expanded = pairs.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add(F.col("day"), n_days - 1))
+            ).alias("anchor"),
+        )
+        return (
+            expanded.join(
+                F.broadcast(active_days.withColumnRenamed("day", "anchor")), "anchor"
+            )
+            .groupBy("anchor")
+            .agg(F.countDistinct("user_id").alias(name))
+        )
+
+    dau = pairs.groupBy(F.col("day").alias("anchor")).agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    out = (
+        dau.join(trailing(7, "wau"), "anchor")
+        .join(trailing(30, "mau"), "anchor")
+        .select(
+            F.col("anchor").cast("string").alias("day"),
+            "dau",
+            "wau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+    return out
+
+
+EV_DAU_WAU_MAU_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM pairs)
+SELECT CAST(d.day AS VARCHAR) AS day,
+  CAST((SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+        WHERE p.day = d.day) AS BIGINT) AS dau,
+  CAST((SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+        WHERE p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS BIGINT) AS wau,
+  CAST((SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+        WHERE p.day BETWEEN d.day - INTERVAL 29 DAY AND d.day) AS BIGINT) AS mau,
+  round((SELECT COUNT(DISTINCT p.user_id) FROM pairs p WHERE p.day = d.day)
+        / CAST((SELECT COUNT(DISTINCT p.user_id) FROM pairs p
+                WHERE p.day BETWEEN d.day - INTERVAL 29 DAY AND d.day) AS DOUBLE),
+        6) AS stickiness
+FROM days d
+ORDER BY day
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_dau_wau_mau": ev_dau_wau_mau,
     "ev_concurrency": ev_concurrency,
     "ev_forecast_eval": ev_forecast_eval,
     "ev_window_funnel": ev_window_funnel,
@@ -2058,6 +2130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_dau_wau_mau": EV_DAU_WAU_MAU_SQL,
     "ev_concurrency": EV_CONCURRENCY_SQL,
     "ev_forecast_eval": _forecast_eval_oracle(),
     "ev_window_funnel": EV_WINDOW_FUNNEL_SQL,

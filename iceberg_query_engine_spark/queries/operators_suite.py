@@ -2326,7 +2326,61 @@ ORDER BY price, p_partkey
 """
 
 
+# --------------------------------------------------------------------------
+def op_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness monitor: per event source (event_type), the last
+    event time, its lag behind the corpus watermark, and the trailing
+    24 h volume — the first alert any ingestion pipeline wires up
+    (source went quiet = lag grows, volume drops).
+
+    Scale shape: ONE partial+final aggregate over the stream computes
+    all per-source stats; the corpus watermark is a 1-row aggregate
+    broadcast into the projection (allowlisted BNLJ class). No windows,
+    no second scan — conditional aggregation covers the trailing-24h
+    count because the watermark is joined before aggregation would
+    need it... (here: computed against the global max, two-phase).
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    wm = events.agg(F.max(F.unix_timestamp(ts)).alias("corpus_wm"))
+    per_src = events.select(
+        "event_type", F.unix_timestamp(ts).alias("t")
+    ).crossJoin(F.broadcast(wm)).groupBy("event_type").agg(
+        F.max("t").alias("last_t"),
+        F.max("corpus_wm").alias("corpus_wm"),
+        F.sum(
+            F.when(F.col("t") >= F.col("corpus_wm") - 24 * 3600, 1).otherwise(0)
+        ).cast("bigint").alias("rows_last_24h"),
+    )
+    return per_src.select(
+        "event_type",
+        F.timestamp_seconds(F.col("last_t")).cast("string").alias("last_event"),
+        (F.col("corpus_wm") - F.col("last_t")).cast("bigint").alias("lag_s"),
+        "rows_last_24h",
+    ).orderBy("event_type")
+
+
+OP_FRESHNESS_SQL = """
+WITH wm AS (
+  SELECT CAST(floor(epoch(MAX(CAST(ts AS TIMESTAMP)))) AS BIGINT) AS corpus_wm
+  FROM events
+)
+SELECT event_type,
+  CAST(make_timestamp(MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT))
+       * 1000000) AS VARCHAR) AS last_event,
+  CAST(wm.corpus_wm
+       - MAX(CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)) AS BIGINT) AS lag_s,
+  CAST(SUM(CASE WHEN CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+            >= wm.corpus_wm - 24 * 3600 THEN 1 ELSE 0 END) AS BIGINT)
+    AS rows_last_24h
+FROM events CROSS JOIN wm
+GROUP BY event_type, wm.corpus_wm
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_freshness": op_freshness,
     "op_skyline": op_skyline,
     "op_group_split": op_group_split,
     "op_equidepth_hist": op_equidepth_hist,
@@ -2367,6 +2421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_freshness": OP_FRESHNESS_SQL,
     "op_skyline": OP_SKYLINE_SQL,
     "op_group_split": OP_GROUP_SPLIT_SQL,
     "op_equidepth_hist": OP_EQUIDEPTH_HIST_SQL,

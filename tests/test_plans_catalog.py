@@ -50,6 +50,7 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "ev_gapfill": "1-row min/max time-bounds aggregate seeds the hour grid",
     "ev_survival": "1-row corpus-end aggregate broadcast into the per-user censoring flag",
     "op_group_split": "1-row leakage-audit aggregate (straddler count) crossed into 2 split rows",
+    "op_freshness": "1-row corpus-watermark aggregate broadcast into the per-source stats",
     "join_cross": "deliberate CROSS JOIN demo over nation x region (25 x 5)",
     "op_ks_test": "1-row per-sample totals crossed into the ECDF grid",
     "op_mixture_weights": "1-row global aggregate normalizes component weights",
