@@ -83,6 +83,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "ev_window_funnel",
     "ev_forecast_eval",
     "ev_concurrency",
+    "ev_dau_wau_mau",
+    "op_freshness",
 )
 
 
