@@ -2379,7 +2379,65 @@ ORDER BY event_type
 """
 
 
+# --------------------------------------------------------------------------
+def op_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law screen on o_totalprice: observed first-digit
+    shares vs log10(1+1/d), with each digit's chi-square contribution —
+    the classic anomaly/fraud smoke test for any numeric column.
+
+    Scale shape: first-digit extraction is map-only string arithmetic;
+    the rest is one 9-row aggregate + a window over those 9 rows
+    (PARTITIONED trivially by a constant grid — 9 rows at any corpus
+    size). Expected shares are closed-form constants, identical on
+    both engines.
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.regexp_replace(F.format_number(F.col("o_totalprice"), 4), "[^1-9]", ""), 1, 1
+    )
+    counts = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(digit.cast("int").alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()  # 9-row grid — bounded by construction
+    expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    share = F.col("n") / F.sum("n").over(w)
+    return (
+        counts.select(
+            "d",
+            "n",
+            F.round(share, 6).alias("observed"),
+            F.round(expected, 6).alias("expected"),
+            F.round(
+                F.pow(share - expected, 2) / expected * F.sum("n").over(w), 6
+            ).alias("chi2_term"),
+        )
+        .orderBy("d")
+    )
+
+
+OP_BENFORD_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(regexp_replace(CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'),
+              1, 1) AS INT) AS d,
+         COUNT(*) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+)
+SELECT d, CAST(n AS BIGINT) AS n,
+  round(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS observed,
+  round(log10(1.0 + 1.0 / d), 6) AS expected,
+  round(pow(n / CAST(SUM(n) OVER () AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
+        / log10(1.0 + 1.0 / d) * SUM(n) OVER (), 6) AS chi2_term
+FROM counts
+ORDER BY d
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_benford": op_benford,
     "op_freshness": op_freshness,
     "op_skyline": op_skyline,
     "op_group_split": op_group_split,
@@ -2421,6 +2479,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_benford": OP_BENFORD_SQL,
     "op_freshness": OP_FRESHNESS_SQL,
     "op_skyline": OP_SKYLINE_SQL,
     "op_group_split": OP_GROUP_SPLIT_SQL,

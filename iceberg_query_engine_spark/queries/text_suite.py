@@ -1113,7 +1113,71 @@ FROM ranked
 """
 
 
+# --------------------------------------------------------------------------
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-distribution drift: D_KL(source ‖ corpus) — the
+    curation diagnostic for 'which source writes differently than the
+    mix' (domain skew, contamination, template spam all show up here).
+    KL is computed over the shared vocabulary; terms where the source
+    lacks a corpus token contribute 0 (p·ln(p/q) with p = 0).
+
+    Scale shape: ONE shuffle to (source, token) counts; corpus totals
+    are a second aggregation of that same table (no corpus re-scan);
+    the join keying token is vocabulary-sized. Σ p·ln(p/q) is one
+    partial+final aggregate per source.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    st = (
+        documents.select("source", F.explode(_tokens()).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("n_st"))
+    )
+    src_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    tok_tot = st.groupBy("t").agg(F.sum("n_st").alias("n_t"))
+    corpus_tot = st.agg(F.sum("n_st").alias("n_all"))
+    joined = (
+        st.join(src_tot, "source")
+        .join(tok_tot, "t")
+        .crossJoin(F.broadcast(corpus_tot))
+    )
+    p = F.col("n_st") / F.col("n_s")
+    q = F.col("n_t") / F.col("n_all")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_KL_DIVERGENCE_SQL = """
+WITH st AS (
+  SELECT source, t, COUNT(*) AS n_st FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+  ) WHERE t <> '' GROUP BY source, t
+),
+src_tot AS (SELECT source, SUM(n_st) AS n_s FROM st GROUP BY source),
+tok_tot AS (SELECT t, SUM(n_st) AS n_t FROM st GROUP BY t),
+corpus AS (SELECT SUM(n_st) AS n_all FROM st)
+SELECT st.source, CAST(MAX(s.n_s) AS BIGINT) AS n_tokens,
+  CAST(COUNT(*) AS BIGINT) AS vocab,
+  round(SUM((st.n_st / CAST(s.n_s AS DOUBLE))
+            * ln((st.n_st / CAST(s.n_s AS DOUBLE))
+                 / (tt.n_t / CAST(c.n_all AS DOUBLE)))), 6) AS kl_vs_corpus
+FROM st JOIN src_tot s ON s.source = st.source
+JOIN tok_tot tt ON tt.t = st.t
+CROSS JOIN corpus c
+GROUP BY st.source
+ORDER BY st.source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_kl_divergence": text_kl_divergence,
     "text_classifier_score": text_classifier_score,
     "text_count_min": text_count_min,
     "text_bloom_filter": text_bloom_filter,
@@ -1136,6 +1200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "text_kl_divergence": TEXT_KL_DIVERGENCE_SQL,
     "text_classifier_score": TEXT_CLASSIFIER_SCORE_SQL,
     "text_count_min": TEXT_COUNT_MIN_SQL,
     "text_bloom_filter": TEXT_BLOOM_FILTER_SQL,

@@ -41,6 +41,10 @@ WINDOW_ALLOWLIST: dict[str, str] = {
         "grid (≤ corpus day-span rows, CALENDAR-bounded — independent "
         "of user count), after two full aggregates"
     ),
+    "op_benford": (
+        "share/chi2 windows run over the 9-row first-digit grid "
+        "(bounded by construction) after the full aggregate"
+    ),
 }
 
 # BroadcastNestedLoopJoin allowed ONLY when the broadcast side is a
@@ -51,6 +55,7 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "ev_survival": "1-row corpus-end aggregate broadcast into the per-user censoring flag",
     "op_group_split": "1-row leakage-audit aggregate (straddler count) crossed into 2 split rows",
     "op_freshness": "1-row corpus-watermark aggregate broadcast into the per-source stats",
+    "text_kl_divergence": "1-row corpus-total aggregate crossed into the q denominator",
     "join_cross": "deliberate CROSS JOIN demo over nation x region (25 x 5)",
     "op_ks_test": "1-row per-sample totals crossed into the ECDF grid",
     "op_mixture_weights": "1-row global aggregate normalizes component weights",
