@@ -85,6 +85,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "ev_concurrency",
     "ev_dau_wau_mau",
     "op_freshness",
+    "op_benford",
+    "text_kl_divergence",
 )
 
 
