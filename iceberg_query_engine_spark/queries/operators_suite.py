@@ -2333,12 +2333,11 @@ def op_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     24 h volume — the first alert any ingestion pipeline wires up
     (source went quiet = lag grows, volume drops).
 
-    Scale shape: ONE partial+final aggregate over the stream computes
-    all per-source stats; the corpus watermark is a 1-row aggregate
-    broadcast into the projection (allowlisted BNLJ class). No windows,
-    no second scan — conditional aggregation covers the trailing-24h
-    count because the watermark is joined before aggregation would
-    need it... (here: computed against the global max, two-phase).
+    Scale shape: the 1-row corpus watermark is broadcast onto the raw
+    rows FIRST (allowlisted BNLJ class — it must be visible row-level
+    so the trailing-24h test can be a conditional aggregate), then ONE
+    partial+final aggregate computes all per-source stats. No windows,
+    no second scan.
     """
     (events,) = tables(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
@@ -2385,27 +2384,32 @@ def op_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares vs log10(1+1/d), with each digit's chi-square contribution —
     the classic anomaly/fraud smoke test for any numeric column.
 
-    Scale shape: first-digit extraction is map-only string arithmetic;
-    the rest is one 9-row aggregate + a window over those 9 rows
-    (PARTITIONED trivially by a constant grid — 9 rows at any corpus
-    size). Expected shares are closed-form constants, identical on
-    both engines.
+    Scale shape: first-digit extraction is map-only INTEGER arithmetic
+    — the amount is taken in exact cents (round(x·100) as BIGINT) so
+    no engine's float-to-string rendering is in the comparison path;
+    counts left-join the literal 1..9 grid, so ABSENT digits
+    contribute their full expected chi-square term (N·q_d) instead of
+    silently vanishing; the windows run over the fixed 9-row grid.
+    Expected shares are closed-form constants, identical on both
+    engines.
     """
     (orders,) = tables(spark, sf_dir, "orders")
-    digit = F.substring(
-        F.regexp_replace(F.format_number(F.col("o_totalprice"), 4), "[^1-9]", ""), 1, 1
-    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
     counts = (
         orders.filter(F.col("o_totalprice") > 0)
-        .select(digit.cast("int").alias("d"))
+        .select(F.substring(cents.cast("string"), 1, 1).cast("int").alias("d"))
         .groupBy("d")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n0"))
+    )
+    grid = spark.range(1, 10).select(F.col("id").cast("int").alias("d"))
+    filled = grid.join(counts, "d", "left").select(
+        "d", F.coalesce(F.col("n0"), F.lit(0)).cast("bigint").alias("n")
     )
     w = Window.partitionBy()  # 9-row grid — bounded by construction
     expected = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
     share = F.col("n") / F.sum("n").over(w)
     return (
-        counts.select(
+        filled.select(
             "d",
             "n",
             F.round(share, 6).alias("observed"),
@@ -2420,18 +2424,23 @@ def op_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OP_BENFORD_SQL = """
 WITH counts AS (
-  SELECT CAST(substr(regexp_replace(CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g'),
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
               1, 1) AS INT) AS d,
-         COUNT(*) AS n
+         COUNT(*) AS n0
   FROM orders WHERE o_totalprice > 0
   GROUP BY 1
+),
+filled AS (
+  SELECT g.d, CAST(COALESCE(c.n0, 0) AS BIGINT) AS n
+  FROM (SELECT unnest(range(1, 10)) AS d) g
+  LEFT JOIN counts c ON c.d = g.d
 )
-SELECT d, CAST(n AS BIGINT) AS n,
+SELECT d, n,
   round(n / CAST(SUM(n) OVER () AS DOUBLE), 6) AS observed,
   round(log10(1.0 + 1.0 / d), 6) AS expected,
   round(pow(n / CAST(SUM(n) OVER () AS DOUBLE) - log10(1.0 + 1.0 / d), 2)
         / log10(1.0 + 1.0 / d) * SUM(n) OVER (), 6) AS chi2_term
-FROM counts
+FROM filled
 ORDER BY d
 """
 
