@@ -164,10 +164,16 @@ def main() -> None:
         gc.collect()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     tpch_total = sum(
         v for k, v in times.items() if k.startswith("q")  # adapted q1..q22 only
     )
     tpch_full_total = sum(v for k, v in times.items() if k.startswith("tpchfull_"))
+    # Full per-query line first (archaeology / per-op round-over-round
+    # deltas), then a COMPACT headline line LAST: the driver captures a
+    # bounded tail of stdout, and by r6 the per-query dict (94 keys) had
+    # outgrown that window — BENCH_r06.json came back parsed:null. The
+    # final line must always be small enough to survive tail capture.
     print(
         json.dumps(
             {
@@ -176,7 +182,20 @@ def main() -> None:
                 "unit": "sec",
                 "tpch_full_22_total": round(tpch_full_total, 4),
                 "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+            }
+        )
+    )
+    sys.stdout.flush()
+    print(
+        json.dumps(
+            {
+                "metric": "tpch_22_total",
+                "value": round(tpch_total, 4),
+                "unit": "sec",
+                "tpch_full_22_total": round(tpch_full_total, 4),
+                "n_extras": len(BENCH_EXTRAS),
+                "sf": sf_val,
             }
         )
     )

@@ -30,6 +30,33 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# Below this many ESTIMATED input bytes (Catalyst optimized-plan stats,
+# no job launched) the two-pass machinery's fixed costs — the range
+# exchange's sampling job, the eager localCheckpoint, the offsets
+# collect — dominate the work itself: op_zorder's three ntile passes
+# cost 2.86 s at sf0.1 vs ~0.7 s for the degenerate form (BENCH_r06).
+# Below the gate we run the SAME algorithm with ONE shard: repartition(1)
+# + a window PARTITIONED by the shard id — bit-identical output
+# (tests/test_rank.py::test_gate_parity), still never an unpartitioned
+# Window node, and exactly what the big path plans when n_part == 1.
+# Catalyst's estimate is conservative upward for aggregates (propagates
+# the CHILD size), so a derived frame over a big fact stays on the
+# range path — the scale-safe direction to be wrong in.
+_SMALL_INPUT_MAX_BYTES = 64 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate in bytes — free (no job).
+    Unknown/huge estimates read as 'big' so the gate fails toward the
+    distributed path."""
+    try:
+        # py4j hands scala BigInt back as a Python int already
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()  # noqa: SLF001
+        )
+    except Exception:  # noqa: BLE001 — any JVM hiccup → assume big
+        return 1 << 62
+
 
 def _as_columns(order_cols) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
@@ -41,12 +68,29 @@ def _pick_partitions(df: DataFrame, num_partitions: int | None) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
 
 
+def _is_small(df: DataFrame, small_threshold_bytes: int | None) -> bool:
+    thr = (
+        _SMALL_INPUT_MAX_BYTES
+        if small_threshold_bytes is None
+        else small_threshold_bytes
+    )
+    return thr > 0 and _plan_size_bytes(df) < thr
+
+
+def _one_shard(df: DataFrame, pid_c: str) -> DataFrame:
+    """The n_part == 1 degenerate layout: one round-robin exchange
+    (upstream stages keep their parallelism — unlike coalesce(1), which
+    would collapse the producing stage to one task too)."""
+    return df.repartition(1).withColumn(pid_c, F.spark_partition_id())
+
+
 def ranked_by_range(
     df: DataFrame,
     order_cols,
     out: str = "rn",
     num_partitions: int | None = None,
     checkpoint: bool = True,
+    small_threshold_bytes: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Exact global ``row_number`` over ``order_cols`` without a
     single-partition window. Returns ``(df + out column, total rows)``.
@@ -54,11 +98,20 @@ def ranked_by_range(
     ``order_cols`` must define a strict total order (unique tie-break
     key) — identical contract to the ``row_number().over(orderBy(...))``
     it replaces. Helper columns are dropped before return.
+
+    ``small_threshold_bytes``: estimated-input-bytes gate below which
+    the one-shard degenerate path runs (see ``_SMALL_INPUT_MAX_BYTES``);
+    ``0`` forces the range path (tests), ``None`` the module default.
     """
     cols = _as_columns(order_cols)
-    n_part = _pick_partitions(df, num_partitions)
     pid_c = f"__{out}_pid"
     loc_c = f"__{out}_loc"
+    if _is_small(df, small_threshold_bytes):
+        part = _one_shard(df, pid_c)
+        w = Window.partitionBy(pid_c).orderBy(*cols)
+        ranked = part.withColumn(out, F.row_number().over(w).cast("long"))
+        return ranked.drop(pid_c), df.count()
+    n_part = _pick_partitions(df, num_partitions)
 
     part = df.repartitionByRange(n_part, *cols).withColumn(
         pid_c, F.spark_partition_id()
@@ -107,6 +160,7 @@ def cumsum_by_range(
     num_partitions: int | None = None,
     checkpoint: bool = True,
     rank_out: str | None = None,
+    small_threshold_bytes: int | None = None,
 ) -> DataFrame:
     """Exact global running total over ``order_cols`` without a
     single-partition window — the cumulative-sum twin of
@@ -126,8 +180,24 @@ def cumsum_by_range(
     separate ranked_by_range call would pay the range exchange twice).
     """
     cols = _as_columns(order_cols)
-    n_part = _pick_partitions(df, num_partitions)
     pid_c = f"__{out}_pid"
+    if _is_small(df, small_threshold_bytes):
+        part = _one_shard(df, pid_c)
+        w_small = (
+            Window.partitionBy(pid_c)
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        run = part.withColumn(out, F.sum(value_col).over(w_small))
+        if rank_out is not None:
+            run = run.withColumn(
+                rank_out,
+                F.row_number()
+                .over(Window.partitionBy(pid_c).orderBy(*cols))
+                .cast("long"),
+            )
+        return run.drop(pid_c)
+    n_part = _pick_partitions(df, num_partitions)
 
     part = df.repartitionByRange(n_part, *cols).withColumn(
         pid_c, F.spark_partition_id()
@@ -187,6 +257,7 @@ def ntile_by_range(
     out: str = "bucket",
     num_partitions: int | None = None,
     checkpoint: bool = True,
+    small_threshold_bytes: int | None = None,
 ) -> DataFrame:
     """Exact ``ntile(n_buckets)`` over a global order, distributed.
 
@@ -195,9 +266,22 @@ def ntile_by_range(
     from :func:`ranked_by_range` the bucket is closed-form integer
     arithmetic (validated against ``F.ntile`` in tests/test_rank.py).
     """
+    cols = _as_columns(order_cols)
+    if _is_small(df, small_threshold_bytes):
+        # One shard → native ntile over the shard-id-partitioned window:
+        # no offsets collect and no count job at all.
+        pid_c = f"__{out}_pid"
+        part = _one_shard(df, pid_c)
+        w_small = Window.partitionBy(pid_c).orderBy(*cols)
+        return part.withColumn(out, F.ntile(n_buckets).over(w_small)).drop(pid_c)
     rn_c = f"__{out}_rn"
     ranked, total = ranked_by_range(
-        df, order_cols, out=rn_c, num_partitions=num_partitions, checkpoint=checkpoint
+        df,
+        order_cols,
+        out=rn_c,
+        num_partitions=num_partitions,
+        checkpoint=checkpoint,
+        small_threshold_bytes=0,  # gate decided above; don't re-count
     )
     q, r = divmod(total, n_buckets)
     rn = F.col(rn_c)
