@@ -613,6 +613,40 @@ ORDER BY scope, o_orderstatus
 """
 
 
+def snapshots_meta_rows(path: str) -> list[tuple]:
+    """(snapshot_id, parent_id, operation, rows_added) per snapshot.
+    Per-snapshot file inventories are keyed by id so rows_added diffs
+    each snapshot against its PARENT's file set — not the previous
+    snapshot in global id order, which on a table with interleaved
+    branch commits can be an unrelated branch snapshot (ADVICE r6)."""
+    import json as _json
+
+    t = IcebergLiteTable(path)
+    snaps = t.snapshots()
+    file_counts: dict[int, dict[str, int]] = {}
+    for s in snaps:
+        with open(os.path.join(path, s["manifest_list"])) as f:
+            manifests = _json.load(f)
+        counts: dict[str, int] = {}
+        for m in manifests:
+            with open(os.path.join(path, m["manifest_path"])) as f:
+                for e in _json.load(f)["entries"]:
+                    df_entry = e["data_file"]
+                    counts[df_entry["file_path"]] = df_entry.get("record_count", 0)
+        file_counts[s["snapshot_id"]] = counts
+    rows = []
+    for s in snaps:
+        parent = s.get("parent_snapshot_id")
+        prev_files = set(file_counts.get(parent, {}))
+        added = sum(
+            rc
+            for fp, rc in file_counts[s["snapshot_id"]].items()
+            if fp not in prev_files
+        )
+        rows.append((s["snapshot_id"], parent, s["summary"]["operation"], added))
+    return rows
+
+
 def iceberg_snapshots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg metadata tables (`table.snapshots` / `table.history`):
     per-snapshot operation, parent, and rows-added computed from the
@@ -624,33 +658,8 @@ def iceberg_snapshots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Beyond reference: its iceberg.rs reads data snapshots but exposes
     no metadata relations (/root/reference/src/physical/operators/
     iceberg.rs:27-110)."""
-    import json as _json
-
     path = _table(spark, sf_dir)
-    t = IcebergLiteTable(path)
-    rows = []
-    prev_files: set[str] = set()
-    for s in t.snapshots():
-        with open(os.path.join(path, s["manifest_list"])) as f:
-            manifests = _json.load(f)
-        added = 0
-        files: set[str] = set()
-        for m in manifests:
-            with open(os.path.join(path, m["manifest_path"])) as f:
-                for e in _json.load(f)["entries"]:
-                    df_entry = e["data_file"]
-                    files.add(df_entry["file_path"])
-                    if df_entry["file_path"] not in prev_files:
-                        added += df_entry.get("record_count", 0)
-        rows.append(
-            (
-                s["snapshot_id"],
-                s.get("parent_snapshot_id"),
-                s["summary"]["operation"],
-                added,
-            )
-        )
-        prev_files = files
+    rows = snapshots_meta_rows(path)
     return spark.createDataFrame(
         rows, "snapshot_id bigint, parent_id bigint, operation string, rows_added bigint"
     ).orderBy("snapshot_id")

@@ -1924,7 +1924,11 @@ def op_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (lineitem,) = tables(spark, sf_dir, "lineitem")
     li = lineitem.select("l_orderkey", "l_partkey").distinct()
-    n_orders = li.select("l_orderkey").distinct().count()  # scalar, bounded
+    # 1-row denominator stays IN the plan (crossJoin(broadcast) below),
+    # matching the repo-wide pattern — no separate driver-side job
+    n_orders = li.select(
+        F.count_distinct(F.col("l_orderkey")).cast("double").alias("n_orders")
+    )
     pairs = (
         li.alias("a")
         .join(li.alias("b"), F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -1944,14 +1948,15 @@ def op_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .withColumnRenamed("item_n", "n_a"), "item_a")
         .join(items.withColumnRenamed("item", "item_b")
               .withColumnRenamed("item_n", "n_b"), "item_b")
+        .crossJoin(F.broadcast(n_orders))
         .select(
             "item_a",
             "item_b",
             "support",
             F.round(
-                (F.col("support") / F.lit(float(n_orders)))
-                / ((F.col("n_a") / F.lit(float(n_orders)))
-                   * (F.col("n_b") / F.lit(float(n_orders)))),
+                (F.col("support") / F.col("n_orders"))
+                / ((F.col("n_a") / F.col("n_orders"))
+                   * (F.col("n_b") / F.col("n_orders"))),
                 6,
             ).alias("lift"),
         )

@@ -116,18 +116,41 @@ class IcebergLiteTable:
             raise ValueError(f"unknown ref {name!r}; have {sorted(refs)}")
         return refs[name]["snapshot_id"]
 
+    def ancestor_chain(self, head: int | None) -> list[int]:
+        """Snapshot ids from `head` back to the root, parent-chained.
+        Missing (expired) ancestors end the walk cleanly."""
+        out: list[int] = []
+        cur = head
+        while cur is not None and cur not in out:
+            out.append(cur)
+            try:
+                cur = self._snapshot(cur).get("parent_snapshot_id")
+            except FileNotFoundError:
+                cur = None
+        return out
+
     def snapshot_as_of(self, timestamp_ms: int) -> int:
-        """Latest snapshot committed at or before `timestamp_ms` —
-        Iceberg's TIMESTAMP AS OF selection (commit timestamps are
-        strictly increasing by construction)."""
+        """Latest MAIN-branch snapshot committed at or before
+        `timestamp_ms` — Iceberg's TIMESTAMP AS OF selection, resolved
+        against main's snapshot-log (its ancestor chain), exactly like
+        real Iceberg. Restricting to main is what preserves the WAP
+        isolation guarantee: a batch staged on a live audit branch (or
+        rejected and dropped but not yet expired) has a snapshot file
+        on disk, and a max-over-all-files rule would expose it to a
+        timestamp read of 'now'. Along the chain commit timestamps are
+        monotonic (child commits after parent), so the latest eligible
+        ancestor is the answer."""
+        main = self.refs().get("main", {}).get("snapshot_id")
+        chain = set(self.ancestor_chain(main))
         eligible = [
             s["snapshot_id"]
             for s in self.snapshots()
-            if s.get("timestamp_ms", 0) <= timestamp_ms
+            if s["snapshot_id"] in chain
+            and s.get("timestamp_ms", 0) <= timestamp_ms
         ]
         if not eligible:
             raise ValueError(
-                f"no snapshot at or before timestamp_ms={timestamp_ms}"
+                f"no main-branch snapshot at or before timestamp_ms={timestamp_ms}"
             )
         return max(eligible)
 
@@ -673,6 +696,10 @@ def fast_forward(path: str, branch: str, to_ref: str) -> int:
     with _commit_lock(path):
         table = IcebergLiteTable(path)
         refs = table.refs()
+        if branch not in refs:
+            # mirror the commit path: a typo'd branch must error, not
+            # silently create a new ref at the target (ADVICE r6)
+            raise ValueError(f"unknown ref {branch!r}; have {sorted(refs)}")
         if refs.get(branch, {}).get("type") == "tag":
             raise ValueError(
                 f"cannot fast-forward tag {branch!r} — tags are immutable"
@@ -992,6 +1019,23 @@ def expire_snapshots(
                 cur = by_id.get(cur, {}).get("parent_snapshot_id")
             return out
 
+        def _chain_ordered(head: int | None) -> list[int]:
+            out: list[int] = []
+            cur = head
+            while cur is not None and cur not in out:
+                out.append(cur)
+                cur = by_id.get(cur, {}).get("parent_snapshot_id")
+            return out
+
+        main_chain = _chain_ordered(refs.get("main", {}).get("snapshot_id"))
+        # keep_last counts POSITION within main's ancestor chain (head
+        # first), not id distance: snapshot ids are globally unique
+        # across branches, so branch commits interleaving main's ids
+        # (main 1,2,5 with branch 3,4) would make `current - keep_last`
+        # expire too much of main's history (ADVICE r6).
+        keep_protected: set[int] = (
+            set(main_chain[:keep_last]) if keep_last is not None else set()
+        )
         reachable: set[int] = set()
         side_chain: set[int] = set()
         for name, r in refs.items():
@@ -999,7 +1043,7 @@ def expire_snapshots(
             reachable |= c
             if name != "main":
                 side_chain |= c
-        side_chain -= _chain(refs.get("main", {}).get("snapshot_id"))
+        side_chain -= set(main_chain)
         expire: list[int] = []
         for s in snaps:
             sid = s["snapshot_id"]
@@ -1011,7 +1055,7 @@ def expire_snapshots(
             too_old = older_than_ms is not None and s.get(
                 "timestamp_ms", 0
             ) <= older_than_ms
-            beyond_keep = keep_last is not None and sid <= (current or 0) - keep_last
+            beyond_keep = keep_last is not None and sid not in keep_protected
             if too_old or beyond_keep:
                 expire.append(sid)
         remaining = [s["snapshot_id"] for s in snaps if s["snapshot_id"] not in set(expire)]

@@ -305,7 +305,7 @@ def test_time_travel_as_of_timestamp(spark, table):
     assert t.snapshot_as_of(snaps[s2]) == s2
     assert t.read(spark, as_of_timestamp_ms=snaps[s1]).count() == 100
     assert t.read(spark, as_of_timestamp_ms=snaps[s2]).count() == 200
-    with pytest.raises(ValueError, match="no snapshot"):
+    with pytest.raises(ValueError, match="no main-branch snapshot"):
         t.snapshot_as_of(snaps[s1] - 1)
 
 

@@ -66,6 +66,7 @@ BNLJ_ALLOWLIST: dict[str, str] = {
     "op_pagerank": "1-row dangling-mass aggregate crossed into each iteration's node grid",
     "sim_pair_histogram": "1-row corpus-size aggregate crossed into bucket shares",
     "text_tfidf": "1-row document-count aggregate crossed into the idf term",
+    "op_freq_itemsets": "1-row distinct-order-count aggregate crossed into the lift denominator",
 }
 
 # Row-at-a-time Python nodes allowed ONLY on bounded input.
