@@ -87,6 +87,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "op_freshness",
     "op_benford",
     "text_kl_divergence",
+    # --- appended r7 ---
+    "dedup_representative",
 )
 
 

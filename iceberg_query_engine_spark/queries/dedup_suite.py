@@ -390,6 +390,26 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist(MEMORY_AND_DISK_2) or use a reliable checkpoint dir.
     """
     (documents,) = tables(spark, sf_dir, "documents")
+    labels = _cluster_labels(documents)
+
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _cluster_labels(documents: DataFrame) -> DataFrame:
+    """Connected-component labels (node, label=min doc_id reachable)
+    over the LSH-candidate Jaccard >= 0.6 pair graph — the clustering
+    core shared by dedup_clusters and dedup_representative (see
+    dedup_clusters' docstring for the algorithm and scale notes)."""
     cand = _lsh_candidate_pairs(documents, CLUSTER_BAND_SIZE, CLUSTER_CAP)
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.col("a.sz") + F.col("b.sz") - inter
@@ -450,18 +470,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     else:  # pragma: no cover - 50 rounds covers any real diameter
         raise RuntimeError("connected components did not converge")
-
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            F.col("node").alias("doc_id"),
-            F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
-            (F.col("node") == F.col("label")).alias("is_canonical"),
-        )
-        .orderBy("doc_id")
-    )
+    return labels
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -484,6 +493,82 @@ SELECT doc_id, cluster_id,
        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
        doc_id = cluster_id AS is_canonical
 FROM cc ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative SELECTION — the half of near-dup dedup
+    that dedup_clusters leaves open: given the connected components,
+    elect ONE survivor per cluster by a quality key (here: most tokens,
+    ties to the lowest doc_id — the 'keep the longest variant'
+    heuristic every production dedup pipeline applies) and report what
+    each election dropped.
+
+    Scale shape: the election is a single partial-aggregatable
+    `max(struct(quality, -doc_id))` per cluster label — map-side
+    combine does the heavy lifting, no window, no sort, no second
+    shuffle beyond the groupBy on the label; the token count rides the
+    same scan the clustering already makes. At 100 TB the quality key
+    would be a model score column — same plan shape.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    labels = _cluster_labels(documents)
+    n_tok = documents.select(
+        "doc_id", F.size(_tokens()).cast("bigint").alias("n_tok")
+    )
+    scored = labels.join(n_tok, labels.node == n_tok.doc_id)
+    return (
+        scored.groupBy(F.col("label").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            # argmax with a deterministic tiebreak: highest n_tok wins,
+            # equal n_tok -> LOWEST doc_id (negate inside the struct)
+            F.max(F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("ni"))).alias(
+                "best"
+            ),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("best.ni")).cast("bigint").alias("rep_doc_id"),
+            F.col("best.n_tok").alias("rep_n_tokens"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("cluster_size") - 1).cast("bigint").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+DEDUP_REPRESENTATIVE_SQL = f"""
+WITH RECURSIVE {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP).lstrip()}, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+), scored AS (
+  SELECT cc.cluster_id, cc.doc_id,
+         CAST(length(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+), sel AS (
+  SELECT cluster_id, doc_id, n_tok,
+    row_number() OVER (PARTITION BY cluster_id
+                       ORDER BY n_tok DESC, doc_id ASC) AS rk,
+    COUNT(*) OVER (PARTITION BY cluster_id) AS csz
+  FROM scored
+)
+SELECT cluster_id, CAST(doc_id AS BIGINT) AS rep_doc_id,
+       n_tok AS rep_n_tokens, CAST(csz AS BIGINT) AS cluster_size,
+       CAST(csz - 1 AS BIGINT) AS n_dropped
+FROM sel WHERE rk = 1 ORDER BY cluster_id
 """
 
 
@@ -1195,6 +1280,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": dedup_containment,
     "dedup_containment_lsh": dedup_containment_lsh,
     "dedup_clusters": dedup_clusters,
+    "dedup_representative": dedup_representative,
     "dedup_decontaminate": dedup_decontaminate,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_pr_eval": dedup_pr_eval,
@@ -1209,6 +1295,7 @@ ORACLE: dict[str, str] = {
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_containment_lsh": DEDUP_CONTAINMENT_LSH_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_representative": DEDUP_REPRESENTATIVE_SQL,
     "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_pr_eval": _pr_eval_oracle(),
