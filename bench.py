@@ -89,6 +89,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "text_kl_divergence",
     # --- appended r7 ---
     "dedup_representative",
+    "text_dup_spans",
+    "op_k_anonymity",
+    "op_compaction_plan",
+    "ev_interarrival",
 )
 
 

@@ -2098,7 +2098,65 @@ ORDER BY day
 """
 
 
+# --------------------------------------------------------------------------
+def ev_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: for each user's
+    consecutive same-type events, the gap in seconds; reported per type
+    as gap count, mean, median, and p90 — the load-model / burstiness
+    profile capacity planning reads off an event stream.
+
+    Scale shape: the lag runs in a window PARTITIONED by (user, type)
+    — one shuffle on the natural key, every partition independent; the
+    per-type percentile is a second small aggregate over |types| groups
+    (exact percentile is fine because the reduce is per-type; at
+    open-ended cardinality swap in approx_percentile, same plan).
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "event_type",
+            (
+                F.unix_timestamp("ts")
+                - F.unix_timestamp(F.lag("ts").over(w))
+            ).alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("median_gap_s"),
+            F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EV_INTERARRIVAL_SQL = """
+WITH gaps AS (
+  SELECT event_type,
+    date_diff('second',
+              LAG(ts) OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id),
+              ts) AS gap_s
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+  round(AVG(gap_s), 4) AS mean_gap_s,
+  round(CAST(quantile_cont(gap_s, 0.5) AS DOUBLE), 4) AS median_gap_s,
+  round(CAST(quantile_cont(gap_s, 0.9) AS DOUBLE), 4) AS p90_gap_s
+FROM gaps
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_interarrival": ev_interarrival,
     "ev_dau_wau_mau": ev_dau_wau_mau,
     "ev_concurrency": ev_concurrency,
     "ev_forecast_eval": ev_forecast_eval,
@@ -2130,6 +2188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "ev_interarrival": EV_INTERARRIVAL_SQL,
     "ev_dau_wau_mau": EV_DAU_WAU_MAU_SQL,
     "ev_concurrency": EV_CONCURRENCY_SQL,
     "ev_forecast_eval": _forecast_eval_oracle(),

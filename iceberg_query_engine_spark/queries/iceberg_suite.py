@@ -676,7 +676,86 @@ ORDER BY snapshot_id
 """
 
 
+_ORPHAN_CACHE: dict[str, str] = {}
+
+
+def _orphan_table(spark: SparkSession, sf_dir: str) -> str:
+    """Two committed snapshots (orders <500, 500..999) plus planted
+    uncommitted data files (orders 1000..1199) — the debris a crashed
+    writer leaves: parquet under data/ that no manifest references."""
+    import glob
+    import shutil
+
+    key = sf_dir
+    if key in _ORPHAN_CACHE and os.path.exists(_ORPHAN_CACHE[key]):
+        return _ORPHAN_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "iceberg_lite",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_orphan",
+    )
+    if not os.path.exists(os.path.join(path, "metadata", "v0.metadata.json")):
+        (orders,) = tables(spark, sf_dir, "orders")
+        write_snapshot(orders.filter(F.col("o_orderkey") < 500), path)
+        write_snapshot(orders.filter(F.col("o_orderkey").between(500, 999)), path)
+    if not os.path.exists(os.path.join(path, "data", "orphan-0.parquet")):
+        # plant the crashed write: data files bypassing the commit
+        # (separate guard: a crash between the snapshot writes and the
+        # plant must not leave a cached orphan-free fixture behind)
+        (orders,) = tables(spark, sf_dir, "orders")
+        tmp = os.path.join(path, "_orphan_build")
+        orders.filter(F.col("o_orderkey").between(1000, 1199)).coalesce(
+            2
+        ).write.mode("overwrite").parquet(tmp)
+        for i, src in enumerate(sorted(glob.glob(os.path.join(tmp, "*.parquet")))):
+            os.replace(src, os.path.join(path, "data", f"orphan-{i}.parquet"))
+        shutil.rmtree(tmp, ignore_errors=True)
+    _ORPHAN_CACHE[key] = path
+    return path
+
+
+def iceberg_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg `remove_orphan_files` (dry run): detect data files no
+    snapshot references, then prove detection found exactly the
+    planted crashed-write debris by reading BOTH populations back —
+    the live table through its manifests, the orphans directly.
+
+    Beyond reference: its iceberg.rs is scan-only; table maintenance
+    (expire / compact / orphan removal) is the 100 TB storage-
+    amplification loop this repo adds
+    (/root/reference/src/physical/operators/iceberg.rs:27-110)."""
+    from ..sources.iceberg_lite import remove_orphan_files
+
+    path = _orphan_table(spark, sf_dir)
+    res = remove_orphan_files(path, dry_run=True)
+    live = (
+        IcebergLiteTable(path)
+        .read(spark)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.lit("live").alias("kind"), "n_rows")
+    )
+    orphan_df = spark.read.parquet(
+        *[os.path.join(path, rel) for rel in res.orphan_paths]
+    )
+    orphans = orphan_df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+        F.lit("orphan").alias("kind"), "n_rows"
+    )
+    return live.unionByName(orphans).orderBy("kind")
+
+
+ICEBERG_ORPHANS_SQL = """
+SELECT 'live' AS kind, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders WHERE o_orderkey < 1000
+UNION ALL
+SELECT 'orphan', CAST(COUNT(*) AS BIGINT)
+FROM orders WHERE o_orderkey BETWEEN 1000 AND 1199
+ORDER BY kind
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "iceberg_orphans": iceberg_orphans,
     "iceberg_snapshots_meta": iceberg_snapshots_meta,
     "iceberg_wap": iceberg_wap,
     "catalog_join": catalog_join,
@@ -691,6 +770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "iceberg_orphans": ICEBERG_ORPHANS_SQL,
     "iceberg_snapshots_meta": ICEBERG_SNAPSHOTS_META_SQL,
     "iceberg_wap": ICEBERG_WAP_SQL,
     "catalog_join": CATALOG_JOIN_SQL,

@@ -2450,7 +2450,151 @@ ORDER BY d
 """
 
 
+# --------------------------------------------------------------------------
+K_ANON_THRESHOLD = 5
+
+
+def op_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy gate: k-anonymity audit of customer quasi-identifiers at
+    three generalization levels of the standard lattice — (segment,
+    nation, $1000-balance-bucket) → (segment, nation) → (segment).
+    For each level: the achieved k (smallest equivalence class), class
+    count, and how many rows sit in classes below the k=5 re-ID
+    threshold — the numbers a release-review asks for before a customer
+    extract ships to a training pipeline.
+
+    Scale shape: ONE shuffle — the whole lattice comes from a single
+    ROLLUP (Spark's Expand feeds one hash aggregate, no per-level
+    re-scan); the level summary then aggregates class-count rows
+    (|classes|, not |rows|). At 100 TB this is a single pass over the
+    table regardless of how many lattice levels are audited.
+    """
+    (customer,) = tables(spark, sf_dir, "customer")
+    bucket = F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    classes = (
+        customer.select(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nat"),
+            bucket.alias("bal"),
+        )
+        .rollup("seg", "nat", "bal")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.grouping_id().alias("gid"))
+        .filter(F.grouping_id() < 7)  # drop the grand-total row
+    )
+    level = (
+        F.when(F.col("gid") == 0, "seg+nation+bal_bucket")
+        .when(F.col("gid") == 1, "seg+nation")
+        .otherwise("seg")
+    )
+    k = F.lit(K_ANON_THRESHOLD)
+    return (
+        classes.groupBy(level.alias("level"))
+        .agg(
+            F.min("cnt").cast("bigint").alias("k_anonymity"),
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("cnt") < k, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_at_risk"),
+            F.round(
+                F.sum(F.when(F.col("cnt") < k, F.col("cnt")).otherwise(0))
+                / F.sum("cnt").cast("double")
+                * 100,
+                4,
+            ).alias("risk_pct"),
+        )
+        .orderBy("level")
+    )
+
+
+OP_K_ANONYMITY_SQL = f"""
+WITH classes AS (
+  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal,
+         COUNT(*) AS cnt,
+         GROUPING(c_mktsegment) * 4 + GROUPING(c_nationkey) * 2
+           + GROUPING(CAST(FLOOR(c_acctbal / 1000) AS BIGINT)) AS gid
+  FROM customer
+  GROUP BY ROLLUP (c_mktsegment, c_nationkey,
+                   CAST(FLOOR(c_acctbal / 1000) AS BIGINT))
+)
+SELECT CASE WHEN gid = 0 THEN 'seg+nation+bal_bucket'
+            WHEN gid = 1 THEN 'seg+nation' ELSE 'seg' END AS level,
+  CAST(MIN(cnt) AS BIGINT) AS k_anonymity,
+  CAST(COUNT(*) AS BIGINT) AS n_classes,
+  CAST(SUM(CASE WHEN cnt < {K_ANON_THRESHOLD} THEN cnt ELSE 0 END) AS BIGINT)
+    AS rows_at_risk,
+  round(SUM(CASE WHEN cnt < {K_ANON_THRESHOLD} THEN cnt ELSE 0 END)
+        / CAST(SUM(cnt) AS DOUBLE) * 100, 4) AS risk_pct
+FROM classes
+WHERE gid < 7
+GROUP BY 1
+ORDER BY level
+"""
+
+
+# --------------------------------------------------------------------------
+COMPACTION_TARGET_CHARS = 4096
+
+
+def op_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning (the layout step of Iceberg's
+    rewrite_data_files / binpack): treat each document as a data file
+    of `n_chars` bytes, and within each source partition assign files
+    to output bins next-fit in key order until a bin crosses the
+    target size. Emits the per-bin plan (file count, bytes, fill
+    ratio) a compaction executor would run.
+
+    Scale shape: binning is a cumulative sum within (source) — a
+    PARTITIONED window, exactly the per-partition planning Iceberg's
+    binpack does (compaction never bins across partitions, so no
+    global coordination exists to serialize on). At 100 TB each
+    partition's file list is metadata-sized; the plan aggregate is
+    |files|, not |rows|.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    t = F.lit(COMPACTION_TARGET_CHARS)
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = documents.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / t)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return (
+        binned.groupBy("source", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("bytes"),
+            F.round(F.sum("n_chars") / t.cast("double"), 4).alias("fill_ratio"),
+        )
+        .orderBy("source", "bin")
+    )
+
+
+OP_COMPACTION_PLAN_SQL = f"""
+WITH binned AS (
+  SELECT source, doc_id, n_chars,
+    CAST(FLOOR((SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) - n_chars)
+         / {COMPACTION_TARGET_CHARS}.0) AS BIGINT) AS bin
+  FROM documents
+)
+SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_files,
+  CAST(SUM(n_chars) AS BIGINT) AS bytes,
+  round(SUM(n_chars) / {COMPACTION_TARGET_CHARS}.0, 4) AS fill_ratio
+FROM binned
+GROUP BY source, bin
+ORDER BY source, bin
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_k_anonymity": op_k_anonymity,
+    "op_compaction_plan": op_compaction_plan,
     "op_benford": op_benford,
     "op_freshness": op_freshness,
     "op_skyline": op_skyline,
@@ -2493,6 +2637,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_k_anonymity": OP_K_ANONYMITY_SQL,
+    "op_compaction_plan": OP_COMPACTION_PLAN_SQL,
     "op_benford": OP_BENFORD_SQL,
     "op_freshness": OP_FRESHNESS_SQL,
     "op_skyline": OP_SKYLINE_SQL,

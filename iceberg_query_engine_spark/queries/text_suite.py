@@ -1176,7 +1176,86 @@ ORDER BY st.source
 """
 
 
+# --------------------------------------------------------------------------
+# Non-overlapping span width for cross-document substring dedup.
+DUP_SPAN_TOKENS = 8
+
+
+def text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection (the exact-substring
+    dedup signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): tile every document into non-overlapping
+    8-token spans, count each span text's total corpus occurrences, and
+    report per document how much of it is made of spans that appear
+    more than once anywhere (including elsewhere in the same doc —
+    boilerplate repeats both within and across pages).
+
+    Distinct from `text_repetition` (within-doc n-gram stats) and the
+    `dedup_*` family (whole-document identity): this finds documents
+    that are mosaics of corpus-common passages.
+
+    Scale shape: span tiling is a map-side explode (sequence + slice +
+    concat_ws, all codegen); corpus span counts are ONE shuffle keyed
+    by span text; scoring re-joins spans to counts on the same key —
+    at 100 TB both sides are span-sized and hash-partition cleanly, and
+    replacing span text with a 64-bit xxhash key would shrink the
+    shuffle further without changing the plan shape.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = DUP_SPAN_TOKENS
+    d = documents.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= w)
+    starts = F.sequence(
+        F.lit(0), (F.floor(F.size("t") / w) - 1).cast("int") * w, F.lit(w)
+    )
+    spans = d.select(
+        "doc_id", F.explode(starts).alias("s"), F.col("t")
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("s") + 1, w)).alias("span"),
+    )
+    counts = spans.groupBy("span").agg(F.count(F.lit(1)).alias("n_occ"))
+    return (
+        spans.join(counts, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_occ") >= 2).cast("int")).alias("n_dup_spans"),
+            F.round(
+                F.sum((F.col("n_occ") >= 2).cast("int"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_DUP_SPANS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE length(string_split(text, ' ')) >= {DUP_SPAN_TOKENS}
+), spans AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      generate_series(0, length(t) // {DUP_SPAN_TOKENS} - 1),
+      i -> array_to_string(t[i*{DUP_SPAN_TOKENS}+1 : (i+1)*{DUP_SPAN_TOKENS}], ' ')
+    )) AS span
+  FROM d
+), counts AS (
+  SELECT span, COUNT(*) AS n_occ FROM spans GROUP BY span
+)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+  round(SUM(CASE WHEN c.n_occ >= 2 THEN 1 ELSE 0 END)
+        / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+FROM spans s JOIN counts c ON c.span = s.span
+GROUP BY s.doc_id
+ORDER BY s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_dup_spans": text_dup_spans,
     "text_kl_divergence": text_kl_divergence,
     "text_classifier_score": text_classifier_score,
     "text_count_min": text_count_min,
@@ -1200,6 +1279,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "text_dup_spans": TEXT_DUP_SPANS_SQL,
     "text_kl_divergence": TEXT_KL_DIVERGENCE_SQL,
     "text_classifier_score": TEXT_CLASSIFIER_SCORE_SQL,
     "text_count_min": TEXT_COUNT_MIN_SQL,

@@ -1091,3 +1091,99 @@ def expire_snapshots(
         for sid in expire:
             os.remove(os.path.join(path, "metadata", f"snap-{sid}.snapshot.json"))
     return res
+
+
+@dataclass
+class OrphanResult:
+    """What remove_orphan_files found (and, unless dry_run, deleted)."""
+
+    orphan_paths: list[str] = field(default_factory=list)
+    bytes_total: int = 0
+    removed: bool = False
+
+
+def remove_orphan_files(
+    path: str, dry_run: bool = True, older_than_ms: int | None = None
+) -> OrphanResult:
+    """Iceberg `remove_orphan_files`: find files under the table's
+    data location that NO snapshot of ANY ref references — the debris
+    of crashed or abandoned writes (a writer that produced data files
+    but died before its metadata commit leaves them invisible to every
+    scan yet paying storage forever). Distinct from expire_snapshots,
+    which reclaims files that committed snapshots once referenced.
+
+    Scope and safety (mirrors Iceberg's procedure semantics):
+    - only the `data/` subtree is scanned; `metadata/` is never touched
+      (delete "files" are parquet directories under data/, so a file is
+      live if its own rel path OR an ancestor directory is referenced);
+    - `_staging-*` trees belong to possibly-in-flight writers and are
+      only reclaimed when `older_than_ms` is given and every file in
+      the tree is older (Iceberg's older_than guard, default 3 days
+      there; None here = never touch staging);
+    - runs under the commit lock so the reference set can't move while
+      scanning; the walk is metadata-scale (one stat per file), no data
+      I/O.
+    """
+    res = OrphanResult()
+    with _commit_lock(path):
+        table = IcebergLiteTable(path)
+        sids = [s["snapshot_id"] for s in table.snapshots()]
+        refs = _referenced_paths(path, sids, missing_ok=True)
+
+        def _is_referenced(rel: str) -> bool:
+            if rel in refs:
+                return True
+            parent = os.path.dirname(rel)
+            while parent:
+                if parent in refs:
+                    return True
+                parent = os.path.dirname(parent)
+            return False
+
+        def _old_enough(p: str) -> bool:
+            return older_than_ms is not None and (
+                os.path.getmtime(p) * 1000 < older_than_ms
+            )
+
+        roots = [os.path.join(path, "data")]
+        staging = [
+            os.path.join(path, d)
+            for d in os.listdir(path)
+            if d.startswith("_staging-")
+        ]
+        for root in roots:
+            if not os.path.isdir(root):
+                continue
+            for dp, _dirs, fns in os.walk(root):
+                for fn in fns:
+                    abs_p = os.path.join(dp, fn)
+                    rel = os.path.relpath(abs_p, path)
+                    if not _is_referenced(rel):
+                        res.orphan_paths.append(rel)
+                        res.bytes_total += os.path.getsize(abs_p)
+        for sdir in staging:
+            files = [
+                os.path.join(dp, fn)
+                for dp, _dirs, fns in os.walk(sdir)
+                for fn in fns
+            ]
+            if files and all(_old_enough(p) for p in files):
+                for p in files:
+                    rel = os.path.relpath(p, path)
+                    res.orphan_paths.append(rel)
+                    res.bytes_total += os.path.getsize(p)
+        res.orphan_paths.sort()
+        if not dry_run:
+            for rel in res.orphan_paths:
+                p = os.path.join(path, rel)
+                if os.path.exists(p):
+                    os.remove(p)
+            # prune now-empty directories (staging trees, delete dirs)
+            for sdir in staging + roots:
+                for dp, _dirs, _fns in os.walk(sdir, topdown=False):
+                    # re-list: the walk's cached entries predate the
+                    # removals above (and child-dir prunes this loop)
+                    if dp != os.path.join(path, "data") and not os.listdir(dp):
+                        os.rmdir(dp)
+            res.removed = True
+    return res
