@@ -78,6 +78,12 @@ PIPELINE_OPS = [
     "ev_ewma",
     "ev_stl",
     "ev_pattern_match",
+    # appended r7: the new curation/maintenance ops need big-corpus
+    # points too (dup-span tiling shuffles ~full token volume)
+    "text_dup_spans",
+    "op_compaction_plan",
+    "ev_interarrival",
+    "dedup_representative",
 ]
 
 
