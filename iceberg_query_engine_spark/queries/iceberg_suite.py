@@ -754,7 +754,78 @@ ORDER BY kind
 """
 
 
+_EVO_CACHE: dict[str, str] = {}
+
+
+def _evo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Schema-evolution fixture: snapshot 1 under (o_orderkey,
+    o_totalprice); then RENAME o_totalprice→price and ADD channel
+    (both metadata-only); snapshot 2 appends under the evolved names.
+    Deterministic, so the oracle replays both eras from raw orders."""
+    from ..sources.iceberg_lite import add_column, rename_column
+
+    key = sf_dir
+    if key in _EVO_CACHE and os.path.exists(_EVO_CACHE[key]):
+        return _EVO_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "iceberg_lite",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_evo",
+    )
+    if not os.path.exists(os.path.join(path, "metadata", "v0.metadata.json")):
+        (orders,) = tables(spark, sf_dir, "orders")
+        write_snapshot(
+            orders.filter(F.col("o_orderkey") < 500).select(
+                "o_orderkey", "o_totalprice"
+            ),
+            path,
+        )
+        rename_column(path, "o_totalprice", "price")
+        add_column(path, "channel", "string")
+        write_snapshot(
+            orders.filter(F.col("o_orderkey").between(500, 999)).select(
+                "o_orderkey",
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderstatus").alias("channel"),
+            ),
+            path,
+        )
+    _EVO_CACHE[key] = path
+    return path
+
+
+def iceberg_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg schema evolution read: files written before a RENAME
+    resolve through field ids (no rewrite), files predating an ADDed
+    column read it as NULL — one scan unifies both eras under the
+    current schema. Beyond reference: its iceberg.rs reads one fixed
+    schema (/root/reference/src/physical/operators/iceberg.rs:27-110)."""
+    path = _evo_table(spark, sf_dir)
+    df = IcebergLiteTable(path).read(spark)
+    return (
+        df.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("price"), 2).alias("revenue"),
+        )
+        .orderBy(F.col("channel").asc_nulls_first())
+    )
+
+
+ICEBERG_SCHEMA_EVOLUTION_SQL = """
+SELECT CASE WHEN o_orderkey < 500 THEN NULL ELSE o_orderstatus END AS channel,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  round(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderkey < 1000
+GROUP BY 1
+ORDER BY channel ASC NULLS FIRST
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "iceberg_schema_evolution": iceberg_schema_evolution,
     "iceberg_orphans": iceberg_orphans,
     "iceberg_snapshots_meta": iceberg_snapshots_meta,
     "iceberg_wap": iceberg_wap,
@@ -770,6 +841,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "iceberg_schema_evolution": ICEBERG_SCHEMA_EVOLUTION_SQL,
     "iceberg_orphans": ICEBERG_ORPHANS_SQL,
     "iceberg_snapshots_meta": ICEBERG_SNAPSHOTS_META_SQL,
     "iceberg_wap": ICEBERG_WAP_SQL,

@@ -159,6 +159,24 @@ class IcebergLiteTable:
         with open(p) as f:
             return json.load(f)
 
+    # -- schema history ----------------------------------------------------
+    def schema_by_id(self, schema_id: int) -> dict | None:
+        """Schema dict for an id, or None when the table predates
+        schema tracking (legacy tables resolve columns by name)."""
+        schemas = self.metadata().get("schemas")
+        if not schemas:
+            return None
+        for s in schemas:
+            if s["schema_id"] == schema_id:
+                return s
+        raise ValueError(f"unknown schema id {schema_id} at {self.path}")
+
+    def current_schema(self) -> dict | None:
+        meta = self.metadata()
+        if not meta.get("schemas"):
+            return None
+        return self.schema_by_id(meta["current-schema-id"])
+
     def data_files(self, snapshot_id: int | None = None) -> list[dict]:
         return [
             e for e, _seq, content in self._files_with_meta(snapshot_id)
@@ -216,17 +234,53 @@ class IcebergLiteTable:
         Both anti-joins broadcast the (small) delete side — the same
         physical shape the real Iceberg Spark reader produces.
         """
+        explicit_travel = (
+            snapshot_id is not None
+            or ref is not None
+            or as_of_timestamp_ms is not None
+        )
         if snapshot_id is None and ref is not None:
             # VERSION AS OF '<branch-or-tag>' — resolve the named ref
             snapshot_id = self.resolve_ref(ref)
         if snapshot_id is None and as_of_timestamp_ms is not None:
             snapshot_id = self.snapshot_as_of(as_of_timestamp_ms)
+        # schema evolution (Iceberg semantics): a CURRENT read uses the
+        # table's current schema — schema DDL commits no snapshot, so
+        # the head snapshot may predate a rename; explicit time travel
+        # (VERSION/TIMESTAMP AS OF) reads under the schema of its era
+        # (snapshot.schema_id). Files map through FIELD IDS, so renames
+        # need no rewrite and added columns read as NULL from older
+        # files. Legacy tables (no `schemas` in metadata) take the
+        # name-based fast path.
+        if not self.metadata().get("schemas"):
+            target_schema = None
+        elif explicit_travel:
+            sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id()
+            target_schema = self.schema_by_id(self._snapshot(sid).get("schema_id", 0))
+        else:
+            target_schema = self.current_schema()
+
+        def _mapped_cols(file_schema_id: int) -> list | None:
+            """Projection to the target schema, or None for identity."""
+            if target_schema is None:
+                return None
+            if file_schema_id == target_schema["schema_id"]:
+                return None
+            fs = self.schema_by_id(file_schema_id)
+            by_id = {f["id"]: f["name"] for f in fs["fields"]}
+            return [
+                F.col(by_id[f["id"]]).alias(f["name"])
+                if f["id"] in by_id
+                else F.lit(None).cast(f["type"]).alias(f["name"])
+                for f in target_schema["fields"]
+            ]
+
         triples = self._files_with_meta(snapshot_id)
         files = [(e, seq) for e, seq, c in triples if c == "data"]
         pos_dels = [e for e, _s, c in triples if c == "position_deletes"]
         eq_dels = [(e, seq) for e, seq, c in triples if c == "equality_deletes"]
         m = ScanMetrics(files_total=len(files))
-        kept: list[tuple[str, int]] = []
+        kept: list[tuple[str, int, int]] = []
         for df_entry, seq in files:
             part = df_entry.get("partition", {})
             if partition_filters and not all(
@@ -237,33 +291,43 @@ class IcebergLiteTable:
             if predicates and not self._stats_match(df_entry, predicates):
                 m.files_pruned_by_stats += 1
                 continue
-            kept.append((df_entry["file_path"], seq))
+            kept.append((df_entry["file_path"], seq, df_entry.get("schema_id", 0)))
         m.files_scanned = len(kept)
         self.metrics = m
         if not kept:
             # preserve schema from any file; empty result
-            any_file = files[0][0]["file_path"] if files else None
-            if any_file is None:
+            if not files:
                 raise ValueError(f"empty iceberg-lite table at {self.path}")
-            df = spark.read.parquet(os.path.join(self.path, any_file))
+            any_entry = files[0][0]
+            df = spark.read.parquet(os.path.join(self.path, any_entry["file_path"]))
+            cols = _mapped_cols(any_entry.get("schema_id", 0))
+            if cols is not None:
+                df = df.select(*cols)
             return df.limit(0)
 
         need_meta = bool(pos_dels) or bool(eq_dels)
-        # group kept files by sequence number so equality deletes can
-        # respect the data-seq < delete-seq rule without per-row state
-        by_seq: dict[int, list[str]] = {}
-        for rel, seq in kept:
-            by_seq.setdefault(seq, []).append(os.path.join(self.path, rel))
+        # group kept files by (sequence number, write schema) so
+        # equality deletes can respect the data-seq < delete-seq rule
+        # and each group gets one id-based projection
+        by_seq: dict[tuple[int, int], list[str]] = {}
+        for rel, seq, schema_id in kept:
+            by_seq.setdefault((seq, schema_id), []).append(
+                os.path.join(self.path, rel)
+            )
         parts = []
-        for seq, paths in sorted(by_seq.items()):
+        for (seq, schema_id), paths in sorted(by_seq.items()):
             df = spark.read.parquet(*paths)
+            cols = _mapped_cols(schema_id)
+            base = cols if cols is not None else ["*"]
             if need_meta:
                 df = df.select(
-                    "*",
+                    *base,
                     F.col("_metadata.file_path").alias("__file"),
                     F.col("_metadata.row_index").alias("__pos"),
                     F.lit(seq).alias("__seq"),
                 )
+            elif cols is not None:
+                df = df.select(*cols)
             parts.append(df)
         out = parts[0]
         for p in parts[1:]:
@@ -457,6 +521,19 @@ def _append_snapshot_manifests_locked(
         with open(os.path.join(path, snap["manifest_list"])) as f:
             prev_manifests = json.load(f)
     snapshot_id = max([s["snapshot_id"] for s in all_snaps], default=0) + 1
+    old_meta = table.metadata() if has_meta else {}
+    cur_schema_id = old_meta.get("current-schema-id", 0)
+    if old_meta.get("schemas"):
+        # schema tracking active: stamp every data entry with the
+        # schema it was written under so id-based read resolution can
+        # map its columns forever (Iceberg writes field ids into the
+        # parquet itself; here the manifest carries the schema id)
+        for entries, content in manifest_groups:
+            if content == "data":
+                for e in entries:
+                    fe = e.get("data_file")
+                    if fe is not None and "schema_id" not in fe:
+                        fe["schema_id"] = cur_schema_id
     manifests = list(prev_manifests)
     for gi, (entries, content) in enumerate(manifest_groups):
         suffix = f"-{gi}" if len(manifest_groups) > 1 else ""
@@ -485,7 +562,7 @@ def _append_snapshot_manifests_locked(
         {
             "snapshot_id": snapshot_id,
             "parent_snapshot_id": prev_id,
-            "schema_id": 0,
+            "schema_id": cur_schema_id,
             "summary": {"operation": operation},
             "manifest_list": mlist_rel,
             "timestamp_ms": max(int(time.time() * 1000), prev_ts + 1),
@@ -500,6 +577,10 @@ def _append_snapshot_manifests_locked(
     new_refs = dict(refs)
     new_refs[branch] = {"snapshot_id": snapshot_id, "type": "branch"}
     meta = {
+        # carry over non-commit keys (schemas, current-schema-id) —
+        # rebuilding from scratch here would silently drop the schema
+        # history on every append
+        **old_meta,
         "format_version": 2,
         "uuid": f"lite-{os.path.basename(path)}",
         # the table pointer tracks MAIN; branch commits leave it alone
@@ -735,6 +816,143 @@ def fast_forward(path: str, branch: str, to_ref: str) -> int:
         return target
 
 
+# -- schema evolution -------------------------------------------------------
+# Iceberg resolves columns by FIELD ID, not name: rename is a metadata
+# edit (no data rewrite), a new column reads as NULL from files written
+# before it existed, and a dropped column merely disappears from the
+# projection while its bytes stay in old files. Real Iceberg writes the
+# ids into the parquet field metadata; this layout keeps the id→name
+# history in table metadata (`schemas` list) and stamps each manifest
+# data entry with the schema id it was written under — same resolution
+# power, one JSON hop instead of a parquet footer convention.
+# (Beyond reference: its iceberg.rs reads a single fixed schema,
+# /root/reference/src/physical/operators/iceberg.rs:27-110.)
+
+_PA_TO_SQL = {
+    "int64": "bigint",
+    "int32": "int",
+    "int16": "smallint",
+    "int8": "tinyint",
+    "double": "double",
+    "float": "float",
+    "string": "string",
+    "large_string": "string",
+    "bool": "boolean",
+    "date32[day]": "date",
+    "binary": "binary",
+    "large_binary": "binary",
+}
+
+
+def _pa_type_to_sql(t) -> str:
+    s = str(t)
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("decimal"):
+        return s.replace("decimal128", "decimal").replace("decimal64", "decimal")
+    return _PA_TO_SQL.get(s, "string")
+
+
+def _bootstrap_schema_locked(path: str, meta: dict) -> None:
+    """First DDL on a legacy table: derive schema v0 (field ids 1..n)
+    from any live data file's parquet footer. Files written before
+    tracking began carry no schema_id and resolve as v0 — which is
+    exactly the schema they were written under."""
+    import pyarrow.parquet as pq
+
+    table = IcebergLiteTable(path)
+    files = table.data_files()
+    if not files:
+        raise ValueError(f"cannot evolve schema of empty table at {path}")
+    fp = os.path.join(path, files[0]["file_path"])
+    if os.path.isdir(fp):  # delete dirs never reach here (data only)
+        fp = next(
+            os.path.join(fp, fn) for fn in sorted(os.listdir(fp))
+            if fn.endswith(".parquet")
+        )
+    pa_schema = pq.ParquetFile(fp).schema_arrow
+    fields = [
+        {"id": i + 1, "name": f.name, "type": _pa_type_to_sql(f.type)}
+        for i, f in enumerate(pa_schema)
+    ]
+    meta["schemas"] = [{"schema_id": 0, "fields": fields}]
+    meta["current-schema-id"] = 0
+
+
+def _evolve(path: str, mutate) -> int:
+    """Shared DDL transaction: bootstrap if needed, copy the current
+    schema, apply `mutate(fields)`, append as a new schema version and
+    advance the pointer. Metadata-only — NO snapshot is created (as in
+    Iceberg, where schema updates are table-metadata commits; each
+    future snapshot records the schema id current at its commit)."""
+    with _commit_lock(path):
+        table = IcebergLiteTable(path)
+        meta = table.metadata()
+        if not meta.get("schemas"):
+            _bootstrap_schema_locked(path, meta)
+        schemas = meta["schemas"]
+        cur_id = meta["current-schema-id"]
+        cur = next(s for s in schemas if s["schema_id"] == cur_id)
+        fields = [dict(f) for f in cur["fields"]]
+        # ids ever used, across ALL schema versions: a new column must
+        # never reuse a dropped column's id, or old files' bytes would
+        # resolve into the new column
+        used_ids = {f["id"] for s in schemas for f in s["fields"]}
+        fields = mutate(fields, used_ids)
+        new_id = max(s["schema_id"] for s in schemas) + 1
+        schemas.append({"schema_id": new_id, "fields": fields})
+        meta["current-schema-id"] = new_id
+        _atomic_json(table._meta_path(), meta)
+        return new_id
+
+
+def rename_column(path: str, old: str, new: str) -> int:
+    """Metadata-only rename: old files keep their bytes and resolve
+    through the field id. Returns the new schema id."""
+
+    def mutate(fields, _used_ids):
+        names = {f["name"] for f in fields}
+        if old not in names:
+            raise ValueError(f"unknown column {old!r} (have {sorted(names)})")
+        if new in names:
+            raise ValueError(f"column {new!r} already exists")
+        return [
+            {**f, "name": new} if f["name"] == old else f for f in fields
+        ]
+
+    return _evolve(path, mutate)
+
+
+def add_column(path: str, name: str, dtype: str) -> int:
+    """Add a column (new unique field id, appended last). Files written
+    before it read as NULL of `dtype` — no rewrite. Returns the new
+    schema id."""
+
+    def mutate(fields, used_ids):
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"column {name!r} already exists")
+        next_id = max(used_ids, default=0) + 1
+        return fields + [{"id": next_id, "name": name, "type": dtype}]
+
+    return _evolve(path, mutate)
+
+
+def drop_column(path: str, name: str) -> int:
+    """Drop a column from the projection; old files keep the bytes
+    (reclaimed only when compaction rewrites them). Returns the new
+    schema id."""
+
+    def mutate(fields, _used_ids):
+        kept = [f for f in fields if f["name"] != name]
+        if len(kept) == len(fields):
+            raise ValueError(f"unknown column {name!r}")
+        if not kept:
+            raise ValueError("cannot drop the last column")
+        return kept
+
+    return _evolve(path, mutate)
+
+
 def write_snapshot(
     df: DataFrame,
     path: str,
@@ -754,9 +972,19 @@ def write_snapshot(
     os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
     os.makedirs(os.path.join(path, "data"), exist_ok=True)
     table = IcebergLiteTable(path)
-    prev_id = (
-        table.current_snapshot_id() if os.path.exists(table._meta_path()) else None
-    )
+    has_meta = os.path.exists(table._meta_path())
+    cur_schema = table.current_schema() if has_meta else None
+    if cur_schema is not None:
+        # guardrail once schema tracking is active: an append written
+        # with STALE names (pre-rename) would silently stamp the wrong
+        # schema id — refuse loudly instead
+        expected = sorted(f["name"] for f in cur_schema["fields"])
+        if sorted(df.columns) != expected:
+            raise ValueError(
+                f"append columns {sorted(df.columns)} do not match the "
+                f"current schema {expected}; evolve the schema first"
+            )
+    prev_id = table.current_snapshot_id() if has_meta else None
     snapshot_id = (prev_id or 0) + 1
 
     entries = _write_data_entries(df, path, snapshot_id, partition_by, stats_columns)
