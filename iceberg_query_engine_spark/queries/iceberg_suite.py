@@ -824,7 +824,68 @@ ORDER BY channel ASC NULLS FIRST
 """
 
 
+_PEVO_CACHE: dict[str, str] = {}
+
+
+def _pevo_table(spark: SparkSession, sf_dir: str) -> str:
+    """Partition-evolution fixture: snapshot 1 UNPARTITIONED
+    (orders < 500), snapshot 2 partitioned by o_orderstatus
+    (500..999) — two specs live in one table, as Iceberg allows."""
+    key = sf_dir
+    if key in _PEVO_CACHE and os.path.exists(_PEVO_CACHE[key]):
+        return _PEVO_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "iceberg_lite",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_pevo",
+    )
+    if not os.path.exists(os.path.join(path, "metadata", "v0.metadata.json")):
+        (orders,) = tables(spark, sf_dir, "orders")
+        write_snapshot(orders.filter(F.col("o_orderkey") < 500), path)
+        write_snapshot(
+            orders.filter(F.col("o_orderkey").between(500, 999)),
+            path,
+            partition_by="o_orderstatus",
+        )
+    _PEVO_CACHE[key] = path
+    return path
+
+
+def iceberg_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution read: one scan over files written under
+    TWO specs (unpartitioned era + o_orderstatus era); the partition
+    filter prunes new-spec files and conservatively keeps old-spec
+    files, and the exact filter on top restores correctness — Iceberg's
+    mixed-spec contract. Beyond reference: iceberg.rs assumes a single
+    spec (/root/reference/src/physical/operators/iceberg.rs:542-560)."""
+    path = _pevo_table(spark, sf_dir)
+    df = IcebergLiteTable(path).read(
+        spark, partition_filters=[PartitionFilter("o_orderstatus", ["F", "O"])]
+    )
+    return (
+        df.filter(F.col("o_orderstatus").isin("F", "O"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ICEBERG_PARTITION_EVOLUTION_SQL = """
+SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+  round(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderkey < 1000 AND o_orderstatus IN ('F', 'O')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "iceberg_partition_evolution": iceberg_partition_evolution,
     "iceberg_schema_evolution": iceberg_schema_evolution,
     "iceberg_orphans": iceberg_orphans,
     "iceberg_snapshots_meta": iceberg_snapshots_meta,
@@ -841,6 +902,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "iceberg_partition_evolution": ICEBERG_PARTITION_EVOLUTION_SQL,
     "iceberg_schema_evolution": ICEBERG_SCHEMA_EVOLUTION_SQL,
     "iceberg_orphans": ICEBERG_ORPHANS_SQL,
     "iceberg_snapshots_meta": ICEBERG_SNAPSHOTS_META_SQL,
