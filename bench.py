@@ -93,6 +93,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "op_k_anonymity",
     "op_compaction_plan",
     "ev_interarrival",
+    "sim_filtered_topk",
 )
 
 

@@ -1210,7 +1210,71 @@ ORDER BY q_id, n_id
 """
 
 
+# labels admitted by the filtered-ANN predicate (~30% of the corpus)
+FILTER_LABELS = (1, 4, 7)
+
+
+def sim_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN — metadata predicate + vector top-k, the canonical
+    vector-database workload ("nearest docs WHERE label IN ..."). This
+    is PRE-filtering: the predicate rides the parquet scan (pushed
+    filter, ~30 % selectivity here), and only survivors cross the Arrow
+    channel into the exact top-k kernel — so the answer is exact top-k
+    AMONG eligible vectors, with cost proportional to the filtered
+    corpus. Graph-index ANN systems struggle here (filtering breaks
+    graph connectivity); a scan-based engine gets it for free, and at
+    100 TB the same plan rides partition pruning when the corpus is
+    partitioned by the filter column.
+
+    Scale shape: identical to sim_brute_topk (one Arrow pass, two-level
+    top-k merge) on the filtered stream; the filter is JVM-side,
+    codegen, before the Python boundary.
+    """
+    import numpy as np
+
+    from ..functions.vector import multi_query_topk_fn
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    qrows = e.filter(F.col("vec_id") < N_QUERIES).collect()  # tiny: Q×dim
+    fn = multi_query_topk_fn(
+        np.array([r.v for r in qrows]), np.array([r.vec_id for r in qrows]), TOP_K
+    )
+    partial = (
+        e.filter(
+            (F.col("vec_id") >= N_QUERIES) & F.col("label").isin(*FILTER_LABELS)
+        )
+        .select(F.col("vec_id").alias("n_id"), "v")
+        .mapInPandas(fn, "q_id bigint, n_id bigint, cosine double")
+    )
+    return _topk_merge(partial, TOP_K)
+
+
+SIM_FILTERED_TOPK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), queries AS (
+  SELECT vec_id AS q_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.q_id, e.vec_id AS n_id, {_COS_SQL} AS cosine
+  FROM queries q CROSS JOIN vecs e
+  WHERE e.vec_id >= {N_QUERIES}
+    AND e.label IN {FILTER_LABELS}
+)
+SELECT q_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+ORDER BY q_id, rk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
     "sim_brute_topk": sim_brute_topk,
     "sim_ivf_topk": sim_ivf_topk,
@@ -1226,6 +1290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
     "sim_kmeans": SIM_KMEANS_SQL,
