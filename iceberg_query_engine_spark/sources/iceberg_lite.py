@@ -1355,8 +1355,20 @@ def remove_orphan_files(
     res = OrphanResult()
     with _commit_lock(path):
         table = IcebergLiteTable(path)
-        sids = [s["snapshot_id"] for s in table.snapshots()]
-        refs = _referenced_paths(path, sids, missing_ok=True)
+        all_sids = [s["snapshot_id"] for s in table.snapshots()]
+        # ref-REACHABLE snapshots must resolve completely: a missing
+        # live manifest is corruption, and treating its files as
+        # unreferenced would make this function DELETE live data.
+        # Unreachable snapshots (dropped-branch debris) may already be
+        # half-expired — missing manifests there are fine.
+        reachable: set[int] = set()
+        for r in table.refs().values():
+            reachable |= set(table.ancestor_chain(r["snapshot_id"]))
+        refs = _referenced_paths(
+            path, [s for s in all_sids if s in reachable], missing_ok=False
+        ) | _referenced_paths(
+            path, [s for s in all_sids if s not in reachable], missing_ok=True
+        )
 
         def _is_referenced(rel: str) -> bool:
             if rel in refs:
