@@ -884,7 +884,71 @@ ORDER BY o_orderstatus
 """
 
 
+_RB_CACHE: dict[str, str] = {}
+
+
+def _rb_table(spark: SparkSession, sf_dir: str) -> str:
+    """Rollback fixture, built in one shot to a FIXED final state:
+    snapshots 1..3 append orders [<300, 300..599, 600..899]; the third
+    (the 'poisoned batch') is rolled back; snapshot 4 appends
+    900..1199 on the rolled-back head. Deterministic, so the oracle
+    replays both the final chain and the rollback point."""
+    from ..sources.iceberg_lite import rollback_to_snapshot
+
+    key = sf_dir
+    if key in _RB_CACHE and os.path.exists(_RB_CACHE[key]):
+        return _RB_CACHE[key]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "iceberg_lite",
+        sf_dir.strip("/").replace("/", "_"),
+        "orders_rb",
+    )
+    if not os.path.exists(os.path.join(path, "metadata", "v0.metadata.json")):
+        (orders,) = tables(spark, sf_dir, "orders")
+        write_snapshot(orders.filter(F.col("o_orderkey") < 300), path)
+        write_snapshot(orders.filter(F.col("o_orderkey").between(300, 599)), path)
+        write_snapshot(orders.filter(F.col("o_orderkey").between(600, 899)), path)
+        rollback_to_snapshot(path, 2)
+        write_snapshot(orders.filter(F.col("o_orderkey").between(900, 1199)), path)
+    _RB_CACHE[key] = path
+    return path
+
+
+def iceberg_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg rollback_to_snapshot: after a poisoned batch is rolled
+    back, the current chain shows [s1, s2, s4] — the bad snapshot's
+    rows are invisible at the head AND at the rollback point, while
+    time travel to the retained ancestor still works. Beyond
+    reference: its iceberg.rs has no write/maintenance path at all."""
+    path = _rb_table(spark, sf_dir)
+    t = IcebergLiteTable(path)
+    cur = t.read(spark).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(F.lit("current").alias("state"), "n", "revenue")
+    rb = t.read(spark, snapshot_id=2).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    ).select(F.lit("rollback_point").alias("state"), "n", "revenue")
+    return cur.unionByName(rb).orderBy("state")
+
+
+ICEBERG_ROLLBACK_SQL = """
+SELECT 'current' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+  round(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderkey < 600 OR o_orderkey BETWEEN 900 AND 1199
+UNION ALL
+SELECT 'rollback_point', CAST(COUNT(*) AS BIGINT),
+  round(SUM(o_totalprice), 2)
+FROM orders WHERE o_orderkey < 600
+ORDER BY state
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "iceberg_rollback": iceberg_rollback,
     "iceberg_partition_evolution": iceberg_partition_evolution,
     "iceberg_schema_evolution": iceberg_schema_evolution,
     "iceberg_orphans": iceberg_orphans,
@@ -902,6 +966,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "iceberg_rollback": ICEBERG_ROLLBACK_SQL,
     "iceberg_partition_evolution": ICEBERG_PARTITION_EVOLUTION_SQL,
     "iceberg_schema_evolution": ICEBERG_SCHEMA_EVOLUTION_SQL,
     "iceberg_orphans": ICEBERG_ORPHANS_SQL,

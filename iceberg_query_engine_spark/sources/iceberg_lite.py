@@ -816,6 +816,34 @@ def fast_forward(path: str, branch: str, to_ref: str) -> int:
         return target
 
 
+def rollback_to_snapshot(path: str, snapshot_id: int) -> int:
+    """Iceberg `rollback_to_snapshot`: move main back to an ancestor
+    snapshot — the incident-response lever after a bad commit lands
+    (a poisoned batch, a wrong MERGE). Metadata-only pointer swap at
+    any table size; the abandoned descendants stay on disk (so a
+    roll-FORWARD is just another rollback) until expire_snapshots
+    reclaims them as unreachable. The target must be on main's
+    ancestor chain — rolling back to a side-branch snapshot would
+    silently splice unaudited history into main (use fast_forward for
+    publication)."""
+    with _commit_lock(path):
+        table = IcebergLiteTable(path)
+        refs = table.refs()
+        main = refs.get("main", {}).get("snapshot_id")
+        chain = table.ancestor_chain(main)
+        if snapshot_id not in chain:
+            raise ValueError(
+                f"snapshot {snapshot_id} is not an ancestor of main "
+                f"({main}); cannot roll back to it"
+            )
+        refs["main"] = {"snapshot_id": snapshot_id, "type": "branch"}
+        meta = table.metadata()
+        meta["refs"] = refs
+        meta["current_snapshot_id"] = snapshot_id
+        _atomic_json(table._meta_path(), meta)
+        return snapshot_id
+
+
 # -- schema evolution -------------------------------------------------------
 # Iceberg resolves columns by FIELD ID, not name: rename is a metadata
 # edit (no data rewrite), a new column reads as NULL from files written
