@@ -94,6 +94,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "op_compaction_plan",
     "ev_interarrival",
     "sim_filtered_topk",
+    "op_data_diff",
 )
 
 

@@ -2592,7 +2592,84 @@ ORDER BY source, bin
 """
 
 
+# --------------------------------------------------------------------------
+def op_data_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table diff — the reconciliation primitive behind data-
+    validation gates and migration sign-offs: classify every key of two
+    table versions as unchanged / changed / added / removed, with
+    per-class counts and value drift. Versions are deterministic slices
+    of orders: v1 = keys < 900; v2 = keys 100..999 with every 50th
+    price bumped 5 % — so all four classes are populated.
+
+    Distinct from op_cdc_apply (which APPLIES a change log); this
+    DERIVES the change set from two materialized states — what you run
+    when there is no log to trust.
+
+    Scale shape: ONE full outer join on the key (both sides shuffle
+    once; at 100 TB both sides bucketed on the key make it
+    exchange-free), then a |classes|-sized aggregate. Values compare
+    inside the join projection — no second pass.
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") < 900).select(
+        "o_orderkey", F.col("o_totalprice").alias("p1")
+    )
+    v2 = orders.filter(F.col("o_orderkey").between(100, 999)).select(
+        "o_orderkey",
+        F.round(
+            F.when(
+                F.col("o_orderkey") % 50 == 0, F.col("o_totalprice") * 1.05
+            ).otherwise(F.col("o_totalprice")),
+            2,
+        ).alias("p2"),
+    )
+    joined = v1.join(v2, "o_orderkey", "full_outer")
+    cls = (
+        F.when(F.col("p1").isNull(), "added")
+        .when(F.col("p2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(cls.alias("class"), "p1", "p2")
+        .groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(
+                F.sum(F.coalesce(F.col("p2"), F.lit(0.0)))
+                - F.sum(F.coalesce(F.col("p1"), F.lit(0.0))),
+                2,
+            ).alias("value_drift"),
+        )
+        .orderBy("class")
+    )
+
+
+OP_DATA_DIFF_SQL = """
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice AS p1 FROM orders WHERE o_orderkey < 900
+), v2 AS (
+  SELECT o_orderkey,
+    round(CASE WHEN o_orderkey % 50 = 0 THEN o_totalprice * 1.05
+               ELSE o_totalprice END, 2) AS p2
+  FROM orders WHERE o_orderkey BETWEEN 100 AND 999
+), joined AS (
+  SELECT CASE WHEN p1 IS NULL THEN 'added'
+              WHEN p2 IS NULL THEN 'removed'
+              WHEN p1 <> p2 THEN 'changed'
+              ELSE 'unchanged' END AS class, p1, p2
+  FROM v1 FULL OUTER JOIN v2 USING (o_orderkey)
+)
+SELECT class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  round(SUM(COALESCE(p2, 0.0)) - SUM(COALESCE(p1, 0.0)), 2) AS value_drift
+FROM joined
+GROUP BY class
+ORDER BY class
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "op_data_diff": op_data_diff,
     "op_k_anonymity": op_k_anonymity,
     "op_compaction_plan": op_compaction_plan,
     "op_benford": op_benford,
@@ -2637,6 +2714,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "op_data_diff": OP_DATA_DIFF_SQL,
     "op_k_anonymity": OP_K_ANONYMITY_SQL,
     "op_compaction_plan": OP_COMPACTION_PLAN_SQL,
     "op_benford": OP_BENFORD_SQL,
