@@ -95,6 +95,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "ev_interarrival",
     "sim_filtered_topk",
     "op_data_diff",
+    "text_dedup_spans_clean",
 )
 
 

@@ -290,13 +290,42 @@ def main(argv: list[str] | None = None) -> int:
     br_p.add_argument("name", nargs="?", help="ref name (not needed for list)")
     br_p.add_argument("--at", type=int, help="snapshot id for create/tag")
     br_p.add_argument("--to", help="source ref for fast-forward")
+    m_p = sub.add_parser(
+        "maintenance",
+        help="iceberg-lite table maintenance (expire / compact / "
+        "orphans / rollback / schema DDL) — the storage-amplification "
+        "control loop",
+    )
+    m_p.add_argument("--table", required=True, help="iceberg-lite table path")
+    m_p.add_argument(
+        "action",
+        choices=[
+            "snapshots", "expire", "compact", "orphans", "rollback",
+            "schema", "rename-column", "add-column", "drop-column",
+        ],
+    )
+    m_p.add_argument("--keep-last", type=int, help="expire: retain N on main")
+    m_p.add_argument("--older-than-ms", type=int,
+                     help="expire/orphans: age horizon (epoch ms)")
+    m_p.add_argument("--apply", action="store_true",
+                     help="orphans: actually delete (default dry run)")
+    m_p.add_argument("--to-snapshot", type=int, help="rollback target")
+    m_p.add_argument("--partition-by", help="compact: output partition column")
+    m_p.add_argument("--old", help="rename-column: current name")
+    m_p.add_argument("--new", help="rename-column: new name")
+    m_p.add_argument("--name", dest="col_name",
+                     help="add-column/drop-column: column name")
+    m_p.add_argument("--type", dest="col_type", default="string",
+                     help="add-column: SQL type (default string)")
     args = p.parse_args(argv)
 
     eng = Engine()
     if args.cmd == "benchmark-parquet":
         args.sf_dir = args.path
         args.repeat = args.iterations
-    if args.cmd not in ("generate-parquet", "load-parquet", "catalog", "branch"):
+    if args.cmd not in (
+        "generate-parquet", "load-parquet", "catalog", "branch", "maintenance"
+    ):
         eng.register_sf_dir(args.sf_dir)
 
     if args.cmd == "sql":
@@ -381,6 +410,70 @@ def main(argv: list[str] | None = None) -> int:
         elif args.action == "fast-forward":
             sid = il.fast_forward(args.table, args.name, args.to)
             print(f"{args.name} fast-forwarded to {args.to} (snapshot {sid})")
+    elif args.cmd == "maintenance":
+        from .sources import iceberg_lite as il
+
+        t = il.IcebergLiteTable(args.table)
+        if args.action == "snapshots":
+            for s in t.snapshots():
+                print(
+                    f"snapshot {s['snapshot_id']:>4}  parent "
+                    f"{str(s.get('parent_snapshot_id')):>4}  "
+                    f"{s['summary']['operation']:>9}  "
+                    f"schema {s.get('schema_id', 0)}"
+                )
+        elif args.action == "expire":
+            res = il.expire_snapshots(
+                args.table,
+                keep_last=args.keep_last,
+                older_than_ms=args.older_than_ms,
+            )
+            print(
+                f"expired {len(res.expired_snapshot_ids)} snapshots, "
+                f"reclaimed {res.bytes_reclaimed} bytes "
+                f"({res.removed_data_paths} data paths)"
+            )
+        elif args.action == "compact":
+            sid = il.compact(eng.spark, args.table, partition_by=args.partition_by)
+            print(f"compacted -> snapshot {sid}")
+        elif args.action == "orphans":
+            res = il.remove_orphan_files(
+                args.table,
+                dry_run=not args.apply,
+                older_than_ms=args.older_than_ms,
+            )
+            verb = "removed" if res.removed else "found (dry run)"
+            print(f"{verb} {len(res.orphan_paths)} orphans, {res.bytes_total} bytes")
+            for rel in res.orphan_paths:
+                print(f"  {rel}")
+        elif args.action == "rollback":
+            if args.to_snapshot is None:
+                p.error("rollback requires --to-snapshot")
+            sid = il.rollback_to_snapshot(args.table, args.to_snapshot)
+            print(f"main rolled back to snapshot {sid}")
+        elif args.action == "schema":
+            cur = t.current_schema()
+            if cur is None:
+                print("schema tracking not active (legacy table)")
+            else:
+                print(f"current schema id {cur['schema_id']}")
+                for f in cur["fields"]:
+                    print(f"  {f['id']:>3}  {f['name']:<24} {f['type']}")
+        elif args.action == "rename-column":
+            if not (args.old and args.new):
+                p.error("rename-column requires --old and --new")
+            sid = il.rename_column(args.table, args.old, args.new)
+            print(f"renamed {args.old} -> {args.new} (schema {sid})")
+        elif args.action == "add-column":
+            if not args.col_name:
+                p.error("add-column requires --name")
+            sid = il.add_column(args.table, args.col_name, args.col_type)
+            print(f"added {args.col_name} {args.col_type} (schema {sid})")
+        elif args.action == "drop-column":
+            if not args.col_name:
+                p.error("drop-column requires --name")
+            sid = il.drop_column(args.table, args.col_name)
+            print(f"dropped {args.col_name} (schema {sid})")
     elif args.cmd == "repl":
         from .repl import Repl
 

@@ -1262,7 +1262,129 @@ ORDER BY s.doc_id
 """
 
 
+# corpus-occurrence threshold above which a span is boilerplate
+# (2 = any cross-copy repetition; the synthetic corpus has no organic
+# mega-boilerplate, so the Lee-et-al 'appears more than once' rule is
+# also the threshold that exercises the op at every sf)
+DUP_SPAN_KILL = 2
+
+
+def text_dedup_spans_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, REMOVAL step (Lee et al. 2022 actually
+    rewrite the corpus, not just score it): drop every 8-token span
+    whose corpus occurrence count reaches the boilerplate threshold,
+    and re-emit the cleaned document from its kept spans (+ the tail
+    remainder shorter than one span). Returns per-doc kept/dropped
+    span counts and the cleaned text for docs that lost something.
+
+    Scale shape: tiling + the span-count window are the text_dup_spans
+    plan (one shuffle keyed by span); reassembly groups spans back by
+    doc — a second shuffle keyed by doc_id whose per-group state is
+    ONE document (collect_list is doc-sized, never corpus-sized), then
+    array_sort + concat in codegen.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = DUP_SPAN_TOKENS
+    d = documents.select("doc_id", _tokens().alias("t")).filter(F.size("t") >= w)
+    starts = F.sequence(
+        F.lit(0), (F.floor(F.size("t") / w) - 1).cast("int") * w, F.lit(w)
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(starts).alias("s"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "s",
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("s") + 1, w)).alias("span"),
+        # the tail remainder (< w tokens) rides the LAST span so the
+        # cleaned text keeps it whenever that span survives
+        F.when(
+            F.col("s") == (F.floor(F.size("t") / w) - 1).cast("int") * w,
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    (F.floor(F.size("t") / w) * w + 1).cast("int"),
+                    w,
+                ),
+            ),
+        ).otherwise(F.lit("")).alias("tail"),
+    )
+    counted = spans.select(
+        "doc_id",
+        "s",
+        "span",
+        "tail",
+        F.count(F.lit(1)).over(Window.partitionBy("span")).alias("n_occ"),
+    )
+    rebuilt = (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("n_occ") >= DUP_SPAN_KILL).cast("int")).alias(
+                "n_dropped"
+            ),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("n_occ") < DUP_SPAN_KILL,
+                        F.struct(
+                            "s",
+                            F.when(F.col("tail") != "",
+                                   F.concat_ws(" ", "span", "tail"))
+                            .otherwise(F.col("span"))
+                            .alias("piece"),
+                        ),
+                    )
+                )
+            ).alias("kept"),
+        )
+        .filter(F.col("n_dropped") > 0)
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_spans",
+        "n_dropped",
+        F.concat_ws(
+            " ", F.expr("transform(kept, x -> x.piece)")
+        ).alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+TEXT_DEDUP_SPANS_CLEAN_SQL = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE length(string_split(text, ' ')) >= {DUP_SPAN_TOKENS}
+), spans AS (
+  SELECT doc_id, i * {DUP_SPAN_TOKENS} AS s,
+    array_to_string(t[i*{DUP_SPAN_TOKENS}+1 : (i+1)*{DUP_SPAN_TOKENS}], ' ')
+      AS span,
+    CASE WHEN i = length(t) // {DUP_SPAN_TOKENS} - 1
+         THEN array_to_string(
+           t[(length(t) // {DUP_SPAN_TOKENS}) * {DUP_SPAN_TOKENS} + 1 :
+             length(t)], ' ')
+         ELSE '' END AS tail
+  FROM d, unnest(generate_series(0, length(t) // {DUP_SPAN_TOKENS} - 1)) u(i)
+), counted AS (
+  SELECT *, COUNT(*) OVER (PARTITION BY span) AS n_occ FROM spans
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+  CAST(SUM(CASE WHEN n_occ >= {DUP_SPAN_KILL} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dropped,
+  COALESCE(string_agg(
+    CASE WHEN n_occ < {DUP_SPAN_KILL} THEN
+      CASE WHEN tail <> '' THEN span || ' ' || tail ELSE span END
+    END, ' ' ORDER BY s), '') AS clean_text
+FROM counted
+GROUP BY doc_id
+HAVING SUM(CASE WHEN n_occ >= {DUP_SPAN_KILL} THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "text_dedup_spans_clean": text_dedup_spans_clean,
     "text_dup_spans": text_dup_spans,
     "text_kl_divergence": text_kl_divergence,
     "text_classifier_score": text_classifier_score,
@@ -1287,6 +1409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "text_dedup_spans_clean": TEXT_DEDUP_SPANS_CLEAN_SQL,
     "text_dup_spans": TEXT_DUP_SPANS_SQL,
     "text_kl_divergence": TEXT_KL_DIVERGENCE_SQL,
     "text_classifier_score": TEXT_CLASSIFIER_SCORE_SQL,

@@ -327,3 +327,50 @@ def test_cli_branch_subcommand(spark, tmp_path, capsys):
     assert main(["branch", "--table", path, "drop", "audit"]) == 0
     out = capsys.readouterr().out
     assert "fast-forwarded" in out and "dropped audit" in out
+
+
+def test_cli_maintenance_subcommand(spark, tmp_path, capsys):
+    """maintenance snapshots/expire/orphans/rollback/schema DDL drive
+    the table-maintenance surface end-to-end from the CLI (surplus vs
+    the reference's read-only iceberg.rs; semantics match Iceberg's
+    procedures)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_query_engine_spark.engine import main
+    from iceberg_query_engine_spark.sources.iceberg_lite import write_snapshot
+
+    path = str(tmp_path / "t")
+    for lo in (0, 10, 20):
+        df = spark.range(lo, lo + 10).select(F.col("id").alias("k"))
+        write_snapshot(df, path)
+
+    assert main(["maintenance", "--table", path, "snapshots"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("snapshot") == 3 and "append" in out
+
+    # plant an orphan, dry-run lists it, --apply removes it
+    with open(os.path.join(path, "data", "stray.parquet"), "wb") as f:
+        f.write(b"junk")
+    assert main(["maintenance", "--table", path, "orphans"]) == 0
+    assert "found (dry run) 1 orphans" in capsys.readouterr().out
+    assert main(["maintenance", "--table", path, "orphans", "--apply"]) == 0
+    assert "removed 1 orphans" in capsys.readouterr().out
+    assert not os.path.exists(os.path.join(path, "data", "stray.parquet"))
+
+    assert main(["maintenance", "--table", path, "rollback",
+                 "--to-snapshot", "2"]) == 0
+    assert "rolled back to snapshot 2" in capsys.readouterr().out
+
+    assert main(["maintenance", "--table", path, "expire",
+                 "--keep-last", "10"]) == 0
+    assert "expired 1 snapshots" in capsys.readouterr().out  # abandoned #3
+
+    assert main(["maintenance", "--table", path,
+                 "rename-column", "--old", "k", "--new", "key"]) == 0
+    assert main(["maintenance", "--table", path,
+                 "add-column", "--name", "tag", "--type", "string"]) == 0
+    assert main(["maintenance", "--table", path, "schema"]) == 0
+    out = capsys.readouterr().out
+    assert "key" in out and "tag" in out and "renamed k -> key" in out
