@@ -346,6 +346,40 @@ class IcebergLiteTable:
         for e, dseq in sorted(eq_dels, key=lambda t: t[1]):
             keys = spark.read.parquet(os.path.join(self.path, e["file_path"]))
             cols = e["equality_columns"]
+            # schema-tracked tables resolve key columns through FIELD
+            # IDS: the key file is written under its era's names, but
+            # the scanned rows carry the target schema's names — a
+            # rename between delete-write and read must not orphan the
+            # delete (Iceberg `equality_ids` semantics).
+            if target_schema is not None:
+                # legacy entries (written before this table tracked
+                # schemas) recorded names only; those names are by
+                # construction schema-v0 names, so retrofit their ids
+                eq_ids = e.get("equality_ids")
+                if not eq_ids:
+                    v0 = {
+                        f["name"]: f["id"]
+                        for f in self.schema_by_id(0)["fields"]
+                    }
+                    eq_ids = [v0[c] for c in cols if c in v0]
+                    if len(eq_ids) != len(cols):
+                        eq_ids = None  # unresolvable: keep name path
+            else:
+                eq_ids = None
+            if eq_ids:
+                by_id = {f["id"]: f["name"] for f in target_schema["fields"]}
+                dropped = [i for i in eq_ids if i not in by_id]
+                if dropped:
+                    raise ValueError(
+                        f"equality-delete {e['file_path']} references "
+                        f"dropped field ids {dropped}; rewrite or expire "
+                        "the delete before dropping its key column"
+                    )
+                renamed = [by_id[i] for i in eq_ids]
+                keys = keys.select(
+                    *[F.col(c).alias(n) for c, n in zip(cols, renamed)]
+                )
+                cols = renamed
             older = out.filter(F.col("__seq") < dseq).join(
                 F.broadcast(keys), cols, "left_anti"
             )
@@ -664,7 +698,14 @@ def write_equality_deletes(
 ) -> int:
     """Equality delete: rows whose `columns` tuple appears in keys_df
     are deleted from all data files with a smaller sequence number
-    (later appends are untouched — Iceberg v2 semantics)."""
+    (later appends are untouched — Iceberg v2 semantics).
+
+    On schema-tracked tables the key columns are recorded as FIELD IDS
+    (Iceberg's `equality_ids`), so a later `rename_column` does not
+    orphan the delete: the scan re-resolves each id to whatever the
+    read-time schema calls that field. Legacy tables (no `schemas` in
+    metadata) keep the name-based record."""
+    _ensure_schema_tracking(path)
     table = IcebergLiteTable(path)
     keys = keys_df.select(*columns).distinct()
     rel = f"data/delete-eq-{table.current_snapshot_id() + 1}-{uuid.uuid4().hex[:8]}"
@@ -679,6 +720,15 @@ def write_equality_deletes(
             "file_size_in_bytes": size,
         }
     }
+    schema = table.current_schema()
+    if schema is not None:
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        missing = [c for c in columns if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"equality-delete columns {missing} not in current schema"
+            )
+        entry["delete_file"]["equality_ids"] = [by_name[c] for c in columns]
     return _append_snapshot_files(path, [entry], "equality_deletes", "delete")
 
 
@@ -907,6 +957,19 @@ def _bootstrap_schema_locked(path: str, meta: dict) -> None:
     meta["current-schema-id"] = 0
 
 
+def _ensure_schema_tracking(path: str) -> None:
+    """Start id-based schema tracking on a legacy table (schema v0
+    derived from a live data file). Needed before writing metadata
+    that must survive renames — e.g. equality-delete field ids."""
+    with _commit_lock(path):
+        table = IcebergLiteTable(path)
+        meta = table.metadata()
+        if meta.get("schemas"):
+            return
+        _bootstrap_schema_locked(path, meta)
+        _atomic_json(table._meta_path(), meta)
+
+
 def _evolve(path: str, mutate) -> int:
     """Shared DDL transaction: bootstrap if needed, copy the current
     schema, apply `mutate(fields)`, append as a new schema version and
@@ -967,8 +1030,36 @@ def add_column(path: str, name: str, dtype: str) -> int:
 
 def drop_column(path: str, name: str) -> int:
     """Drop a column from the projection; old files keep the bytes
-    (reclaimed only when compaction rewrites them). Returns the new
+    (reclaimed only when compaction rewrites them). Refuses to drop a
+    field referenced by a live equality delete — the delete would be
+    unapplicable under the new schema (real Iceberg has the same
+    invariant; compact or expire the delete first). Returns the new
     schema id."""
+    table = IcebergLiteTable(path)
+    schema = table.current_schema()
+    if schema is not None and table.current_snapshot_id() is not None:
+        fid = next(
+            (f["id"] for f in schema["fields"] if f["name"] == name), None
+        )
+        if fid is not None:
+            for e, _seq, content in table._files_with_meta():
+                if content != "equality_deletes":
+                    continue
+                eq_ids = e.get("equality_ids")
+                if not eq_ids:  # legacy entry: names are v0 names
+                    v0 = {
+                        f["name"]: f["id"]
+                        for f in table.schema_by_id(0)["fields"]
+                    }
+                    eq_ids = [
+                        v0[c] for c in e["equality_columns"] if c in v0
+                    ]
+                if fid in eq_ids:
+                    raise ValueError(
+                        f"column {name!r} (field id {fid}) is referenced "
+                        f"by live equality delete {e['file_path']}; "
+                        "compact the table or expire the delete first"
+                    )
 
     def mutate(fields, _used_ids):
         kept = [f for f in fields if f["name"] != name]

@@ -153,3 +153,76 @@ def test_evolution_composes_with_branches(spark, table):
     # DDL commits no snapshot, exactly Iceberg's rule
     main = t.read(spark)
     assert main.columns == ["k", "value"] and main.count() == 10
+
+
+# -- equality deletes survive renames (field-id resolution) ---------------
+
+
+def test_eq_delete_applies_after_rename(spark, table):
+    """An eq-delete written under the OLD column name must keep
+    deleting after a rename: the delete records field IDS, and the
+    scan re-resolves them to the read-time names (Iceberg
+    `equality_ids` semantics)."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        write_equality_deletes,
+    )
+
+    path, _df = table
+    keys = spark.createDataFrame([(2,), (5,)], "k bigint")
+    write_equality_deletes(spark, path, keys, ["k"])
+    rename_column(path, "k", "pk")
+    out = IcebergLiteTable(path).read(spark)
+    assert out.columns == ["pk", "v"]
+    assert sorted(r.pk for r in out.collect()) == [0, 1, 3, 4, 6, 7, 8, 9]
+
+
+def test_eq_delete_rename_respects_sequence_rule(spark, table):
+    """Appends AFTER the delete are untouched even when a rename sits
+    between delete-write and the append (data-seq < delete-seq rule
+    composes with id resolution)."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        write_equality_deletes,
+    )
+
+    path, _df = table
+    keys = spark.createDataFrame([(3,)], "k bigint")
+    write_equality_deletes(spark, path, keys, ["k"])
+    rename_column(path, "k", "pk")
+    late = spark.createDataFrame([(3, 99.0)], "pk bigint, v double")
+    write_snapshot(late, path)
+    out = IcebergLiteTable(path).read(spark)
+    rows = sorted((r.pk, r.v) for r in out.collect())
+    assert (3, 6.0) not in rows  # pre-delete row gone
+    assert (3, 99.0) in rows  # post-delete append survives
+
+
+def test_drop_column_refused_while_eq_delete_references_it(spark, table):
+    """Dropping a column referenced by a live equality delete is
+    refused (the delete would be unapplicable); compaction folds the
+    delete in, after which the drop succeeds."""
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        compact,
+        write_equality_deletes,
+    )
+
+    path, _df = table
+    keys = spark.createDataFrame([(1,)], "k bigint")
+    write_equality_deletes(spark, path, keys, ["k"])
+    with pytest.raises(ValueError, match="equality delete"):
+        drop_column(path, "k")
+    compact(spark, path)
+    drop_column(path, "k")
+    out = IcebergLiteTable(path).read(spark)
+    assert out.columns == ["v"]
+    assert out.count() == 9  # the delete was materialized by compact
+
+
+def test_eq_delete_write_rejects_unknown_column(spark, table):
+    from iceberg_query_engine_spark.sources.iceberg_lite import (
+        write_equality_deletes,
+    )
+
+    path, _df = table
+    keys = spark.createDataFrame([(1,)], "nope bigint")
+    with pytest.raises(ValueError, match="not in current schema"):
+        write_equality_deletes(spark, path, keys, ["nope"])
