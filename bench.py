@@ -96,6 +96,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "sim_filtered_topk",
     "op_data_diff",
     "text_dedup_spans_clean",
+    "sim_knn_join",
 )
 
 

@@ -467,3 +467,72 @@ def semantic_window_fn(window: int, tau: float):
             carry = (ids[-keep:], cl[-keep:], m[-keep:])
 
     return run
+
+
+def knn_join_fn(k: int):
+    """Factory: a cogroup-applyInPandas function computing the exact
+    per-left-row cosine top-k against one right-side block — the inner
+    kernel of the blocked k-NN JOIN (both sides large, neither
+    broadcastable). The driver-side grid replicates left rows across
+    right blocks and vice versa; each (lb, rb) task sees N/L left rows
+    and M/R right rows, computes its partial top-k, and a final window
+    merges L×R×k candidates per left row.
+
+    Group input: left ``(l_id bigint, lv array<double>)``, right
+    ``(n_id bigint, v array<double>)``. Output ``(l_id, n_id,
+    cosine)`` — at most k rows per left row per group.
+
+    Determinism/oracle parity: strict left-to-right per-dimension
+    accumulation for dots and norms, cosines rounded to 6 decimals
+    BEFORE selection, ordering (cosine DESC, n_id ASC) — identical to
+    multi_query_topk_fn, so results are bit-identical to the DuckDB
+    list-fold oracle and independent of grid shape and batching.
+    Self-pairs (l_id == n_id) are excluded inside the kernel. The dot
+    matrix is evaluated in left-row chunks so peak memory stays
+    ~32 MB regardless of block sizes."""
+
+    def run(left_pdf, right_pdf):
+        if not len(left_pdf) or not len(right_pdf):
+            return pd.DataFrame({"l_id": [], "n_id": [], "cosine": []})
+        lm = np.vstack([np.asarray(x, dtype=np.float64) for x in left_pdf["lv"]])
+        rm = np.vstack([np.asarray(x, dtype=np.float64) for x in right_pdf["v"]])
+        lids = left_pdf["l_id"].to_numpy(dtype=np.int64)
+        rids = right_pdf["n_id"].to_numpy(dtype=np.int64)
+        nl, dim = lm.shape
+        nr = rm.shape[0]
+        # strict per-dimension folds (inlined: see multi_query_topk_fn
+        # on why module-level refs are off-limits in shipped closures)
+        ln2 = np.zeros(nl)
+        rn2 = np.zeros(nr)
+        for i in range(dim):
+            ln2 += lm[:, i] * lm[:, i]
+            rn2 += rm[:, i] * rm[:, i]
+        ln, rn = np.sqrt(ln2), np.sqrt(rn2)
+        chunk = max(1, int((32 << 20) / max(nr * 8, 1)))
+        out_l, out_n, out_c = [], [], []
+        for s in range(0, nl, chunk):
+            e = min(s + chunk, nl)
+            dots = np.zeros((e - s, nr))
+            for i in range(dim):  # strict left-to-right accumulation
+                dots += lm[s:e, i][:, None] * rm[None, :, i]
+            cos = np.round(dots / (ln[s:e, None] * rn[None, :]), 6)
+            cos[lids[s:e, None] == rids[None, :]] = -np.inf  # no self-match
+            for j in range(e - s):
+                cj = cos[j]
+                sel = np.lexsort((rids, -cj))[:k]  # cosine DESC, n_id ASC
+                sel = sel[np.isfinite(cj[sel])]
+                if len(sel):
+                    out_l.append(np.full(len(sel), lids[s + j]))
+                    out_n.append(rids[sel])
+                    out_c.append(cj[sel])
+        if not out_l:
+            return pd.DataFrame({"l_id": [], "n_id": [], "cosine": []})
+        return pd.DataFrame(
+            {
+                "l_id": np.concatenate(out_l),
+                "n_id": np.concatenate(out_n),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    return run

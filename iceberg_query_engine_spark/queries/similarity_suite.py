@@ -1273,7 +1273,99 @@ ORDER BY q_id, rk
 """
 
 
+# --------------------------------------------------------------------------
+KNN_JOIN_K = 3
+
+
+def _knn_join(
+    spark: SparkSession,
+    sf_dir: str,
+    grid: tuple[int, int] | None = None,
+    k: int = KNN_JOIN_K,
+) -> DataFrame:
+    from ..functions.vector import knn_join_fn
+    from ..operators.rank import _plan_size_bytes
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    if grid is None:
+        # one 64 MB-per-side cell at toy scale (single task, same
+        # size-gate philosophy as operators/rank.py); grows with the
+        # Catalyst estimate. Capped: exact all-pairs k-NN is O(N·M) by
+        # nature — beyond ~32 blocks/side the work itself (not the
+        # grid) is the problem and sim_ivf_* / sim_lsh_topk are the
+        # sub-quadratic paths.
+        est = _plan_size_bytes(e)
+        blocks = int(max(1, min(-(-est // (64 << 20)), 32)))
+        nl = nr = blocks
+    else:
+        nl, nr = grid
+    left = (
+        e.select(F.col("vec_id").alias("l_id"), F.col("v").alias("lv"))
+        .withColumn("lb", F.pmod(F.xxhash64("l_id"), F.lit(nl)))
+        .withColumn("rb", F.explode(F.array(*[F.lit(i) for i in range(nr)])))
+    )
+    right = (
+        e.select(F.col("vec_id").alias("n_id"), "v")
+        .withColumn("rb", F.pmod(F.xxhash64("n_id"), F.lit(nr)))
+        .withColumn("lb", F.explode(F.array(*[F.lit(i) for i in range(nl)])))
+    )
+    partial = (
+        left.groupBy("lb", "rb")
+        .cogroup(right.groupBy("lb", "rb"))
+        .applyInPandas(knn_join_fn(k), "l_id bigint, n_id bigint, cosine double")
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("l_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("l_id", "rk")
+    )
+
+
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN self-JOIN: every vector retrieves its K nearest
+    neighbors among all others — BOTH sides corpus-scale, so neither
+    the query-in-closure kernels (sim_brute_topk) nor a broadcast
+    apply. The canonical blocked grid join: left rows hash into L
+    blocks and replicate across R right blocks (and vice versa); each
+    (lb, rb) cell is one cogroup task holding N/L + M/R rows running
+    knn_join_fn's chunked exact kernel; a window merges the R partial
+    top-k sets per left row. Shuffle volume N·R + M·L, cell memory
+    bounded by the grid — sized from the Catalyst estimate (64 MB per
+    side per cell). Grid-shape invariance is property-tested
+    (tests/test_knn_join.py); toy scale collapses to a 1×1 grid, the
+    same gate philosophy as operators/rank.py."""
+    return _knn_join(spark, sf_dir)
+
+
+_COS_AB_SQL = """
+    round(
+      list_aggregate(list_transform(generate_series(1, length(a.v)),
+                                    i -> a.v[i] * b.v[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+         * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
+"""
+
+SIM_KNN_JOIN_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+)
+SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {KNN_JOIN_K}
+ORDER BY l_id, rk
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sim_knn_join": sim_knn_join,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
     "sim_brute_topk": sim_brute_topk,
@@ -1290,6 +1382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 ORACLE: dict[str, str] = {
+    "sim_knn_join": SIM_KNN_JOIN_SQL,
     "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,

@@ -1,0 +1,44 @@
+"""Blocked exact k-NN join: grid-shape invariance and kernel edges.
+
+The oracle row (tests/test_suites_oracle.py::sim_knn_join) proves the
+default path against DuckDB's all-pairs window; these tests prove the
+BLOCKING is semantics-free — any (L, R) grid returns bit-identical
+results — and pin the merge window's partitioning.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_query_engine_spark.plans import introspect as pi
+from iceberg_query_engine_spark.queries.similarity_suite import _knn_join
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def base(spark):
+    return _knn_join(spark, SF, grid=(1, 1)).collect()
+
+
+@pytest.mark.parametrize("grid", [(2, 2), (3, 2), (1, 5), (7, 1), (4, 4)])
+def test_grid_shape_invariance(spark, base, grid):
+    assert _knn_join(spark, SF, grid=grid).collect() == base
+
+
+def test_every_vector_gets_k_neighbors(base):
+    from collections import Counter
+
+    per_left = Counter(r.l_id for r in base)
+    assert set(per_left.values()) == {3}  # KNN_JOIN_K
+    assert all(r.l_id != r.n_id for r in base)  # no self-matches
+
+
+def test_merge_window_is_partitioned(spark):
+    df = _knn_join(spark, SF, grid=(2, 2))
+    assert pi.unpartitioned_windows(df) == []
+
+
+def test_k_parameter(spark):
+    out = _knn_join(spark, SF, grid=(2, 3), k=1).collect()
+    assert len(out) == 500 and all(r.rk == 1 for r in out)
