@@ -1284,31 +1284,45 @@ def _knn_join(
     k: int = KNN_JOIN_K,
 ) -> DataFrame:
     from ..functions.vector import knn_join_fn
-    from ..operators.rank import _plan_size_bytes
 
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     if grid is None:
-        # one 64 MB-per-side cell at toy scale (single task, same
-        # size-gate philosophy as operators/rank.py); grows with the
-        # Catalyst estimate. Capped: exact all-pairs k-NN is O(N·M) by
-        # nature — beyond ~32 blocks/side the work itself (not the
-        # grid) is the problem and sim_ivf_* / sim_lsh_topk are the
-        # sub-quadratic paths.
-        est = _plan_size_bytes(e)
-        blocks = int(max(1, min(-(-est // (64 << 20)), 32)))
+        # The kernel's work is O(cell_left × cell_right) PAIRS, so the
+        # grid must be sized by ROWS, not bytes (a bytes gate at 64 MB
+        # puts ~1e10 pairs in one task). Target ≤ ~5k rows per block
+        # side → ≤ 2.5e7 pairs ≈ 3e9 flops ≈ seconds per cell, and B²
+        # cells saturate the cluster. The count is one cheap
+        # metadata-level job (same bounded-scalar budget as
+        # sim_kmeans' centroid collect). Capped: exact all-pairs k-NN
+        # is quadratic by nature — past ~64 blocks/side the total work
+        # (not the grid) is the problem and sim_ivf_* / sim_lsh_topk
+        # are the sub-quadratic paths. Toy scale collapses to a 1×1
+        # grid, the same gate philosophy as operators/rank.py.
+        n_rows = e.count()
+        blocks = int(max(1, min(-(-n_rows // 5000), 64)))
         nl = nr = blocks
     else:
         nl, nr = grid
+    # both sides' (lb, rb) MUST have identical types: cogroup aligns
+    # groups by the key's physical representation, and a (bigint, int)
+    # left against an (int, bigint) right silently produces disjoint
+    # one-sided groups (caught at 50k rows; toy runs aligned by luck)
+    def _blk(col: str, n: int):
+        return F.pmod(F.xxhash64(col), F.lit(n)).cast("int")
+
+    def _grid_ids(n: int):
+        return F.explode(F.array(*[F.lit(i) for i in range(n)]))
+
     left = (
         e.select(F.col("vec_id").alias("l_id"), F.col("v").alias("lv"))
-        .withColumn("lb", F.pmod(F.xxhash64("l_id"), F.lit(nl)))
-        .withColumn("rb", F.explode(F.array(*[F.lit(i) for i in range(nr)])))
+        .withColumn("lb", _blk("l_id", nl))
+        .withColumn("rb", _grid_ids(nr))
     )
     right = (
         e.select(F.col("vec_id").alias("n_id"), "v")
-        .withColumn("rb", F.pmod(F.xxhash64("n_id"), F.lit(nr)))
-        .withColumn("lb", F.explode(F.array(*[F.lit(i) for i in range(nl)])))
+        .withColumn("rb", _blk("n_id", nr))
+        .withColumn("lb", _grid_ids(nl))
     )
     partial = (
         left.groupBy("lb", "rb")
@@ -1332,11 +1346,11 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks and replicate across R right blocks (and vice versa); each
     (lb, rb) cell is one cogroup task holding N/L + M/R rows running
     knn_join_fn's chunked exact kernel; a window merges the R partial
-    top-k sets per left row. Shuffle volume N·R + M·L, cell memory
-    bounded by the grid — sized from the Catalyst estimate (64 MB per
-    side per cell). Grid-shape invariance is property-tested
-    (tests/test_knn_join.py); toy scale collapses to a 1×1 grid, the
-    same gate philosophy as operators/rank.py."""
+    top-k sets per left row. Shuffle volume N·R + M·L; the grid is
+    sized by ROW COUNT (≤ ~5k rows per block side) because the
+    kernel's work is pairs, not bytes. Grid-shape invariance is
+    property-tested (tests/test_knn_join.py); toy scale collapses to
+    a 1×1 grid, the same gate philosophy as operators/rank.py."""
     return _knn_join(spark, sf_dir)
 
 

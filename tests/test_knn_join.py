@@ -42,3 +42,19 @@ def test_merge_window_is_partitioned(spark):
 def test_k_parameter(spark):
     out = _knn_join(spark, SF, grid=(2, 3), k=1).collect()
     assert len(out) == 500 and all(r.rk == 1 for r in out)
+
+
+def test_auto_grid_multiblock_alignment(spark, tmp_path):
+    """12k generated vectors → the auto grid picks >1 block per side;
+    results must be bit-identical to the 1×1 grid. Regression: the
+    block keys once had mismatched types between the two cogroup
+    sides ((bigint, int) vs (int, bigint)), which silently produced
+    disjoint one-sided groups — ZERO output rows — at 50k vectors
+    while every toy-scale run aligned by luck."""
+    from iceberg_query_engine_spark.sources.generator import generate_tpch
+
+    d = str(tmp_path / "gen")
+    generate_tpch(spark, 0.24, d, single_file=True, only={"embeddings"})
+    auto = _knn_join(spark, d).collect()
+    assert len(auto) == 12000 * 3  # every vector got k neighbors
+    assert auto == _knn_join(spark, d, grid=(1, 1)).collect()
