@@ -469,7 +469,7 @@ def semantic_window_fn(window: int, tau: float):
     return run
 
 
-def knn_join_fn(k: int):
+def knn_join_fn(k: int, _chunk_budget: int = 768 << 10):
     """Factory: a cogroup-applyInPandas function computing the exact
     per-left-row cosine top-k against one right-side block — the inner
     kernel of the blocked k-NN JOIN (both sides large, neither
@@ -516,7 +516,7 @@ def knn_join_fn(k: int):
         # the identical strict left-to-right summation order.
         lmT = np.ascontiguousarray(lm.T)
         rmT = np.ascontiguousarray(rm.T)
-        chunk = max(8, int((768 << 10) // max(nr * 8 * 2, 1)))
+        chunk = max(1, int(_chunk_budget // max(nr * 8 * 2, 1)))
         out_l, out_n, out_c = [], [], []
         tmp = np.empty((min(chunk, nl), nr))
         for s in range(0, nl, chunk):

@@ -161,3 +161,66 @@ def test_semantic_kernel_equals_bruteforce_reference(case):
         else pd.DataFrame({"vec_id": [], "cluster": [], "dup_of": [], "cosine": []})
     )
     assert list(got.itertuples(index=False, name=None)) == expect
+
+
+@st.composite
+def knn_case(draw):
+    rng = np.random.default_rng(draw(st.integers(0, 2**16)))
+    nl = draw(st.integers(1, 60))
+    nr = draw(st.integers(1, 60))
+    dim = draw(st.sampled_from([2, 3, 8]))
+    k = draw(st.integers(1, 5))
+    # overlapping id ranges exercise self-pair exclusion; duplicated
+    # vectors force rounded-cosine ties (the n_id tiebreak path)
+    lids = rng.choice(100, nl, replace=False).astype(np.int64)
+    rids = rng.choice(100, nr, replace=False).astype(np.int64)
+    lv = [rng.normal(size=dim) for _ in range(nl)]
+    rv = [rng.normal(size=dim) for _ in range(nr)]
+    for _ in range(draw(st.integers(0, 4))):
+        a, b = rng.integers(0, nr, 2)
+        rv[int(a)] = rv[int(b)]
+    left = pd.DataFrame({"l_id": lids, "lv": lv})
+    right = pd.DataFrame({"n_id": rids, "v": rv})
+    budget = draw(st.sampled_from([1, 256, 768 << 10]))  # force multi-chunk
+    return left, right, k, budget
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=knn_case())
+def test_knn_join_kernel_equals_bruteforce_reference(case):
+    left, right, k, budget = case
+    lm = np.vstack(left["lv"].values)
+    rm = np.vstack(right["v"].values)
+    lids = left["l_id"].to_numpy()
+    rids = right["n_id"].to_numpy()
+    dim = lm.shape[1]
+    ln2 = np.zeros(len(lids))
+    rn2 = np.zeros(len(rids))
+    for i in range(dim):  # sequential fold, the oracle's order
+        ln2 += lm[:, i] * lm[:, i]
+        rn2 += rm[:, i] * rm[:, i]
+    dots = np.zeros((len(lids), len(rids)))
+    for i in range(dim):
+        dots += lm[:, i][:, None] * rm[None, :, i]
+    cos = np.round(dots / (np.sqrt(ln2)[:, None] * np.sqrt(rn2)[None, :]), 6)
+    cos[lids[:, None] == rids[None, :]] = -np.inf
+    expect = {}
+    for j, lid in enumerate(lids):
+        sel = np.lexsort((rids, -cos[j]))[:k]
+        sel = sel[np.isfinite(cos[j][sel])]
+        if len(sel):
+            expect[int(lid)] = list(zip(rids[sel], cos[j][sel]))
+
+    got_df = vector.knn_join_fn(k, _chunk_budget=budget)(left, right)
+    got = {}
+    for lid, g in got_df.groupby("l_id"):
+        sel = np.lexsort((g["n_id"].to_numpy(), -g["cosine"].to_numpy()))
+        got[int(lid)] = list(
+            zip(g["n_id"].to_numpy()[sel], g["cosine"].to_numpy()[sel])
+        )
+    assert got == expect
