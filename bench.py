@@ -97,6 +97,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "op_data_diff",
     "text_dedup_spans_clean",
     "sim_knn_join",
+    "sim_knn_classify",
+    "text_budget_sample",
 )
 
 

@@ -1354,6 +1354,51 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_join(spark, sf_dir)
 
 
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label voting over the exact k-NN join: each vector's label
+    is predicted by majority vote among its KNN_JOIN_K nearest
+    neighbors (tie → smallest label), scored per class against the
+    stored labels — the standard embedding-space label-coherence eval
+    a similarity index ships with.
+
+    Scale: rides sim_knn_join's blocked grid; neighbor labels attach
+    via an n_id-keyed join (key-partitioned, never a corpus
+    broadcast); the vote is an (l_id, label)-keyed aggregate + an
+    l_id-partitioned argmax window; the report is |labels|-sized."""
+    knn = _knn_join(spark, sf_dir)
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    labels = embeddings.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")
+    )
+    votes = knn.join(labels, "n_id").groupBy("l_id", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("c").desc(), F.col("n_label"))
+    pred = (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("l_id", F.col("n_label").alias("pred"))
+    )
+    truth = embeddings.select(F.col("vec_id").alias("l_id"), "label")
+    return (
+        pred.join(truth, "l_id")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum((F.col("pred") == F.col("label")).cast("int"))
+            .cast("bigint")
+            .alias("n_correct"),
+        )
+        .select(
+            "label",
+            "n",
+            "n_correct",
+            F.round(F.col("n_correct") / F.col("n"), 6).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
+
+
 _COS_AB_SQL = """
     round(
       list_aggregate(list_transform(generate_series(1, length(a.v)),
@@ -1377,9 +1422,41 @@ SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
 ORDER BY l_id, rk
 """
 
+SIM_KNN_CLASSIFY_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+), knn AS (
+  SELECT l_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_JOIN_K}
+), votes AS (
+  SELECT k.l_id, e.label AS n_label, COUNT(*) AS c
+  FROM knn k JOIN embeddings e ON e.vec_id = k.n_id
+  GROUP BY k.l_id, e.label
+), pred AS (
+  SELECT l_id, n_label AS pred FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY c DESC, n_label) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT e.label, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(SUM(CASE WHEN p.pred = e.label THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM pred p JOIN embeddings e ON e.vec_id = p.l_id
+GROUP BY e.label ORDER BY e.label
+"""
+
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_join": sim_knn_join,
+    "sim_knn_classify": sim_knn_classify,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
     "sim_brute_topk": sim_brute_topk,
@@ -1397,6 +1474,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "sim_knn_join": SIM_KNN_JOIN_SQL,
+    "sim_knn_classify": SIM_KNN_CLASSIFY_SQL,
     "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,

@@ -643,6 +643,91 @@ FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
 """
 
 
+BUDGET_TOKENS = 800  # per-source sampling budget
+
+
+def text_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source token-budget sampling: stream each
+    source's documents in a pseudo-random but engine-portable order
+    (md5 of the doc id) and keep documents while the running token
+    total stays within the budget — the mixture-construction step that
+    downsamples over-represented sources to a target token share.
+    A document is kept iff the cumulative token count INCLUDING it is
+    ≤ BUDGET_TOKENS (docs past the crossing point are skipped whole,
+    never truncated).
+
+    Scale notes (100 TB): ONE shuffle on source; the running sum is a
+    source-partitioned window in md5 order (deterministic, no RNG
+    state to coordinate); the report aggregate is |sources|-sized.
+    md5 — not xxhash64 — because both engines spell it identically:
+    the order IS the sampling semantics, so the oracle must replay it
+    bit-for-bit."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = _tokens()
+    d = documents.select(
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    kept = d.select(
+        "source", "n_tok", F.sum("n_tok").over(w).alias("cum")
+    ).filter(F.col("cum") <= BUDGET_TOKENS)
+    total = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_total"),
+        F.sum("n_tok").cast("bigint").alias("tokens_total"),
+    )
+    rep = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
+    )
+    return (
+        total.join(rep, "source", "left")
+        .select(
+            "source",
+            "n_docs_total",
+            "tokens_total",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("bigint").alias("n_docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
+            F.round(
+                F.coalesce("tokens_kept", F.lit(0)) / F.lit(float(BUDGET_TOKENS)), 6
+            ).alias("budget_fill"),
+        )
+        .orderBy("source")
+    )
+
+
+TEXT_BUDGET_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT source, length(string_split(text, ' ')) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+), tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+         CAST(SUM(n_tok) AS BIGINT) AS tokens_total
+  FROM d GROUP BY source
+), k AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+         CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+  FROM c WHERE cum <= {BUDGET_TOKENS} GROUP BY source
+)
+SELECT t.source, n_docs_total, tokens_total,
+       COALESCE(n_docs_kept, 0) AS n_docs_kept,
+       COALESCE(tokens_kept, 0) AS tokens_kept,
+       round(COALESCE(tokens_kept, 0) / {BUDGET_TOKENS}.0, 6) AS budget_fill
+FROM tot t LEFT JOIN k USING (source) ORDER BY source
+"""
+
+
 def text_bigram_ll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality scoring: per-doc average bigram
     log-likelihood under a corpus-trained bigram LM (the KenLM-style
@@ -1405,6 +1490,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_redact": text_redact,
     "text_curation_funnel": text_curation_funnel,
     "text_pack": text_pack,
+    "text_budget_sample": text_budget_sample,
     "text_bigram_ll": text_bigram_ll,
 }
 
@@ -1430,5 +1516,6 @@ ORACLE: dict[str, str] = {
     "text_redact": TEXT_REDACT_SQL,
     "text_curation_funnel": TEXT_CURATION_FUNNEL_SQL,
     "text_pack": TEXT_PACK_SQL,
+    "text_budget_sample": TEXT_BUDGET_SAMPLE_SQL,
     "text_bigram_ll": TEXT_BIGRAM_LL_SQL,
 }
