@@ -1282,6 +1282,7 @@ def _knn_join(
     sf_dir: str,
     grid: tuple[int, int] | None = None,
     k: int = KNN_JOIN_K,
+    ordered: bool = True,
 ) -> DataFrame:
     from ..functions.vector import knn_join_fn
 
@@ -1330,12 +1331,14 @@ def _knn_join(
         .applyInPandas(knn_join_fn(k), "l_id bigint, n_id bigint, cosine double")
     )
     w = Window.partitionBy("l_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
-    return (
+    out = (
         partial.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("l_id", "n_id", "cosine", F.col("rk").cast("bigint").alias("rk"))
-        .orderBy("l_id", "rk")
     )
+    # the global sort is presentation-only — aggregate consumers
+    # (sim_knn_classify) skip the N·k-row range exchange it would cost
+    return out.orderBy("l_id", "rk") if ordered else out
 
 
 def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1365,7 +1368,7 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     via an n_id-keyed join (key-partitioned, never a corpus
     broadcast); the vote is an (l_id, label)-keyed aggregate + an
     l_id-partitioned argmax window; the report is |labels|-sized."""
-    knn = _knn_join(spark, sf_dir)
+    knn = _knn_join(spark, sf_dir, ordered=False)
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     labels = embeddings.select(
         F.col("vec_id").alias("n_id"), F.col("label").alias("n_label")

@@ -674,27 +674,29 @@ def text_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    kept = d.select(
-        "source", "n_tok", F.sum("n_tok").over(w).alias("cum")
-    ).filter(F.col("cum") <= BUDGET_TOKENS)
-    total = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs_total"),
-        F.sum("n_tok").cast("bigint").alias("tokens_total"),
-    )
-    rep = kept.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs_kept"),
-        F.sum("n_tok").cast("bigint").alias("tokens_kept"),
-    )
+    cum = d.select("source", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    # totals and kept-side stats come from ONE conditional aggregation
+    # over the windowed frame (it still carries every row) — no second
+    # scan, no rejoin; the source exchange feeding the window is reused
+    in_budget = F.col("cum") <= BUDGET_TOKENS
     return (
-        total.join(rep, "source", "left")
+        cum.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_total"),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.count_if(in_budget).cast("bigint").alias("n_docs_kept"),
+            F.coalesce(F.sum(F.when(in_budget, F.col("n_tok"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
         .select(
             "source",
             "n_docs_total",
             "tokens_total",
-            F.coalesce("n_docs_kept", F.lit(0)).cast("bigint").alias("n_docs_kept"),
-            F.coalesce("tokens_kept", F.lit(0)).cast("bigint").alias("tokens_kept"),
+            "n_docs_kept",
+            "tokens_kept",
             F.round(
-                F.coalesce("tokens_kept", F.lit(0)) / F.lit(float(BUDGET_TOKENS)), 6
+                F.col("tokens_kept") / F.lit(float(BUDGET_TOKENS)), 6
             ).alias("budget_fill"),
         )
         .orderBy("source")
