@@ -247,6 +247,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     sub.add_parser("tables", help="list registered tables")
     sub.add_parser("repl", help="interactive SQL loop")
+    r_p = sub.add_parser(
+        "run",
+        help="run any catalog query by name (the full driver-visible "
+        "surface: tpch/dedup/sim/text/ev/op/iceberg/stream/win/f "
+        "families); `run --list [prefix]` enumerates names",
+    )
+    r_p.add_argument("name", nargs="?", help="query name (see --list)")
+    r_p.add_argument("--list", action="store_true", dest="list_names",
+                     help="list catalog query names (optionally by prefix)")
+    r_p.add_argument("--plan", action="store_true")
+    r_p.add_argument(
+        "--format", choices=sorted(_FORMATS), default="table",
+        help="result rendering (reference cli/output.rs formats)",
+    )
     b_p = sub.add_parser(
         "benchmark", help="time all 22 TPC-H queries (reference `benchmark`)"
     )
@@ -354,6 +368,36 @@ def main(argv: list[str] | None = None) -> int:
             metrics=QueryMetrics(total_ms=ms, execute_ms=ms),
         )
         print(_fmt_table(res))
+    elif args.cmd == "run":
+        from .queries import catalog as _catalog
+
+        qs = _catalog.all_queries()
+        if args.list_names:
+            prefix = args.name or ""
+            for n in sorted(qs):
+                if n.startswith(prefix):
+                    print(n)
+            return 0
+        if not args.name or args.name not in qs:
+            near = sorted(n for n in qs if n.startswith((args.name or "")[:4]))
+            print(
+                f"unknown query {args.name!r}; try `run --list`"
+                + (f" (close: {', '.join(near[:5])})" if near else "")
+            )
+            return 2
+        df = qs[args.name](eng.spark, args.sf_dir)
+        if args.plan:
+            df.explain(mode="formatted")
+        t0 = time.perf_counter()
+        rows = df.collect()
+        ms = (time.perf_counter() - t0) * 1000
+        res = QueryResult(
+            rows=rows,
+            schema=[(f.name, f.dataType.simpleString()) for f in df.schema.fields],
+            row_count=len(rows),
+            metrics=QueryMetrics(total_ms=ms, execute_ms=ms),
+        )
+        print(_FORMATS[args.format](res))
     elif args.cmd == "tables":
         for t in eng.tables():
             print(t)

@@ -374,3 +374,20 @@ def test_cli_maintenance_subcommand(spark, tmp_path, capsys):
     assert main(["maintenance", "--table", path, "schema"]) == 0
     out = capsys.readouterr().out
     assert "key" in out and "tag" in out and "renamed k -> key" in out
+
+
+def test_cli_run_subcommand(spark, sf_oracle, capsys):
+    """`run <name>` executes any catalog query by name; `run --list
+    <prefix>` enumerates; unknown names exit 2 with suggestions."""
+    from iceberg_query_engine_spark.engine import main
+
+    assert main(["--sf-dir", sf_oracle, "run", "--list", "set_"]) == 0
+    names = capsys.readouterr().out.split()
+    assert "set_union_all" in names and all(n.startswith("set_") for n in names)
+
+    assert main(["--sf-dir", sf_oracle, "run", "set_values_inline"]) == 0
+    out = capsys.readouterr().out
+    assert "rows" in out
+
+    assert main(["--sf-dir", sf_oracle, "run", "set_nope"]) == 2
+    assert "unknown query" in capsys.readouterr().out
