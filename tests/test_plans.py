@@ -550,3 +550,32 @@ def test_concurrency_integer_cumsum_distributed(spark, sf):
 
     df = events_suite.ev_concurrency(spark, sf)
     assert pi.unpartitioned_windows(df) == []
+
+
+def test_knn_join_blocked_grid_shape(spark, sf):
+    """Exact k-NN join: ONE cogroup-Arrow node (the blocked grid
+    kernel), no cartesian/BNLJ (replication is by explicit grid-key
+    explode, never a nested loop), and no broadcast of a corpus-sized
+    relation — the merge window is l_id-partitioned."""
+    from iceberg_query_engine_spark.queries import similarity_suite
+
+    df = similarity_suite.sim_knn_join(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert pi.count_op(df, "FlatMapCoGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert pi.unpartitioned_windows(df) == []
+
+
+def test_budget_sample_single_pass(spark, sf):
+    """Budget sampling is ONE conditional aggregation over the
+    windowed frame: no rejoin of a second documents scan, and the
+    source exchange feeding the window is reused by the groupBy —
+    exactly 2 exchanges (window shuffle + final presentation sort)."""
+    from iceberg_query_engine_spark.queries import text_suite
+
+    df = text_suite.text_budget_sample(spark, sf)
+    plan = pi.formatted_plan(df)
+    assert pi.count_op(df, "Scan parquet") == 1  # documents read once
+    assert "Join" not in plan
+    assert pi.count_op(df, "Exchange") <= 2
