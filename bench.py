@@ -99,6 +99,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "sim_knn_join",
     "sim_knn_classify",
     "text_budget_sample",
+    "sim_knn_graph_ivf",
+    "sim_knn_graph_recall",
 )
 
 

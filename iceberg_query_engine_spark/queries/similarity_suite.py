@@ -1357,6 +1357,134 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_join(spark, sf_dir)
 
 
+def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH via IVF cells — the sub-quadratic
+    counterpart of sim_knn_join: every vector is assigned to its
+    nearest seed centroid (the shared one-Arrow-pass kernel), and
+    neighbors are retrieved only among SAME-CELL members, so total
+    pairwise work drops from n² to ~n²/K (cells × (n/K)²). This is
+    the standard recipe for corpus-scale kNN-graph construction
+    (semantic dedup, graph clustering); sim_knn_graph_recall measures
+    what the cell restriction costs.
+
+    Scale shape: ONE cluster-keyed shuffle groups each cell into one
+    applyInPandas task running the same chunked exact kernel as the
+    blocked join (self-pairs excluded inside). With the fixed
+    K_CENTROIDS budget, cells grow with the corpus — production
+    re-seeds K ∝ √n (or composes the blocked grid within oversized
+    cells); documented rather than hidden. Vectors in singleton cells
+    have no candidates and are absent from the graph (the recall eval
+    counts that loss)."""
+    return _knn_graph_ivf(spark, sf_dir)
+
+
+def _knn_graph_ivf(
+    spark: SparkSession, sf_dir: str, k: int = KNN_JOIN_K
+) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.vector import knn_join_fn
+
+    assigned, _cent = seeded_assignment(spark, sf_dir)
+    run = knn_join_fn(k)
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        left = pd.DataFrame({"l_id": pdf["vec_id"], "lv": pdf["v"]})
+        right = pd.DataFrame({"n_id": pdf["vec_id"], "v": pdf["v"]})
+        return run(left, right)
+
+    edges = (
+        assigned.select("cluster", "vec_id", "v")
+        .groupBy("cluster")
+        .applyInPandas(per_cell, "l_id bigint, n_id bigint, cosine double")
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        edges.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select("l_id", "n_id", "cosine", "rk")
+        .orderBy("l_id", "rk")
+    )
+
+
+def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality gate for the IVF kNN graph: edge recall@k against the
+    exact blocked join on the same corpus — the honest number that
+    says what restricting candidates to one IVF cell costs. One
+    summary row: corpus size, exact vs retrieved edge counts, recall.
+
+    Scale: both operands are the ops under test; the comparison
+    itself is one (l_id, n_id) equi-join + a 1-row aggregate."""
+    exact = _knn_join(spark, sf_dir, ordered=False).select("l_id", "n_id")
+    approx = _knn_graph_ivf(spark, sf_dir).select(
+        "l_id", "n_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, ["l_id", "n_id"], "left")
+    return joined.agg(
+        (F.count_distinct("l_id")).cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_edges"),
+        F.count("hit").cast("bigint").alias("hit_edges"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall"),
+    )
+
+
+SIM_KNN_GRAPH_IVF_SQL = f"""
+WITH {_ASSIGNED_CTES}, scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id,
+    round(
+      list_aggregate(list_transform(generate_series(1, length(a.v)),
+                                    i -> a.v[i] * b.v[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+         * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
+      AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+)
+SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {KNN_JOIN_K}
+ORDER BY l_id, rk
+"""
+
+SIM_KNN_GRAPH_RECALL_SQL = f"""
+WITH {_ASSIGNED_CTES}, cell_scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id,
+    round(
+      list_aggregate(list_transform(generate_series(1, length(a.v)),
+                                    i -> a.v[i] * b.v[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+         * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
+      AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+), approx AS (
+  SELECT l_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+    FROM cell_scored
+  ) WHERE rk <= {KNN_JOIN_K}
+), all_scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id,
+    round(
+      list_aggregate(list_transform(generate_series(1, length(a.v)),
+                                    i -> a.v[i] * b.v[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
+         * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
+      AS cosine
+  FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+), exact AS (
+  SELECT l_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+    FROM all_scored
+  ) WHERE rk <= {KNN_JOIN_K}
+)
+SELECT CAST(COUNT(DISTINCT e.l_id) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS exact_edges,
+       CAST(COUNT(a.l_id) AS BIGINT) AS hit_edges,
+       round(CAST(COUNT(a.l_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM exact e LEFT JOIN approx a ON e.l_id = a.l_id AND e.n_id = a.n_id
+"""
+
+
 def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN label voting over the exact k-NN join: each vector's label
     is predicted by majority vote among its KNN_JOIN_K nearest
@@ -1460,6 +1588,8 @@ GROUP BY e.label ORDER BY e.label
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_join": sim_knn_join,
     "sim_knn_classify": sim_knn_classify,
+    "sim_knn_graph_ivf": sim_knn_graph_ivf,
+    "sim_knn_graph_recall": sim_knn_graph_recall,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
     "sim_brute_topk": sim_brute_topk,
@@ -1478,6 +1608,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLE: dict[str, str] = {
     "sim_knn_join": SIM_KNN_JOIN_SQL,
     "sim_knn_classify": SIM_KNN_CLASSIFY_SQL,
+    "sim_knn_graph_ivf": SIM_KNN_GRAPH_IVF_SQL,
+    "sim_knn_graph_recall": SIM_KNN_GRAPH_RECALL_SQL,
     "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,
