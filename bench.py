@@ -100,6 +100,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "sim_knn_classify",
     "text_budget_sample",
     "sim_knn_graph_ivf",
+    "sim_knn_graph_multiprobe",
     "sim_knn_graph_recall",
 )
 

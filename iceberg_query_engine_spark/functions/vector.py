@@ -559,3 +559,40 @@ def knn_join_fn(k: int, _chunk_budget: int = 768 << 10):
         )
 
     return run
+
+
+def top_probe_centroids_udf(centroid_vecs: np.ndarray, centroid_ids: np.ndarray, p: int):
+    """Factory: pandas UDF mapping a vector to its P nearest centroid
+    ids (`array<bigint>`, rounded-cosine DESC then c_id ASC — the same
+    ordering contract as nearest_centroid_udf, whose element [0] this
+    generalizes). The K×dim centroid matrix rides in the closure; one
+    Arrow pass, the multi-probe assignment of IVF retrieval."""
+    c = np.ascontiguousarray(centroid_vecs, dtype=np.float64)
+    ids = np.asarray(centroid_ids, dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    c, ids = c[order], ids[order]
+    k, dim = c.shape
+    cn2 = np.zeros(k)
+    for i in range(dim):  # sequential fold, same order as the oracle
+        cn2 += c[:, i] * c[:, i]
+    cn = np.sqrt(cn2)
+    take = min(p, k)
+
+    @pandas_udf("array<bigint>")
+    def probes(v: pd.Series) -> pd.Series:
+        m = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        n = m.shape[0]
+        dots = np.zeros((n, k))
+        vn2 = np.zeros(n)
+        for i in range(dim):  # strict left-to-right accumulation
+            col = m[:, i]
+            dots += col[:, None] * c[None, :, i]
+            vn2 += col * col
+        cos = np.round(dots / (np.sqrt(vn2)[:, None] * cn[None, :]), 6)
+        out = []
+        for j in range(n):
+            sel = np.lexsort((ids, -cos[j]))[:take]
+            out.append(ids[sel])
+        return pd.Series(out)
+
+    return probes

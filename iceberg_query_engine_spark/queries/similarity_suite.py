@@ -1407,23 +1407,31 @@ def _knn_graph_ivf(
 
 
 def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality gate for the IVF kNN graph: edge recall@k against the
-    exact blocked join on the same corpus — the honest number that
-    says what restricting candidates to one IVF cell costs. One
-    summary row: corpus size, exact vs retrieved edge counts, recall.
+    """Quality gate for the IVF kNN graphs: edge recall@k of BOTH the
+    single-probe and the multi-probe graph against the exact blocked
+    join — one row showing what the cell restriction costs and what
+    each extra probe buys (the nprobe dial, measured not assumed).
 
-    Scale: both operands are the ops under test; the comparison
-    itself is one (l_id, n_id) equi-join + a 1-row aggregate."""
+    Scale: the operands are the ops under test; the comparison itself
+    is two (l_id, n_id) equi-joins + a 1-row aggregate."""
     exact = _knn_join(spark, sf_dir, ordered=False).select("l_id", "n_id")
-    approx = _knn_graph_ivf(spark, sf_dir).select(
-        "l_id", "n_id", F.lit(1).alias("hit")
+    single = _knn_graph_ivf(spark, sf_dir).select(
+        "l_id", "n_id", F.lit(1).alias("hit1")
     )
-    joined = exact.join(approx, ["l_id", "n_id"], "left")
+    multi = _knn_graph_multiprobe(spark, sf_dir).select(
+        "l_id", "n_id", F.lit(1).alias("hitp")
+    )
+    joined = exact.join(single, ["l_id", "n_id"], "left").join(
+        multi, ["l_id", "n_id"], "left"
+    )
     return joined.agg(
         (F.count_distinct("l_id")).cast("bigint").alias("n_vectors"),
         F.count(F.lit(1)).cast("bigint").alias("exact_edges"),
-        F.count("hit").cast("bigint").alias("hit_edges"),
-        F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall"),
+        F.count("hit1").cast("bigint").alias("hit_edges"),
+        F.round(F.count("hit1") / F.count(F.lit(1)), 6).alias("recall"),
+        F.round(F.count("hitp") / F.count(F.lit(1)), 6).alias(
+            "recall_multiprobe"
+        ),
     )
 
 
@@ -1446,30 +1454,147 @@ SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
 ORDER BY l_id, rk
 """
 
-SIM_KNN_GRAPH_RECALL_SQL = f"""
-WITH {_ASSIGNED_CTES}, cell_scored AS (
-  SELECT a.vec_id AS l_id, b.vec_id AS n_id,
+
+
+_COS_AB_SQL = """
     round(
       list_aggregate(list_transform(generate_series(1, length(a.v)),
                                     i -> a.v[i] * b.v[i]), 'sum')
       / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
          * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
-      AS cosine
-  FROM assigned a JOIN assigned b
-    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
-), approx AS (
+"""
+
+KNN_PROBES = 4
+
+
+def sim_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF kNN graph — the recall dial on
+    sim_knn_graph_ivf: each vector PROBES its P nearest cells for
+    candidates while candidates stay indexed in their single nearest
+    cell, so the pair can meet in at most one cell (no dedup needed)
+    and the work scales as ~P·n²/K. Recall rises with P at linear
+    extra cost — the standard IVF nprobe trade, here as an explicit
+    query whose gap sim_knn_graph_recall's exact twin quantifies.
+
+    Scale shape: probe assignment is ONE Arrow pass (top-P centroid
+    kernel, closure-held matrix) materialized once via localCheckpoint
+    (the repo's one-UDF-pass pattern — both grid sides read the
+    materialized rows, the kernel never runs twice); then one
+    cluster-keyed cogroup into the shared chunked exact kernel and an
+    l_id-partitioned merge of the ≤ P·k candidates per vector."""
+    return _knn_graph_multiprobe(spark, sf_dir)
+
+
+def _knn_graph_multiprobe(
+    spark: SparkSession, sf_dir: str, k: int = KNN_JOIN_K, p: int = KNN_PROBES
+) -> DataFrame:
+    import numpy as np
+
+    from ..functions.vector import knn_join_fn, top_probe_centroids_udf
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    centroids = _seed_centroids(e)
+    rows = centroids.collect()  # K centroids: KBs at any corpus size
+    probe_kernel = top_probe_centroids_udf(
+        np.array([r.cv for r in rows]), np.array([r.c_id for r in rows]), p
+    ).asNondeterministic()
+    probed = e.withColumn("probes", probe_kernel(F.col("v"))).localCheckpoint()
+    left = probed.select(
+        F.col("vec_id").alias("l_id"),
+        F.col("v").alias("lv"),
+        F.explode("probes").alias("cluster"),
+    )
+    right = probed.select(
+        F.col("vec_id").alias("n_id"), "v", F.col("probes")[0].alias("cluster")
+    )
+    partial = (
+        left.groupBy("cluster")
+        .cogroup(right.groupBy("cluster"))
+        .applyInPandas(knn_join_fn(k), "l_id bigint, n_id bigint, cosine double")
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("l_id", "n_id", "cosine", "rk")
+        .orderBy("l_id", "rk")
+    )
+
+
+_COS_EB_SQL = """
+    round(
+      list_aggregate(list_transform(generate_series(1, length(e.v)),
+                                    i -> e.v[i] * c.cv[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))), 6)
+"""
+
+SIM_KNN_GRAPH_MULTIPROBE_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS c_id, v AS cv FROM vecs
+  WHERE vec_id % GREATEST(1,
+    CAST(CEIL((SELECT COUNT(*) FROM vecs) / {K_CENTROIDS}.0) AS BIGINT)) = 0
+), probed AS (
+  SELECT vec_id, v, c_id AS cluster, prb FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_COS_EB_SQL} DESC, c.c_id) AS prb
+    FROM vecs e CROSS JOIN centroids c
+  ) WHERE prb <= {KNN_PROBES}
+), scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM probed a JOIN probed b
+    ON a.cluster = b.cluster AND b.prb = 1 AND a.vec_id <> b.vec_id
+)
+SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {KNN_JOIN_K}
+ORDER BY l_id, rk
+"""
+
+SIM_KNN_GRAPH_RECALL_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS c_id, v AS cv FROM vecs
+  WHERE vec_id % GREATEST(1,
+    CAST(CEIL((SELECT COUNT(*) FROM vecs) / {K_CENTROIDS}.0) AS BIGINT)) = 0
+), probed AS (
+  SELECT vec_id, v, c_id AS cluster, prb FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_COS_EB_SQL} DESC, c.c_id) AS prb
+    FROM vecs e CROSS JOIN centroids c
+  ) WHERE prb <= {KNN_PROBES}
+), cell_scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM probed a JOIN probed b
+    ON a.cluster = b.cluster AND a.prb = 1 AND b.prb = 1
+   AND a.vec_id <> b.vec_id
+), single AS (
   SELECT l_id, n_id FROM (
     SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
     FROM cell_scored
   ) WHERE rk <= {KNN_JOIN_K}
+), mp_scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM probed a JOIN probed b
+    ON a.cluster = b.cluster AND b.prb = 1 AND a.vec_id <> b.vec_id
+), multi AS (
+  SELECT l_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+    FROM mp_scored
+  ) WHERE rk <= {KNN_JOIN_K}
 ), all_scored AS (
-  SELECT a.vec_id AS l_id, b.vec_id AS n_id,
-    round(
-      list_aggregate(list_transform(generate_series(1, length(a.v)),
-                                    i -> a.v[i] * b.v[i]), 'sum')
-      / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
-         * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
-      AS cosine
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
   FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
 ), exact AS (
   SELECT l_id, n_id FROM (
@@ -1479,9 +1604,12 @@ WITH {_ASSIGNED_CTES}, cell_scored AS (
 )
 SELECT CAST(COUNT(DISTINCT e.l_id) AS BIGINT) AS n_vectors,
        CAST(COUNT(*) AS BIGINT) AS exact_edges,
-       CAST(COUNT(a.l_id) AS BIGINT) AS hit_edges,
-       round(CAST(COUNT(a.l_id) AS DOUBLE) / COUNT(*), 6) AS recall
-FROM exact e LEFT JOIN approx a ON e.l_id = a.l_id AND e.n_id = a.n_id
+       CAST(COUNT(s.l_id) AS BIGINT) AS hit_edges,
+       round(CAST(COUNT(s.l_id) AS DOUBLE) / COUNT(*), 6) AS recall,
+       round(CAST(COUNT(m.l_id) AS DOUBLE) / COUNT(*), 6) AS recall_multiprobe
+FROM exact e
+LEFT JOIN single s ON e.l_id = s.l_id AND e.n_id = s.n_id
+LEFT JOIN multi m ON e.l_id = m.l_id AND e.n_id = m.n_id
 """
 
 
@@ -1529,14 +1657,6 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("label")
     )
 
-
-_COS_AB_SQL = """
-    round(
-      list_aggregate(list_transform(generate_series(1, length(a.v)),
-                                    i -> a.v[i] * b.v[i]), 'sum')
-      / (sqrt(list_aggregate(list_transform(a.v, x -> x*x), 'sum'))
-         * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
-"""
 
 SIM_KNN_JOIN_SQL = f"""
 WITH vecs AS (
@@ -1589,6 +1709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_join": sim_knn_join,
     "sim_knn_classify": sim_knn_classify,
     "sim_knn_graph_ivf": sim_knn_graph_ivf,
+    "sim_knn_graph_multiprobe": sim_knn_graph_multiprobe,
     "sim_knn_graph_recall": sim_knn_graph_recall,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
@@ -1609,6 +1730,7 @@ ORACLE: dict[str, str] = {
     "sim_knn_join": SIM_KNN_JOIN_SQL,
     "sim_knn_classify": SIM_KNN_CLASSIFY_SQL,
     "sim_knn_graph_ivf": SIM_KNN_GRAPH_IVF_SQL,
+    "sim_knn_graph_multiprobe": SIM_KNN_GRAPH_MULTIPROBE_SQL,
     "sim_knn_graph_recall": SIM_KNN_GRAPH_RECALL_SQL,
     "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
