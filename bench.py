@@ -101,6 +101,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "text_budget_sample",
     "sim_knn_graph_ivf",
     "sim_knn_graph_multiprobe",
+    "sim_knn_clusters",
     "sim_knn_graph_recall",
 )
 

@@ -17,6 +17,7 @@ first (as dedup_minhash_lsh does). AQE skew-join handles hot buckets.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -426,6 +427,15 @@ def _cluster_labels(documents: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).toDF("src", "dst")
+    return cc_labels(edges)
+
+
+def cc_labels(edges: DataFrame, cc_spill_dir: str | None = None) -> DataFrame:
+    """Connected-component labels (node, label = min reachable id)
+    over a SYMMETRIC (src, dst) edge list — hash-min label propagation
+    with pointer jumping, shared by the Jaccard cluster ops and the
+    kNN-graph clustering (similarity_suite.sim_knn_clusters). See
+    dedup_clusters' docstring for the algorithm and scale notes."""
     edges = edges.repartition("src").localCheckpoint()
 
     labels = (
@@ -441,8 +451,13 @@ def _cluster_labels(documents: DataFrame) -> DataFrame:
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
 
+    import tempfile
+
+    spark = edges.sparkSession
+    spill = tempfile.mkdtemp(prefix="cc_labels_", dir=cc_spill_dir)
+    spill_paths = [os.path.join(spill, "a"), os.path.join(spill, "b")]
     prev_sum = _label_sum(labels)
-    for _ in range(50):
+    for rnd in range(50):
         msgs = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
@@ -456,14 +471,35 @@ def _cluster_labels(documents: DataFrame) -> DataFrame:
             .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
             .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
         )
-        # lazy checkpoint: materialized by the _label_sum action below —
-        # ONE job per round instead of eager-checkpoint + sum (two)
-        labels = (
+        # PARQUET ping-pong spill — not localCheckpoint/checkpoint.
+        # Measured on pyspark 4.1.2: chaining per-round Dataset
+        # checkpoints (eager, lazy, AND reliable) fails to cut the
+        # recomputation chain — per-round cost grows ~3× per round
+        # (each of the three `labels` references re-derives the full
+        # history), which wedged the driver at 100% CPU after ~18
+        # rounds on the mutual-kNN graph while the few-round Jaccard
+        # graphs never got deep enough to show it. Writing each
+        # round's (node, label) table to one of two alternating
+        # parquet paths and reading it back is structurally incapable
+        # of retaining lineage and measured FLAT (~0.2 s/round at
+        # 50k nodes). This is also the posture a 100 TB iterative job
+        # wants anyway: durable round state on storage, not executor
+        # memory (point the spill at a shared path via cc_spill_dir).
+        new_labels = (
             labels.union(msgs)
             .union(jump)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=False)
+        )
+        if rnd < 12:
+            # early rounds ride localCheckpoint: measured flat through
+            # ~round 16 and cheaper than a parquet round-trip — the
+            # small-diameter Jaccard graphs (≤5 rounds) never spill
+            labels = new_labels.localCheckpoint()
+        else:
+            path = spill_paths[rnd % 2]
+            new_labels.write.mode("overwrite").parquet(path)
+            labels = spark.read.parquet(path)
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
             break

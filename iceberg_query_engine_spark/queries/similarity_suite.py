@@ -1464,6 +1464,94 @@ _COS_AB_SQL = """
          * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
 """
 
+
+def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clusters from the kNN graph: connected components over
+    MUTUAL kNN edges (a↔b iff each is in the other's top-k) — the
+    density-based grouping step that turns a neighbor graph into
+    dedup/topic clusters. Mutuality is the standard symmetrization
+    that keeps hub vectors from chaining unrelated regions together.
+
+    Scale: the mutual filter is one self-equi-join of the (already
+    sub-quadratic) single-probe graph on reversed keys; components run
+    on the shared hash-min + pointer-jumping kernel
+    (dedup_suite.cc_labels — O(log diameter) rounds, one node-keyed
+    shuffle per round). Vectors with no mutual edge are singletons and
+    excluded, same convention as dedup_clusters."""
+    from .dedup_suite import cc_labels
+
+    # persist + count: the graph is UDF-derived, and a self-join over
+    # it would otherwise evaluate the whole IVF kernel + rank window
+    # TWICE (the repo's standing one-UDF-pass rule). persist — not
+    # localCheckpoint — because chaining an eager checkpoint of the
+    # mutual join on top of a checkpointed graph intermittently
+    # deadlocked the driver at 50k (idle workers, stack parked in the
+    # checkpoint call); the cache breaks the double-eval without
+    # stacking checkpoint scans.
+    from pyspark import StorageLevel
+
+    g = (
+        _knn_graph_ivf(spark, sf_dir)
+        .select("l_id", "n_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    g.count()  # materialize the one kernel pass
+    # merge hint (repo rule for self-joins feeding a checkpoint): the
+    # broadcast plan AQE picks for the small graph deadlocks against
+    # cc_labels' eager localCheckpoint (driver blocked mid-broadcast,
+    # observed hung at 50k with idle workers); SMJ is also the only
+    # 100 TB-safe shape
+    mutual = (
+        g.alias("a")
+        .hint("merge")
+        .join(
+            g.alias("b"),
+            (F.col("a.l_id") == F.col("b.n_id"))
+            & (F.col("a.n_id") == F.col("b.l_id")),
+        )
+        .select(F.col("a.l_id").alias("src"), F.col("a.n_id").alias("dst"))
+    )
+    labels = cc_labels(mutual)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("node") == F.col("label")).alias("is_canonical"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+SIM_KNN_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_ASSIGNED_CTES.lstrip()}, scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM assigned a JOIN assigned b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT l_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_JOIN_K}
+), mutual AS (
+  SELECT a.l_id AS src, a.n_id AS dst
+  FROM knn a JOIN knn b ON a.l_id = b.n_id AND a.n_id = b.l_id
+), walk(node, label) AS (
+  SELECT DISTINCT src, src FROM mutual
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN mutual e ON e.src = w.node
+), cc AS (
+  SELECT node AS vec_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT vec_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM cc ORDER BY vec_id
+"""
+
+
 KNN_PROBES = 4
 
 
@@ -1710,6 +1798,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_classify": sim_knn_classify,
     "sim_knn_graph_ivf": sim_knn_graph_ivf,
     "sim_knn_graph_multiprobe": sim_knn_graph_multiprobe,
+    "sim_knn_clusters": sim_knn_clusters,
     "sim_knn_graph_recall": sim_knn_graph_recall,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
@@ -1731,6 +1820,7 @@ ORACLE: dict[str, str] = {
     "sim_knn_classify": SIM_KNN_CLASSIFY_SQL,
     "sim_knn_graph_ivf": SIM_KNN_GRAPH_IVF_SQL,
     "sim_knn_graph_multiprobe": SIM_KNN_GRAPH_MULTIPROBE_SQL,
+    "sim_knn_clusters": SIM_KNN_CLUSTERS_SQL,
     "sim_knn_graph_recall": SIM_KNN_GRAPH_RECALL_SQL,
     "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,

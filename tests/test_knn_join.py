@@ -58,3 +58,33 @@ def test_auto_grid_multiblock_alignment(spark, tmp_path):
     auto = _knn_join(spark, d).collect()
     assert len(auto) == 12000 * 3  # every vector got k neighbors
     assert auto == _knn_join(spark, d, grid=(1, 1)).collect()
+
+
+def test_cc_labels_deep_diameter_graph_converges(spark):
+    """Regression: per-round Dataset checkpoints on pyspark 4.1.2 fail
+    to sever the recomputation chain, so CC rounds grew ~3× per round
+    and wedged the driver after ~18 rounds (first hit by the
+    mutual-kNN graph at 50k vectors). cc_labels now spills deep rounds
+    to parquet; a 3000-node path graph (diameter 3000 → ~12+
+    pointer-jump rounds) must converge to a single component in
+    reasonable time."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from iceberg_query_engine_spark.queries.dedup_suite import cc_labels
+
+    n = 3000
+    base = spark.range(n - 1)
+    edges = base.select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    ).union(
+        base.select((F.col("id") + 1).alias("src"), F.col("id").alias("dst"))
+    )
+    t0 = time.perf_counter()
+    labels = cc_labels(edges)
+    out = labels.agg(
+        F.count_distinct("label").alias("n"), F.min("label").alias("m")
+    ).collect()[0]
+    assert (out.n, out.m) == (1, 0)  # one component rooted at node 0
+    assert time.perf_counter() - t0 < 120  # the old code never finished
