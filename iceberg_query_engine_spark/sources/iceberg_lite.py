@@ -354,16 +354,27 @@ class IcebergLiteTable:
             if target_schema is not None:
                 # legacy entries (written before this table tracked
                 # schemas) recorded names only; those names are by
-                # construction schema-v0 names, so retrofit their ids
+                # construction schema-v0 names, so retrofit their ids.
+                # A name that does NOT resolve in v0 means the entry
+                # was written outside that invariant (e.g. by an old
+                # engine version after a rename) — matching it by NAME
+                # could anti-join a different, later-renamed column
+                # (silent wrong deletes), so refuse instead.
                 eq_ids = e.get("equality_ids")
                 if not eq_ids:
                     v0 = {
                         f["name"]: f["id"]
                         for f in self.schema_by_id(0)["fields"]
                     }
-                    eq_ids = [v0[c] for c in cols if c in v0]
-                    if len(eq_ids) != len(cols):
-                        eq_ids = None  # unresolvable: keep name path
+                    unresolved = [c for c in cols if c not in v0]
+                    if unresolved:
+                        raise ValueError(
+                            f"equality-delete {e['file_path']} has no "
+                            f"field ids and its columns {unresolved} do "
+                            "not resolve in schema v0; rewrite or expire "
+                            "the delete"
+                        )
+                    eq_ids = [v0[c] for c in cols]
             else:
                 eq_ids = None
             if eq_ids:
@@ -747,8 +758,20 @@ def upsert_snapshot(
     sequence number, so the strictly-smaller-sequence rule deletes only
     pre-existing rows, never the batch's own — exactly Iceberg v2 MERGE
     merge-on-read semantics. Data files are never rewritten; `compact()`
-    is the periodic cleanup."""
+    is the periodic cleanup.
+
+    Like write_equality_deletes, the key columns are ALSO recorded as
+    field ids on schema-tracked tables (tracking starts here if the
+    table has data): an id-less entry written under post-rename names
+    would later be retrofitted through the schema-v0 id table and
+    anti-join the wrong column — silent wrong deletes. The very first
+    upsert into an EMPTY legacy table stays id-less (no data file to
+    derive v0 from); its names become v0 by construction when tracking
+    begins, so the retrofit is exact."""
     table = IcebergLiteTable(path)
+    if table.current_snapshot_id() is not None:
+        _ensure_schema_tracking(path)
+        table = IcebergLiteTable(path)  # re-read: tracking may have begun
     snapshot_id = (table.current_snapshot_id() or 0) + 1
     keys = df.select(*key_columns).distinct()
     rel = f"data/delete-eq-{snapshot_id}-{uuid.uuid4().hex[:8]}"
@@ -763,6 +786,17 @@ def upsert_snapshot(
             "file_size_in_bytes": size,
         }
     }
+    schema = table.current_schema()
+    if schema is not None:
+        by_name = {f["name"]: f["id"] for f in schema["fields"]}
+        missing = [c for c in key_columns if c not in by_name]
+        if missing:
+            raise ValueError(
+                f"upsert key columns {missing} not in current schema"
+            )
+        del_entry["delete_file"]["equality_ids"] = [
+            by_name[c] for c in key_columns
+        ]
     data_entries = _write_data_entries(df, path, snapshot_id, partition_by, stats_columns)
     return _append_snapshot_manifests(
         path,
@@ -1054,6 +1088,15 @@ def drop_column(path: str, name: str) -> int:
                     eq_ids = [
                         v0[c] for c in e["equality_columns"] if c in v0
                     ]
+                    if len(eq_ids) != len(e["equality_columns"]):
+                        # unresolvable id-less entry: the scan refuses
+                        # to apply it (see read path) — block the drop
+                        # too rather than guess which field it meant
+                        raise ValueError(
+                            f"equality-delete {e['file_path']} has no "
+                            "field ids and names outside schema v0; "
+                            "rewrite or expire it before dropping columns"
+                        )
                 if fid in eq_ids:
                     raise ValueError(
                         f"column {name!r} (field id {fid}) is referenced "
@@ -1544,5 +1587,73 @@ def remove_orphan_files(
                     # removals above (and child-dir prunes this loop)
                     if dp != os.path.join(path, "data") and not os.listdir(dp):
                         os.rmdir(dp)
+            res.removed = True
+    return res
+
+
+def remove_orphan_metadata(path: str, dry_run: bool = True) -> OrphanResult:
+    """Metadata-side orphan sweep — the `metadata/` counterpart of
+    remove_orphan_files (which deliberately scans `data/` only).
+
+    The commit path CAN strand metadata (r7 verdict asked for the
+    proof, and the property tests inject each window): a writer that
+    dies inside _append_snapshot_manifests_locked leaves, depending on
+    where it died,
+      (a) manifest-<sid>*.json (+ possibly manifest-list-<sid>.json)
+          with no snapshot file — mostly self-healing junk, since the
+          NEXT commit re-allocates the same sid (ids come from the max
+          over snap-*.snapshot.json) and overwrites those names, but a
+          multi-manifest crash overwritten by a single-manifest commit
+          leaves the suffixed files forever;
+      (b) snap-<sid>.snapshot.json written but the pointer never
+          advanced — WORSE than junk: snapshots() globs snapshot files,
+          so the stranded snapshot shows up in snapshots_meta/expire
+          bookkeeping and permanently burns its id, while being
+          reachable from no ref;
+      (c) metadata.json.tmp-* from a crash inside _atomic_json.
+    Dropped-branch snapshot chains are the same thing to the reference
+    set (unreachable from every ref) and are reclaimed too — the
+    expire_snapshots split drop_ref documents.
+
+    Live set = every ref's full ancestor chain: its snapshot files,
+    their manifest lists, and every manifest those lists name. Only
+    snap-*/manifest-* files and .tmp-* debris outside that set are
+    removed; the pointer file and commit.lock are never candidates.
+    Runs under the commit lock (no concurrent commit can be mid-write),
+    metadata-scale I/O only."""
+    res = OrphanResult()
+    with _commit_lock(path):
+        table = IcebergLiteTable(path)
+        reachable: set[int] = set()
+        for r in table.refs().values():
+            reachable |= set(table.ancestor_chain(r["snapshot_id"]))
+        live: set[str] = set()
+        for sid in sorted(reachable):
+            try:
+                snap = table._snapshot(sid)
+            except FileNotFoundError:  # expired ancestor: chain end
+                continue
+            live.add(f"metadata/snap-{sid}.snapshot.json")
+            mlist = snap["manifest_list"]
+            live.add(mlist)
+            # a REACHABLE snapshot's manifest list must resolve — same
+            # corruption stance as remove_orphan_files (missing_ok=False)
+            with open(os.path.join(path, mlist)) as f:
+                for m in json.load(f):
+                    live.add(m["manifest_path"])
+        meta_dir = os.path.join(path, "metadata")
+        keep = {"commit.lock", os.path.basename(table._meta_path())}
+        for fn in sorted(os.listdir(meta_dir)):
+            rel = f"metadata/{fn}"
+            if fn in keep or rel in live:
+                continue
+            if ".tmp-" in fn or fn.startswith(("snap-", "manifest-")):
+                res.orphan_paths.append(rel)
+                res.bytes_total += os.path.getsize(os.path.join(meta_dir, fn))
+        if not dry_run:
+            for rel in res.orphan_paths:
+                p = os.path.join(path, rel)
+                if os.path.exists(p):
+                    os.remove(p)
             res.removed = True
     return res

@@ -38,6 +38,31 @@ TABLES = (
 )
 
 
+def table_rows(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a canonical table from parquet FOOTER metadata
+    — no Spark job, no data scan (the count is a required field of
+    every parquet footer). Operators that size a partitioning grid by
+    row count (e.g. the blocked kNN join) read this instead of running
+    a count() job; None when the table is absent or unreadable so
+    callers can fall back to an in-plan count."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            parts = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            ]
+            if not parts:
+                return None
+            return sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
     """Convert LONG columns that are physically ns-timestamps to TIMESTAMP_NTZ.
 
