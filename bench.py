@@ -103,6 +103,9 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "sim_knn_graph_multiprobe",
     "sim_knn_clusters",
     "sim_knn_graph_recall",
+    # r8: the end-to-end corpus scrub (exact + LSH/CC + decontaminate
+    # composed into one disposition ledger)
+    "dedup_pipeline",
 )
 
 

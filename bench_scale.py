@@ -86,6 +86,8 @@ PIPELINE_OPS = [
     "dedup_representative",
     # appended r7 session 2
     "text_budget_sample",
+    # appended r8: the composed corpus scrub
+    "dedup_pipeline",
     # sim_knn_join / sim_knn_classify deliberately NOT in the sf10
     # sweep: exact all-pairs k-NN is O(N²) by design (2.5e11 pairs at
     # 500k) — their scale point is the 50k-vector run recorded in

@@ -433,7 +433,11 @@ def _cluster_labels(documents: DataFrame) -> DataFrame:
     return cc_labels(edges)
 
 
-def cc_labels(edges: DataFrame, cc_spill_dir: str | None = None) -> DataFrame:
+def cc_labels(
+    edges: DataFrame,
+    cc_spill_dir: str | None = None,
+    on_round=None,
+) -> DataFrame:
     """Connected-component labels (node, label = min reachable id)
     over a SYMMETRIC (src, dst) edge list — hash-min label propagation
     with pointer jumping, shared by the Jaccard cluster ops and the
@@ -446,7 +450,14 @@ def cc_labels(edges: DataFrame, cc_spill_dir: str | None = None) -> DataFrame:
     so repeated invocations leave nothing behind. On a multi-node
     cluster point it at storage every executor can reach (the warehouse
     path or spark.local.dir is NOT shared); the default tempdir is
-    correct only for local mode."""
+    correct only for local mode.
+
+    on_round: optional callable(round_index, wall_seconds) observability
+    hook, called after each propagation round — the per-round flatness
+    signal a production operator (and the scale experiments) watch to
+    confirm the spill path is severing lineage."""
+    import time as _time
+
     edges = edges.repartition("src").localCheckpoint()
 
     labels = (
@@ -471,6 +482,7 @@ def cc_labels(edges: DataFrame, cc_spill_dir: str | None = None) -> DataFrame:
     prev_sum = _label_sum(labels)
     try:
         for rnd in range(50):
+            rnd_t0 = _time.perf_counter()
             msgs = edges.join(labels, edges.src == labels.node).select(
                 F.col("dst").alias("node"), "label"
             )
@@ -522,6 +534,8 @@ def cc_labels(edges: DataFrame, cc_spill_dir: str | None = None) -> DataFrame:
                 new_labels.write.mode("overwrite").parquet(path)
                 labels = spark.read.parquet(path)
             cur_sum = _label_sum(labels)
+            if on_round is not None:
+                on_round(rnd, _time.perf_counter() - rnd_t0)
             if cur_sum == prev_sum:
                 break
             prev_sum = cur_sum
