@@ -104,8 +104,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "sim_knn_clusters",
     "sim_knn_graph_recall",
     # r8: the end-to-end corpus scrub (exact + LSH/CC + decontaminate
-    # composed into one disposition ledger)
+    # composed into one disposition ledger) + the cross-corpus
+    # retrieval-shape kNN join
     "dedup_pipeline",
+    "sim_knn_join_ab",
 )
 
 

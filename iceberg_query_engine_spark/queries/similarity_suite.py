@@ -1342,8 +1342,6 @@ def _knn_join(
     k: int = KNN_JOIN_K,
     ordered: bool = True,
 ) -> DataFrame:
-    from ..functions.vector import knn_join_fn
-
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     if grid is None:
@@ -1366,6 +1364,32 @@ def _knn_join(
         nl = nr = blocks
     else:
         nl, nr = grid
+    return _knn_join_frames(e, e, nl, nr, k=k, ordered=ordered)
+
+
+def _grid_blocks(n_rows: int) -> int:
+    """Blocks per grid side for ~5k rows/block (capped at 64 — past
+    that, total quadratic work is the problem, not the grid)."""
+    return int(max(1, min(-(-n_rows // 5000), 64)))
+
+
+def _knn_join_frames(
+    lhs: DataFrame,
+    rhs: DataFrame,
+    nl: int,
+    nr: int,
+    k: int = KNN_JOIN_K,
+    ordered: bool = True,
+) -> DataFrame:
+    """Blocked-grid exact kNN join of two (vec_id, v) frames — the
+    shared engine of the self-join (sim_knn_join) and the cross-corpus
+    join (sim_knn_join_ab). lhs rows hash into nl blocks and replicate
+    across nr right blocks (and vice versa); each (lb, rb) cell is one
+    cogroup task running the chunked exact kernel; a window merges the
+    nr partial top-k sets per left row. Id spaces sharing a value are
+    treated as the same vector (the kernel excludes l_id == n_id)."""
+    from ..functions.vector import knn_join_fn
+
     # both sides' (lb, rb) MUST have identical types: cogroup aligns
     # groups by the key's physical representation, and a (bigint, int)
     # left against an (int, bigint) right silently produces disjoint
@@ -1377,12 +1401,12 @@ def _knn_join(
         return F.explode(F.array(*[F.lit(i) for i in range(n)]))
 
     left = (
-        e.select(F.col("vec_id").alias("l_id"), F.col("v").alias("lv"))
+        lhs.select(F.col("vec_id").alias("l_id"), F.col("v").alias("lv"))
         .withColumn("lb", _blk("l_id", nl))
         .withColumn("rb", _grid_ids(nr))
     )
     right = (
-        e.select(F.col("vec_id").alias("n_id"), "v")
+        rhs.select(F.col("vec_id").alias("n_id"), "v")
         .withColumn("rb", _blk("n_id", nr))
         .withColumn("lb", _grid_ids(nl))
     )
@@ -1416,6 +1440,42 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     property-tested (tests/test_knn_join.py); toy scale collapses to
     a 1×1 grid, the same gate philosophy as operators/rank.py."""
     return _knn_join(spark, sf_dir)
+
+
+AB_QUERY_LABELS = (0, 1, 2, 3, 4)  # corpus A = query side; B = the rest
+
+
+def sim_knn_join_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact kNN join — the RETRIEVAL shape: every vector
+    of corpus A (labels 0–4, the query side) retrieves its K nearest
+    neighbors in corpus B (labels 5–9, the index side), with BOTH sides
+    corpus-scale. This is the workload sim_knn_join's self-join cannot
+    express: embedding-space decontamination of a train corpus against
+    a reference set, batch retrieval-eval against a fixed index,
+    linking a new crawl against the existing corpus.
+
+    Scale shape: the same blocked grid as the self-join
+    (_knn_join_frames), but the grid is sized PER SIDE — an asymmetric
+    (|A|, |B|) pair gets an nl×nr grid with ~5k rows per block on each
+    axis, so shuffle volume is |A|·nr + |B|·nl and no cell exceeds
+    ~2.5e7 pairs regardless of how lopsided the corpora are. Side
+    sizes derive from the parquet footer count and the uniform label
+    hash (grid shape never affects results — property-tested
+    invariance). Id spaces must be disjoint (shared ids are excluded
+    as self-matches by the kernel — here vec_ids are globally unique)."""
+    from ..sources.registry import table_rows
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    a = e.filter(F.col("label").isin(*AB_QUERY_LABELS)).drop("label")
+    b = e.filter(~F.col("label").isin(*AB_QUERY_LABELS)).drop("label")
+    n_total = table_rows(sf_dir, "embeddings") or e.count()
+    # labels are hash-uniform over 10 values → each side ≈ n/2; the
+    # grid only balances work, exactness never depends on it
+    half = max(1, n_total // 2)
+    return _knn_join_frames(a, b, _grid_blocks(half), _grid_blocks(half))
 
 
 def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1857,6 +1917,25 @@ SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
 ORDER BY l_id, rk
 """
 
+SIM_KNN_JOIN_AB_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), qa AS (
+  SELECT vec_id, v FROM vecs WHERE label IN {AB_QUERY_LABELS}
+), ix AS (
+  SELECT vec_id, v FROM vecs WHERE label NOT IN {AB_QUERY_LABELS}
+), scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM qa a JOIN ix b ON a.vec_id <> b.vec_id
+)
+SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {KNN_JOIN_K}
+ORDER BY l_id, rk
+"""
+
 SIM_KNN_CLASSIFY_SQL = f"""
 WITH vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1891,6 +1970,7 @@ GROUP BY e.label ORDER BY e.label
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_join": sim_knn_join,
+    "sim_knn_join_ab": sim_knn_join_ab,
     "sim_knn_classify": sim_knn_classify,
     "sim_knn_graph_ivf": sim_knn_graph_ivf,
     "sim_knn_graph_multiprobe": sim_knn_graph_multiprobe,
@@ -1913,6 +1993,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 ORACLE: dict[str, str] = {
     "sim_knn_join": SIM_KNN_JOIN_SQL,
+    "sim_knn_join_ab": SIM_KNN_JOIN_AB_SQL,
     "sim_knn_classify": SIM_KNN_CLASSIFY_SQL,
     "sim_knn_graph_ivf": SIM_KNN_GRAPH_IVF_SQL,
     "sim_knn_graph_multiprobe": SIM_KNN_GRAPH_MULTIPROBE_SQL,

@@ -88,3 +88,40 @@ def test_cc_labels_deep_diameter_graph_converges(spark):
     ).collect()[0]
     assert (out.n, out.m) == (1, 0)  # one component rooted at node 0
     assert time.perf_counter() - t0 < 120  # the old code never finished
+
+
+# -- cross-corpus (A→B) join: asymmetric-grid invariance + disjointness
+
+
+@pytest.fixture(scope="module")
+def ab_base(spark):
+    from iceberg_query_engine_spark.queries.similarity_suite import (
+        AB_QUERY_LABELS,
+        _as_double,
+        _knn_join_frames,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "label", _as_double(F.col("embedding")).alias("v")
+    )
+    a = e.filter(F.col("label").isin(*AB_QUERY_LABELS)).drop("label")
+    b = e.filter(~F.col("label").isin(*AB_QUERY_LABELS)).drop("label")
+    return a, b, _knn_join_frames(a, b, 1, 1).collect()
+
+
+@pytest.mark.parametrize("grid", [(3, 2), (1, 6), (5, 1)])
+def test_ab_asymmetric_grid_invariance(spark, ab_base, grid):
+    from iceberg_query_engine_spark.queries.similarity_suite import (
+        _knn_join_frames,
+    )
+
+    a, b, base = ab_base
+    assert _knn_join_frames(a, b, *grid).collect() == base
+
+
+def test_ab_sides_are_disjoint(spark, ab_base):
+    a, b, base = ab_base
+    a_ids = {r.vec_id for r in a.select("vec_id").collect()}
+    # every neighbor comes from corpus B, every query from corpus A
+    assert all(r.l_id in a_ids and r.n_id not in a_ids for r in base)
