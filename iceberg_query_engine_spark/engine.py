@@ -314,8 +314,9 @@ def main(argv: list[str] | None = None) -> int:
     m_p.add_argument(
         "action",
         choices=[
-            "snapshots", "expire", "compact", "orphans", "rollback",
-            "schema", "rename-column", "add-column", "drop-column",
+            "snapshots", "expire", "compact", "orphans", "orphan-metadata",
+            "rollback", "schema", "rename-column", "add-column",
+            "drop-column",
         ],
     )
     m_p.add_argument("--keep-last", type=int, help="expire: retain N on main")
@@ -488,6 +489,15 @@ def main(argv: list[str] | None = None) -> int:
             )
             verb = "removed" if res.removed else "found (dry run)"
             print(f"{verb} {len(res.orphan_paths)} orphans, {res.bytes_total} bytes")
+            for rel in res.orphan_paths:
+                print(f"  {rel}")
+        elif args.action == "orphan-metadata":
+            res = il.remove_orphan_metadata(args.table, dry_run=not args.apply)
+            verb = "removed" if res.removed else "found (dry run)"
+            print(
+                f"{verb} {len(res.orphan_paths)} metadata orphans, "
+                f"{res.bytes_total} bytes"
+            )
             for rel in res.orphan_paths:
                 print(f"  {rel}")
         elif args.action == "rollback":

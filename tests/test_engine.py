@@ -359,6 +359,17 @@ def test_cli_maintenance_subcommand(spark, tmp_path, capsys):
     assert "removed 1 orphans" in capsys.readouterr().out
     assert not os.path.exists(os.path.join(path, "data", "stray.parquet"))
 
+    # plant metadata debris (atomic-write temp), sweep via the CLI
+    tmp_debris = os.path.join(path, "metadata", "metadata.json.tmp-dead")
+    with open(tmp_debris, "w") as f:
+        f.write("{}")
+    assert main(["maintenance", "--table", path, "orphan-metadata"]) == 0
+    assert "found (dry run) 1 metadata orphans" in capsys.readouterr().out
+    assert main(["maintenance", "--table", path, "orphan-metadata",
+                 "--apply"]) == 0
+    assert "removed 1 metadata orphans" in capsys.readouterr().out
+    assert not os.path.exists(tmp_debris)
+
     assert main(["maintenance", "--table", path, "rollback",
                  "--to-snapshot", "2"]) == 0
     assert "rolled back to snapshot 2" in capsys.readouterr().out
