@@ -1334,6 +1334,16 @@ ORDER BY q_id, rk
 # --------------------------------------------------------------------------
 KNN_JOIN_K = 3
 
+# The multi-probe (m, P) operating point: index each vector in its m
+# nearest cells (the standard IVF build trick — candidates become
+# reachable from m directions) and probe the query's P nearest cells.
+# Measured on the hash-random 50k corpus (near-worst-case data: cosine
+# σ = 1/√dim, no cluster structure): recall@3 0.86 at 0.32× the exact
+# join's pairs — and the ratio shrinks as m·P/√n with the √n centroid
+# budget (0.07× at 1M). (m=1, P=4, fixed K) was the r7 point: 0.433.
+KNN_IDX_PROBES = 3
+KNN_QUERY_PROBES = 24
+
 
 def _knn_join(
     spark: SparkSession,
@@ -1586,6 +1596,14 @@ _COS_AB_SQL = """
          * sqrt(list_aggregate(list_transform(b.v, x -> x*x), 'sum'))), 6)
 """
 
+_COS_EB_SQL = """
+    round(
+      list_aggregate(list_transform(generate_series(1, length(e.v)),
+                                    i -> e.v[i] * c.cv[i]), 'sum')
+      / (sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))
+         * sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))), 6)
+"""
+
 
 def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clusters from the kNN graph: connected components over
@@ -1600,6 +1618,26 @@ def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup_suite.cc_labels — O(log diameter) rounds, one node-keyed
     shuffle per round). Vectors with no mutual edge are singletons and
     excluded, same convention as dedup_clusters."""
+    return _clusters_from_graph(_knn_graph_ivf(spark, sf_dir))
+
+
+def sim_knn_clusters_hq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_knn_clusters' high-recall twin: the same mutual-kNN
+    connected components, but over the MULTI-PROBE graph (recall 0.86
+    at 50k vs the single-probe basis' 0.075) — the quality knob a
+    semantic-dedup consumer turns when the cheap graph's sparse mutual
+    edges fragment clusters. Same machinery end-to-end; the only cost
+    delta is the graph build (~m·P/√n of the exact join's pairs vs
+    1/√n — measured 18 s vs 4.5 s at 50k). Both shipped because the
+    dial is real: cheap-and-sparse for coarse grouping, this for
+    production semantic dedup."""
+    return _clusters_from_graph(_knn_graph_multiprobe(spark, sf_dir))
+
+
+def _clusters_from_graph(graph: DataFrame) -> DataFrame:
+    """Mutual-kNN connected components over a (l_id, n_id, ...) kNN
+    graph — shared by sim_knn_clusters (single-probe basis) and
+    sim_knn_clusters_hq (multi-probe basis)."""
     from .dedup_suite import cc_labels
 
     # persist + count: the graph is UDF-derived, and a self-join over
@@ -1612,11 +1650,7 @@ def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stacking checkpoint scans.
     from pyspark import StorageLevel
 
-    g = (
-        _knn_graph_ivf(spark, sf_dir)
-        .select("l_id", "n_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    g = graph.select("l_id", "n_id").persist(StorageLevel.MEMORY_AND_DISK)
     g.count()  # materialize the one kernel pass
     # merge hint (repo rule for self-joins feeding a checkpoint): the
     # broadcast plan AQE picks for the small graph deadlocks against
@@ -1678,16 +1712,46 @@ SELECT vec_id, cluster_id,
 FROM cc ORDER BY vec_id
 """
 
-
-# The (m, P) operating point: index each vector in its m nearest cells
-# (the standard IVF build trick — candidates become reachable from m
-# directions) and probe the query's P nearest cells. Measured on the
-# hash-random 50k corpus (near-worst-case data: cosine σ = 1/√dim, no
-# cluster structure): recall@3 0.86 at 0.32× the exact join's pairs —
-# and the ratio shrinks as m·P/√n with the √n centroid budget (0.07×
-# at 1M). (m=1, P=4, fixed K) was the r7 point: 0.433 recall.
-KNN_IDX_PROBES = 3
-KNN_QUERY_PROBES = 24
+SIM_KNN_CLUSTERS_HQ_SQL = f"""
+WITH RECURSIVE vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), centroids AS (
+  SELECT vec_id AS c_id, v AS cv FROM vecs
+  WHERE vec_id % {_SQRT_STRIDE_SQL} = 0
+), probed AS (
+  SELECT vec_id, v, c_id AS cluster, prb FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_COS_EB_SQL} DESC, c.c_id) AS prb
+    FROM vecs e CROSS JOIN centroids c
+  ) WHERE prb <= {KNN_QUERY_PROBES}
+), scored AS (
+  SELECT DISTINCT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM probed a JOIN probed b
+    ON a.cluster = b.cluster AND b.prb <= {KNN_IDX_PROBES}
+   AND a.vec_id <> b.vec_id
+), knn AS (
+  SELECT l_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_JOIN_K}
+), mutual AS (
+  SELECT a.l_id AS src, a.n_id AS dst
+  FROM knn a JOIN knn b ON a.l_id = b.n_id AND a.n_id = b.l_id
+), walk(node, label) AS (
+  SELECT DISTINCT src, src FROM mutual
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN mutual e ON e.src = w.node
+), cc AS (
+  SELECT node AS vec_id, MIN(label) AS cluster_id FROM walk GROUP BY node
+)
+SELECT vec_id, cluster_id,
+       CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+       vec_id = cluster_id AS is_canonical
+FROM cc ORDER BY vec_id
+"""
 
 
 def sim_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1765,14 +1829,6 @@ def _knn_graph_multiprobe(
         .orderBy("l_id", "rk")
     )
 
-
-_COS_EB_SQL = """
-    round(
-      list_aggregate(list_transform(generate_series(1, length(e.v)),
-                                    i -> e.v[i] * c.cv[i]), 'sum')
-      / (sqrt(list_aggregate(list_transform(e.v, x -> x*x), 'sum'))
-         * sqrt(list_aggregate(list_transform(c.cv, x -> x*x), 'sum'))), 6)
-"""
 
 SIM_KNN_GRAPH_MULTIPROBE_SQL = f"""
 WITH vecs AS (
@@ -1975,6 +2031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_graph_ivf": sim_knn_graph_ivf,
     "sim_knn_graph_multiprobe": sim_knn_graph_multiprobe,
     "sim_knn_clusters": sim_knn_clusters,
+    "sim_knn_clusters_hq": sim_knn_clusters_hq,
     "sim_knn_graph_recall": sim_knn_graph_recall,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
@@ -1998,6 +2055,7 @@ ORACLE: dict[str, str] = {
     "sim_knn_graph_ivf": SIM_KNN_GRAPH_IVF_SQL,
     "sim_knn_graph_multiprobe": SIM_KNN_GRAPH_MULTIPROBE_SQL,
     "sim_knn_clusters": SIM_KNN_CLUSTERS_SQL,
+    "sim_knn_clusters_hq": SIM_KNN_CLUSTERS_HQ_SQL,
     "sim_knn_graph_recall": SIM_KNN_GRAPH_RECALL_SQL,
     "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
