@@ -108,6 +108,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     # retrieval-shape kNN join
     "dedup_pipeline",
     "sim_knn_join_ab",
+    "sim_knn_graph_delta",
 )
 
 

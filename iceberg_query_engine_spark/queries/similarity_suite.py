@@ -1538,6 +1538,68 @@ def _knn_graph_ivf(
     )
 
 
+DELTA_SPLIT = 0.9  # first 90% of vec_ids = existing corpus, rest = new batch
+
+
+def sim_knn_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL kNN-graph maintenance — the op a production corpus
+    runs when the daily batch lands: instead of rebuilding the whole
+    n²/K graph, recompute ONLY the cells the new vectors fall into.
+    The last 10% of vec_ids play the incoming batch; centroids are
+    seeded from the EXISTING corpus only (the index predates the
+    batch, exactly like a real IVF index between re-trainings).
+
+    Output: the refreshed per-vector top-k neighbor lists for every
+    member of an AFFECTED cell (new vectors get their first list; old
+    vectors in those cells get replacements since a new vector may
+    have entered their top-k), flagged is_new — the delta a consumer
+    MERGEs over the stored graph. Cells without a new member are
+    untouched and absent.
+
+    Scale shape: one Arrow assignment pass over the corpus (existing
+    centroid matrix in the closure), a tiny distinct-cluster set from
+    the batch broadcast into a semi-join (the corpus stream never
+    shuffles to discover affectedness), then the shared per-cell exact
+    kernel over affected cells only. A b-vector batch touches at most
+    min(b, K) of the K cells, so daily-update cost is ~|touched|·
+    (n/K)² — at 1M vectors and a 1% batch, ≤ √n of the cells, i.e.
+    the rebuild's cost × the touched fraction."""
+    from ..sources.registry import table_rows
+
+    import pandas as pd
+
+    from ..functions.vector import knn_join_fn
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    n_total = table_rows(sf_dir, "embeddings") or e.count()
+    t = int(DELTA_SPLIT * n_total)
+    existing = e.filter(F.col("vec_id") < t)
+    centroids = _sqrt_centroids(existing)
+    assigned = _nearest_assign(centroids)(e).select("cluster", "vec_id", "v")
+    affected = (
+        assigned.filter(F.col("vec_id") >= t).select("cluster").distinct()
+    )
+    members = assigned.join(F.broadcast(affected), "cluster", "semi")
+    run = knn_join_fn(KNN_JOIN_K)
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        left = pd.DataFrame({"l_id": pdf["vec_id"], "lv": pdf["v"]})
+        right = pd.DataFrame({"n_id": pdf["vec_id"], "v": pdf["v"]})
+        return run(left, right)
+
+    edges = (
+        members.groupBy("cluster")
+        .applyInPandas(per_cell, "l_id bigint, n_id bigint, cosine double")
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        edges.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select("l_id", "n_id", "cosine", "rk", (F.col("l_id") >= t).alias("is_new"))
+        .orderBy("l_id", "rk")
+    )
+
+
 def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality gate for the IVF kNN graphs: edge recall@k of BOTH the
     single-probe and the multi-probe graph against the exact blocked
@@ -1973,6 +2035,42 @@ SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
 ORDER BY l_id, rk
 """
 
+SIM_KNN_GRAPH_DELTA_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), split AS (
+  SELECT CAST(FLOOR({DELTA_SPLIT} * COUNT(*)) AS BIGINT) AS t FROM vecs
+), centroids AS (
+  SELECT vec_id AS c_id, v AS cv FROM vecs, split
+  WHERE vec_id < t AND vec_id % GREATEST(1, CAST(CEIL(
+    t / GREATEST({K_CENTROIDS}, CEIL(SQRT(t)))) AS BIGINT)) = 0
+), assigned AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT e.vec_id, e.v, c.c_id AS cluster,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_COS_EB_SQL} DESC, c.c_id) AS rk
+    FROM vecs e CROSS JOIN centroids c
+  ) WHERE rk = 1
+), affected AS (
+  SELECT DISTINCT cluster FROM assigned, split WHERE vec_id >= t
+), members AS (
+  SELECT a.* FROM assigned a WHERE a.cluster IN (SELECT cluster FROM affected)
+), scored AS (
+  SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM members a JOIN members b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+)
+SELECT l_id, n_id, cosine, CAST(rk AS BIGINT) AS rk,
+       l_id >= (SELECT t FROM split) AS is_new
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+  FROM scored
+) WHERE rk <= {KNN_JOIN_K}
+ORDER BY l_id, rk
+"""
+
 SIM_KNN_JOIN_AB_SQL = f"""
 WITH vecs AS (
   SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -2032,6 +2130,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_graph_multiprobe": sim_knn_graph_multiprobe,
     "sim_knn_clusters": sim_knn_clusters,
     "sim_knn_clusters_hq": sim_knn_clusters_hq,
+    "sim_knn_graph_delta": sim_knn_graph_delta,
     "sim_knn_graph_recall": sim_knn_graph_recall,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
@@ -2056,6 +2155,7 @@ ORACLE: dict[str, str] = {
     "sim_knn_graph_multiprobe": SIM_KNN_GRAPH_MULTIPROBE_SQL,
     "sim_knn_clusters": SIM_KNN_CLUSTERS_SQL,
     "sim_knn_clusters_hq": SIM_KNN_CLUSTERS_HQ_SQL,
+    "sim_knn_graph_delta": SIM_KNN_GRAPH_DELTA_SQL,
     "sim_knn_graph_recall": SIM_KNN_GRAPH_RECALL_SQL,
     "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
