@@ -1387,8 +1387,14 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One row per input document: status ∈ {eval_split, exact_dup,
     near_dup, contaminated, kept} (first matching stage wins) and, for
-    the two dedup drops, the REPLACEMENT doc that survives in its
-    stead. The kept rows are the surviving corpus; everything else is
+    the two dedup drops, the doc that SUPERSEDES it — one step, not
+    the final survivor: an exact-dup's keeper shares its text, so it
+    lands in the same Jaccard cluster and may itself be dropped as a
+    near_dup (whose rep may in turn be contaminated). Chains are
+    acyclic and terminate in ≤2 hops at a non-dup status
+    (property-tested); a consumer wanting final survivors follows
+    them — keeping the per-stage step is deliberate, it IS the audit
+    trail. The kept rows are the surviving corpus; everything else is
     the drop ledger with its reason — exactly the reconciliation
     artifact a data-governance review asks for.
 

@@ -193,3 +193,39 @@ def test_knn_clusters_unpersists_graph(spark, sf_smoke):
     assert cm.isEmpty()
     sim_knn_clusters(spark, sf_smoke).count()
     assert cm.isEmpty(), "sim_knn_clusters leaked a persisted graph"
+
+
+# -- dedup_pipeline ledger invariants (r8): replacement chains are the
+#    audit trail — they must terminate fast and never cycle
+
+
+def test_dedup_pipeline_ledger_invariants(spark, sf_oracle):
+    from iceberg_query_engine_spark.queries.dedup_suite import dedup_pipeline
+
+    rows = dedup_pipeline(spark, sf_oracle).collect()
+    by_id = {r.doc_id: r for r in rows}
+    # one row per doc, statuses from the closed set
+    assert len(by_id) == len(rows)
+    statuses = {r.status for r in rows}
+    assert statuses <= {"eval_split", "exact_dup", "near_dup", "contaminated", "kept"}
+    # replacement present iff the doc was superseded by a dedup stage
+    for r in rows:
+        assert (r.replacement is not None) == (
+            r.status in ("exact_dup", "near_dup")
+        ), r
+    # chain shape: an exact-dup's keeper is never itself an exact dup
+    # (it IS its text group's min id); a near-dup's rep is never a dup
+    # of either kind (the election prefers the min id at equal n_tok,
+    # so a rep is always its own text-group keeper). Hence every chain
+    # terminates in <= 2 hops, acyclically, at a non-dup status.
+    for r in rows:
+        if r.status == "exact_dup":
+            nxt = by_id[r.replacement]
+            assert nxt.status != "exact_dup", (r, nxt)
+            assert nxt.status != "eval_split"  # stages 2-3 are train-only
+            if nxt.status == "near_dup":
+                final = by_id[nxt.replacement]
+                assert final.status in ("kept", "contaminated"), (r, nxt, final)
+        elif r.status == "near_dup":
+            nxt = by_id[r.replacement]
+            assert nxt.status in ("kept", "contaminated"), (r, nxt)
