@@ -1561,26 +1561,53 @@ def sim_knn_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch broadcast into a semi-join (the corpus stream never
     shuffles to discover affectedness), then the shared per-cell exact
     kernel over affected cells only. A b-vector batch touches at most
-    min(b, K) of the K cells, so daily-update cost is ~|touched|·
-    (n/K)² — at 1M vectors and a 1% batch, ≤ √n of the cells, i.e.
-    the rebuild's cost × the touched fraction."""
-    from ..sources.registry import table_rows
+    min(b, K) of the K cells, so the kernel's update cost is
+    ~|touched|·(n/K)² — the win window is b < K ≈ √n (streaming-sized
+    micro-batches; a 10% batch touches every cell and degrades to the
+    rebuild, measured in BENCH_SCALE.md). The stateless form here
+    re-derives every vector's cell per call so DuckDB can replay it
+    exactly; a production deployment reads the existing corpus's
+    assignments from the stored index (sim_ivf_persist's layout) and
+    pays assignment only for the batch, leaving the touched-cell
+    kernel as the whole cost."""
+    return _knn_graph_delta(spark, sf_dir, DELTA_SPLIT)
 
+
+def _knn_graph_delta(
+    spark: SparkSession, sf_dir: str, split: float
+) -> DataFrame:
     import pandas as pd
 
     from ..functions.vector import knn_join_fn
+    from ..sources.registry import table_rows
 
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
     n_total = table_rows(sf_dir, "embeddings") or e.count()
-    t = int(DELTA_SPLIT * n_total)
+    t = int(split * n_total)
     existing = e.filter(F.col("vec_id") < t)
     centroids = _sqrt_centroids(existing)
-    assigned = _nearest_assign(centroids)(e).select("cluster", "vec_id", "v")
-    affected = (
-        assigned.filter(F.col("vec_id") >= t).select("cluster").distinct()
+    # one-UDF-pass rule: the assignment feeds BOTH the affected-cell
+    # set and the member stream — without materialization the kernel's
+    # Arrow pass runs twice (measured at 1M: 78.5 s for a 100-vector
+    # batch vs 39.5 s for the full rebuild — the "incremental" op
+    # slower than the rebuild it replaces). Materialize the SLIM
+    # (cluster, vec_id) pairs only (16 B/row — 16 MB at 1M) and
+    # re-attach vectors from the parquet scan: checkpointing the full
+    # vector payload (~0.5 GB at 1M, corpus-sized at 100 TB) into
+    # executor blocks is the wrong posture, and for a small batch the
+    # affected-member id list is tiny, so AQE broadcasts it and the
+    # corpus never crosses an exchange to get its vectors back.
+    assigned_slim = (
+        _nearest_assign(centroids)(e)
+        .select("cluster", "vec_id")
+        .localCheckpoint()
     )
-    members = assigned.join(F.broadcast(affected), "cluster", "semi")
+    affected = (
+        assigned_slim.filter(F.col("vec_id") >= t).select("cluster").distinct()
+    )
+    member_ids = assigned_slim.join(F.broadcast(affected), "cluster")
+    members = e.join(member_ids, "vec_id")
     run = knn_join_fn(KNN_JOIN_K)
 
     def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
