@@ -433,16 +433,32 @@ def _cluster_labels(documents: DataFrame) -> DataFrame:
     return cc_labels(edges)
 
 
+# Below this many (symmetric) edges the distributed rounds are pure
+# scheduling floor: a 6k-edge mutual-kNN graph at sf0.1 spends ~15
+# rounds × ~0.3 s of per-job overhead moving KBs. Same gate philosophy
+# as operators/rank.py: collect the bounded edge list (≤ ~3 MB) and
+# run a local union-find, bit-identical by construction.
+CC_LOCAL_EDGE_GATE = 100_000
+
+
 def cc_labels(
     edges: DataFrame,
     cc_spill_dir: str | None = None,
     on_round=None,
+    local_edge_gate: int | None = None,
 ) -> DataFrame:
     """Connected-component labels (node, label = min reachable id)
     over a SYMMETRIC (src, dst) edge list — hash-min label propagation
     with pointer jumping, shared by the Jaccard cluster ops and the
     kNN-graph clustering (similarity_suite.sim_knn_clusters). See
     dedup_clusters' docstring for the algorithm and scale notes.
+
+    Toy-scale gate: at or below `local_edge_gate` edges (default
+    CC_LOCAL_EDGE_GATE) the edge list is collected (bounded: ≤ ~3 MB)
+    and labeled by a driver-local union-find — identical output, none
+    of the per-round job overhead that dominates small graphs. Above
+    the gate the distributed rounds run unchanged; both paths are
+    bit-parity-tested (tests/test_knn_join.py).
 
     cc_spill_dir: parent for the deep-graph parquet round state —
     created LAZILY (shallow graphs that converge before round 12 touch
@@ -455,10 +471,15 @@ def cc_labels(
     on_round: optional callable(round_index, wall_seconds) observability
     hook, called after each propagation round — the per-round flatness
     signal a production operator (and the scale experiments) watch to
-    confirm the spill path is severing lineage."""
+    confirm the spill path is severing lineage (distributed path only)."""
     import time as _time
 
     edges = edges.repartition("src").localCheckpoint()
+
+    gate = CC_LOCAL_EDGE_GATE if local_edge_gate is None else local_edge_gate
+    # count on the materialized blocks: one trivial job, no recompute
+    if edges.count() <= gate:
+        return _cc_labels_local(edges)
 
     labels = (
         edges.select(F.col("src").alias("node")).distinct().withColumn("label", F.col("node"))
@@ -550,6 +571,40 @@ def cc_labels(
     finally:
         if spill is not None:
             shutil.rmtree(spill, ignore_errors=True)
+
+
+def _cc_labels_local(edges: DataFrame) -> DataFrame:
+    """Driver-local union-find twin of the distributed rounds: same
+    (node, label = min reachable id) contract over a symmetric edge
+    list that fits the CC_LOCAL_EDGE_GATE bound. Path-compressed
+    union-find, then each root's component labeled by its min member
+    id — identical to the hash-min fixpoint by definition."""
+    rows = edges.collect()  # bounded by the gate: ≤ ~3 MB
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r.src, r.dst
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min-id root: label for free
+    out = [(n, find(n)) for n in parent]
+    # min-id union keeps every root the smallest id of its component,
+    # so find(n) IS the min reachable id — the distributed contract
+    return edges.sparkSession.createDataFrame(
+        out, schema="node long, label long"
+    )
 
 
 DEDUP_CLUSTERS_SQL = f"""

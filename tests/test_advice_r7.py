@@ -157,7 +157,7 @@ def test_cc_labels_shallow_graph_creates_no_spill_dir(spark):
         [(1, 2), (2, 1), (3, 4), (4, 3)], "src long, dst long"
     )
     before = _cc_dirs()
-    assert cc_labels(edges).count() == 4
+    assert cc_labels(edges, local_edge_gate=0).count() == 4
     assert _cc_dirs() == before
 
 
@@ -172,7 +172,9 @@ def test_cc_labels_deep_graph_cleans_up_spill_dir(spark):
         chain + [(b, a) for a, b in chain], "src long, dst long"
     )
     before = _cc_dirs()
-    labels = cc_labels(edges)
+    # force the DISTRIBUTED path: the spill lifecycle under test never
+    # engages on the local union-find the toy-size gate would pick
+    labels = cc_labels(edges, local_edge_gate=0)
     # single component labeled by its minimum, readable AFTER cleanup
     assert labels.filter(F.col("label") != 0).count() == 0
     assert labels.count() == n

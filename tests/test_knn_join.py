@@ -82,12 +82,36 @@ def test_cc_labels_deep_diameter_graph_converges(spark):
         base.select((F.col("id") + 1).alias("src"), F.col("id").alias("dst"))
     )
     t0 = time.perf_counter()
-    labels = cc_labels(edges)
+    # local_edge_gate=0 forces the DISTRIBUTED rounds — the machinery
+    # under regression here (the toy-size gate would otherwise route
+    # this 6k-edge graph to the local union-find)
+    labels = cc_labels(edges, local_edge_gate=0)
     out = labels.agg(
         F.count_distinct("label").alias("n"), F.min("label").alias("m")
     ).collect()[0]
     assert (out.n, out.m) == (1, 0)  # one component rooted at node 0
     assert time.perf_counter() - t0 < 120  # the old code never finished
+
+
+def test_cc_labels_local_gate_bit_parity(spark):
+    """The toy-size local union-find and the distributed rounds must
+    be bit-identical on arbitrary symmetric graphs (same contract as
+    the rank.py gate: results never depend on which path ran)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from iceberg_query_engine_spark.queries.dedup_suite import cc_labels
+
+    rng = random.Random(8)
+    pairs = {(rng.randrange(500), rng.randrange(500)) for _ in range(400)}
+    pairs = [(a, b) for a, b in pairs if a != b]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], "src long, dst long"
+    )
+    local = sorted(map(tuple, cc_labels(edges).collect()))
+    dist = sorted(map(tuple, cc_labels(edges, local_edge_gate=0).collect()))
+    assert local == dist and len(local) > 0
 
 
 # -- cross-corpus (A→B) join: asymmetric-grid invariance + disjointness
