@@ -19,6 +19,7 @@ partitioning.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1573,6 +1574,111 @@ def sim_knn_graph_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_graph_delta(spark, sf_dir, DELTA_SPLIT)
 
 
+_KNN_DELTA_INDEX_CACHE: dict[str, str] = {}
+
+
+def _knn_delta_index_dir(spark: SparkSession, sf_dir: str, t: int) -> str:
+    """Build-once stored state for the INDEXED incremental graph: the
+    existing corpus (vec_id < t) written partitionBy(cluster) with its
+    √t seed centroid table alongside — exactly what a real deployment
+    maintains between batches (sim_ivf_persist's at-rest layout,
+    cluster-keyed). Built on first use, amortized across every
+    subsequent batch."""
+    import tempfile
+
+    key = f"{sf_dir}|{t}"
+    cached = _KNN_DELTA_INDEX_CACHE.get(key)
+    if cached and os.path.exists(os.path.join(cached, "members", "_SUCCESS")):
+        return cached
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "knn_delta_index",
+        f"{sf_dir.strip('/').replace('/', '_')}_{t}",
+    )
+    if not os.path.exists(os.path.join(path, "members", "_SUCCESS")):
+        (embeddings,) = tables(spark, sf_dir, "embeddings")
+        e = embeddings.select(
+            "vec_id", _as_double(F.col("embedding")).alias("v")
+        )
+        existing = e.filter(F.col("vec_id") < t)
+        centroids = _sqrt_centroids(existing)
+        assigned = _nearest_assign(centroids)(existing)
+        (
+            assigned.select("vec_id", "v", "cluster")
+            .write.mode("overwrite")
+            .partitionBy("cluster")
+            .parquet(os.path.join(path, "members"))
+        )
+        centroids.write.mode("overwrite").parquet(
+            os.path.join(path, "centroids")
+        )
+    _KNN_DELTA_INDEX_CACHE[key] = path
+    return path
+
+
+def sim_knn_graph_delta_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful twin of sim_knn_graph_delta — IDENTICAL output (it
+    shares the DuckDB oracle), production cost shape: the existing
+    corpus's cell members live AT REST partitioned by cluster with
+    their centroid table (built once via _knn_delta_index_dir,
+    amortized across batches, sim_ivf_persist's serving pattern), so a
+    batch update pays (1) one tiny Arrow pass assigning the BATCH to
+    the stored centroids, (2) a statically partition-PRUNED read of
+    only the affected cells' directories (the affected set is ≤ batch
+    cardinality — a bounded literal IN list, same as sim_ivf_persist),
+    (3) the shared per-cell exact kernel. The existing corpus is never
+    re-assigned and never fully scanned — the assignment floor the
+    stateless form measures in BENCH_SCALE r8 (0.7× the rebuild even
+    for a 100-vector batch) drops to rebuild × touched-fraction."""
+    return _knn_graph_delta_indexed(spark, sf_dir, DELTA_SPLIT)
+
+
+def _knn_graph_delta_indexed(
+    spark: SparkSession, sf_dir: str, split: float
+) -> DataFrame:
+    import pandas as pd
+
+    from ..functions.vector import knn_join_fn
+    from ..sources.registry import table_rows
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    n_total = table_rows(sf_dir, "embeddings") or e.count()
+    t = int(split * n_total)
+    idx = _knn_delta_index_dir(spark, sf_dir, t)
+    centroids = spark.read.parquet(os.path.join(idx, "centroids"))
+    batch = (
+        _nearest_assign(centroids)(e.filter(F.col("vec_id") >= t))
+        .select("vec_id", "v", "cluster")
+        .localCheckpoint()  # one-UDF-pass: feeds the cell list AND the union
+    )
+    cells = sorted(
+        r.cluster for r in batch.select("cluster").distinct().collect()
+    )  # bounded by the batch cardinality — the static pruning literal
+    stored = spark.read.parquet(os.path.join(idx, "members")).filter(
+        F.col("cluster").isin(cells)
+    )
+    members = stored.select("vec_id", "v", "cluster").unionByName(batch)
+    run = knn_join_fn(KNN_JOIN_K)
+
+    def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        left = pd.DataFrame({"l_id": pdf["vec_id"], "lv": pdf["v"]})
+        right = pd.DataFrame({"n_id": pdf["vec_id"], "v": pdf["v"]})
+        return run(left, right)
+
+    edges = members.groupBy("cluster").applyInPandas(
+        per_cell, "l_id bigint, n_id bigint, cosine double"
+    )
+    w = Window.partitionBy("l_id").orderBy(F.col("cosine").desc(), F.col("n_id"))
+    return (
+        edges.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .select(
+            "l_id", "n_id", "cosine", "rk", (F.col("l_id") >= t).alias("is_new")
+        )
+        .orderBy("l_id", "rk")
+    )
+
+
 def _knn_graph_delta(
     spark: SparkSession, sf_dir: str, split: float
 ) -> DataFrame:
@@ -2158,6 +2264,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_clusters": sim_knn_clusters,
     "sim_knn_clusters_hq": sim_knn_clusters_hq,
     "sim_knn_graph_delta": sim_knn_graph_delta,
+    "sim_knn_graph_delta_indexed": sim_knn_graph_delta_indexed,
     "sim_knn_graph_recall": sim_knn_graph_recall,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
@@ -2183,6 +2290,7 @@ ORACLE: dict[str, str] = {
     "sim_knn_clusters": SIM_KNN_CLUSTERS_SQL,
     "sim_knn_clusters_hq": SIM_KNN_CLUSTERS_HQ_SQL,
     "sim_knn_graph_delta": SIM_KNN_GRAPH_DELTA_SQL,
+    "sim_knn_graph_delta_indexed": SIM_KNN_GRAPH_DELTA_SQL,
     "sim_knn_graph_recall": SIM_KNN_GRAPH_RECALL_SQL,
     "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
