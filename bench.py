@@ -109,6 +109,7 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "dedup_pipeline",
     "sim_knn_join_ab",
     "sim_knn_graph_delta",
+    "sim_knn_graph_delta_indexed",
 )
 
 
