@@ -264,6 +264,25 @@ def test_sim_ivf_persist_partition_pruned_scan(spark, sf):
     assert not pi.has_cartesian(df)
 
 
+def test_sim_knn_graph_delta_indexed_pruned_scan(spark, sf):
+    """The stored-index incremental graph update reads ONLY the
+    affected cells' partition directories (static PartitionFilters
+    with cluster IN (...)) — the batch assignment is the sole Arrow
+    pass over new data and the existing corpus never fully scans."""
+    import re
+
+    from iceberg_query_engine_spark.queries import similarity_suite
+
+    df = similarity_suite.sim_knn_graph_delta_indexed(spark, sf)
+    plan = pi.executed_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    # Spark prints IN for short literal lists, INSET past the
+    # optimizer's set-conversion threshold — both are static pruning
+    assert m and "cluster" in m.group(1), plan[:500]
+    assert " IN " in m.group(1) or " INSET " in m.group(1), m.group(1)[:200]
+    assert not pi.has_cartesian(df)
+
+
 def test_sim_quantize_map_only(spark, sf):
     """int8 quantization is map-only: one scan, sort is the only
     exchange, no Python UDF in the plan."""
