@@ -767,9 +767,12 @@ def upsert_snapshot(
     anti-join the wrong column — silent wrong deletes. The very first
     upsert into an EMPTY legacy table stays id-less (no data file to
     derive v0 from); its names become v0 by construction when tracking
-    begins, so the retrofit is exact."""
+    begins, so the retrofit is exact. "Empty" means NO LIVE DATA FILES
+    — not "no snapshots": a table whose rows were all deleted and
+    compacted away still has snapshots but nothing to bootstrap v0
+    from, and must take the id-less path rather than crash (r8 ADVICE)."""
     table = IcebergLiteTable(path)
-    if table.current_snapshot_id() is not None:
+    if table.current_snapshot_id() is not None and table.data_files():
         _ensure_schema_tracking(path)
         table = IcebergLiteTable(path)  # re-read: tracking may have begun
     snapshot_id = (table.current_snapshot_id() or 0) + 1

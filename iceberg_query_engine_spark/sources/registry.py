@@ -63,6 +63,34 @@ def table_rows(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def table_fingerprint(sf_dir: str, name: str) -> str | None:
+    """Content fingerprint of a canonical table's parquet files: sha256
+    over the sorted (filename, size, mtime_ns) triples — no data read.
+    Derived caches (e.g. the stored kNN delta index) key on this so a
+    REGENERATED dataset at the same path/row-count invalidates them
+    instead of silently serving stale state (r8 ADVICE). None when the
+    table is absent so callers can fall back to an uncached build."""
+    try:
+        import hashlib
+
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        files = (
+            [os.path.join(path, f) for f in sorted(os.listdir(path))
+             if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        h = hashlib.sha256()
+        for f in files:
+            st = os.stat(f)
+            h.update(
+                f"{os.path.basename(f)}|{st.st_size}|{st.st_mtime_ns}\n".encode()
+            )
+        return h.hexdigest()
+    except Exception:
+        return None
+
+
 def _normalize_ns_timestamps(df: DataFrame, path: str) -> DataFrame:
     """Convert LONG columns that are physically ns-timestamps to TIMESTAMP_NTZ.
 
