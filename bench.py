@@ -110,6 +110,11 @@ BENCH_EXTRAS: tuple[str, ...] = (
     "sim_knn_join_ab",
     "sim_knn_graph_delta",
     "sim_knn_graph_delta_indexed",
+    # --- appended r9 ---
+    # sim_knn_clusters swapped to the multi-probe (high-recall) basis
+    # this round; _cheap keeps the old single-probe basis' timing
+    # comparable across rounds.
+    "sim_knn_clusters_cheap",
 )
 
 

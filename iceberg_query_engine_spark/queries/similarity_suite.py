@@ -1839,32 +1839,44 @@ def sim_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup/topic clusters. Mutuality is the standard symmetrization
     that keeps hub vectors from chaining unrelated regions together.
 
+    Basis (r9 default swap, r8 verdict What's wrong #1): the
+    HIGH-RECALL multi-probe graph — measured edge recall@3 0.861 at
+    50k hash-random vectors vs the single-probe basis' 0.075 (the √n
+    re-seeding shrank cells, and sparse single-probe mutual edges
+    fragment clusters on low-structure corpora). The unsuffixed name a
+    consumer reaches for first must be the one whose clusters are
+    trustworthy; the cheap single-probe basis stays available as the
+    explicit opt-in `sim_knn_clusters_cheap`. Cost delta at sf0.1:
+    ~+1 s (the graph build is ~m·P/√n of the exact join's pairs vs
+    1/√n; both ends measured in data/exp_knn_recall_r8.json).
+
     Scale: the mutual filter is one self-equi-join of the (already
-    sub-quadratic) single-probe graph on reversed keys; components run
-    on the shared hash-min + pointer-jumping kernel
-    (dedup_suite.cc_labels — O(log diameter) rounds, one node-keyed
-    shuffle per round). Vectors with no mutual edge are singletons and
-    excluded, same convention as dedup_clusters."""
-    return _clusters_from_graph(_knn_graph_ivf(spark, sf_dir))
-
-
-def sim_knn_clusters_hq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sim_knn_clusters' high-recall twin: the same mutual-kNN
-    connected components, but over the MULTI-PROBE graph (recall 0.86
-    at 50k vs the single-probe basis' 0.075) — the quality knob a
-    semantic-dedup consumer turns when the cheap graph's sparse mutual
-    edges fragment clusters. Same machinery end-to-end; the only cost
-    delta is the graph build (~m·P/√n of the exact join's pairs vs
-    1/√n — measured 18 s vs 4.5 s at 50k). Both shipped because the
-    dial is real: cheap-and-sparse for coarse grouping, this for
-    production semantic dedup."""
+    sub-quadratic) graph on reversed keys; components run on the
+    shared hash-min + pointer-jumping kernel (dedup_suite.cc_labels —
+    O(log diameter) rounds, one node-keyed shuffle per round). Vectors
+    with no mutual edge are singletons and excluded, same convention
+    as dedup_clusters."""
     return _clusters_from_graph(_knn_graph_multiprobe(spark, sf_dir))
+
+
+def sim_knn_clusters_cheap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sim_knn_clusters' cheap opt-in: the same mutual-kNN connected
+    components over the SINGLE-PROBE graph — ~1/(m·P) of the default
+    basis' pairwise work, at measured edge recall 0.075 at 50k on
+    hash-random vectors (near-worst-case data; clustered corpora fare
+    better, structure concentrates true neighbors in one cell). The
+    dial's cheap end: coarse grouping where fragmenting clusters is
+    acceptable, or corpora with strong cluster structure. The r8
+    percolation study (NOTES_r8) shows the qualitative difference on
+    random data: the high-recall graph crosses the percolation
+    threshold (one giant component) where this basis yields fragments."""
+    return _clusters_from_graph(_knn_graph_ivf(spark, sf_dir))
 
 
 def _clusters_from_graph(graph: DataFrame) -> DataFrame:
     """Mutual-kNN connected components over a (l_id, n_id, ...) kNN
-    graph — shared by sim_knn_clusters (single-probe basis) and
-    sim_knn_clusters_hq (multi-probe basis)."""
+    graph — shared by sim_knn_clusters (multi-probe default basis) and
+    sim_knn_clusters_cheap (single-probe opt-in)."""
     from .dedup_suite import cc_labels
 
     # persist + count: the graph is UDF-derived, and a self-join over
@@ -1913,7 +1925,7 @@ def _clusters_from_graph(graph: DataFrame) -> DataFrame:
     )
 
 
-SIM_KNN_CLUSTERS_SQL = f"""
+SIM_KNN_CLUSTERS_CHEAP_SQL = f"""
 WITH RECURSIVE {_SQRT_ASSIGNED_CTES.lstrip()}, scored AS (
   SELECT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
   FROM assigned a JOIN assigned b
@@ -1939,7 +1951,7 @@ SELECT vec_id, cluster_id,
 FROM cc ORDER BY vec_id
 """
 
-SIM_KNN_CLUSTERS_HQ_SQL = f"""
+SIM_KNN_CLUSTERS_SQL = f"""
 WITH RECURSIVE vecs AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
   FROM embeddings
@@ -2294,7 +2306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_graph_ivf": sim_knn_graph_ivf,
     "sim_knn_graph_multiprobe": sim_knn_graph_multiprobe,
     "sim_knn_clusters": sim_knn_clusters,
-    "sim_knn_clusters_hq": sim_knn_clusters_hq,
+    "sim_knn_clusters_cheap": sim_knn_clusters_cheap,
     "sim_knn_graph_delta": sim_knn_graph_delta,
     "sim_knn_graph_delta_indexed": sim_knn_graph_delta_indexed,
     "sim_knn_graph_recall": sim_knn_graph_recall,
@@ -2320,7 +2332,7 @@ ORACLE: dict[str, str] = {
     "sim_knn_graph_ivf": SIM_KNN_GRAPH_IVF_SQL,
     "sim_knn_graph_multiprobe": SIM_KNN_GRAPH_MULTIPROBE_SQL,
     "sim_knn_clusters": SIM_KNN_CLUSTERS_SQL,
-    "sim_knn_clusters_hq": SIM_KNN_CLUSTERS_HQ_SQL,
+    "sim_knn_clusters_cheap": SIM_KNN_CLUSTERS_CHEAP_SQL,
     "sim_knn_graph_delta": SIM_KNN_GRAPH_DELTA_SQL,
     "sim_knn_graph_delta_indexed": SIM_KNN_GRAPH_DELTA_SQL,
     "sim_knn_graph_recall": SIM_KNN_GRAPH_RECALL_SQL,
