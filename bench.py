@@ -113,8 +113,10 @@ BENCH_EXTRAS: tuple[str, ...] = (
     # --- appended r9 ---
     # sim_knn_clusters swapped to the multi-probe (high-recall) basis
     # this round; _cheap keeps the old single-probe basis' timing
-    # comparable across rounds.
+    # comparable across rounds. dedup_pipeline_delta: the incremental
+    # per-landing-batch form of the corpus scrub.
     "sim_knn_clusters_cheap",
+    "dedup_pipeline_delta",
 )
 
 

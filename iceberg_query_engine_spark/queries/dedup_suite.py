@@ -249,15 +249,33 @@ def _lsh_candidate_pairs(
 
     Returns columns a/b structs with doc_id, toks, sz.
     """
-    from pyspark.sql import Window
+    bands = _band_rows(documents, band_size)
+    return _pairs_from_bands(
+        bands,
+        cap,
+        observation
+        if observation is not None
+        else f"lsh_band_cap_b{band_size}_c{cap}",
+    )
 
+
+def _band_rows(documents: DataFrame, band_size: int) -> DataFrame:
+    """(doc_id, toks, sz, band) rows — one per (doc, LSH band key)."""
     toks = F.array_distinct(_tokens())
-    bands = documents.select(
+    return documents.select(
         "doc_id",
         toks.alias("toks"),
         F.size(toks).alias("sz"),
         F.explode(_minhash_band_expr(toks, band_size)).alias("band"),
     )
+
+
+def _pairs_from_bands(bands: DataFrame, cap: int, observation) -> DataFrame:
+    """In-bucket pair expansion over a (doc_id, toks, sz, band) stream
+    — split out of _lsh_candidate_pairs so the incremental pipeline can
+    run it on a batch-affected SUBSET of the band stream."""
+    from pyspark.sql import Window
+
     # The cap drop is not silent: an observe metric (same contract as
     # _cap_buckets') counts band rows excluded by degenerate mega-buckets
     # so a production operator sees skipped volume. The bn<2 singleton
@@ -265,7 +283,7 @@ def _lsh_candidate_pairs(
     capped = (
         bands.withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("band")))
         .observe(
-            observation if observation is not None else f"lsh_band_cap_b{band_size}_c{cap}",
+            observation,
             F.sum(F.when(F.col("bn") > cap, 1).otherwise(0)).alias(
                 "rows_dropped_by_cap"
             ),
@@ -1595,9 +1613,196 @@ ORDER BY d.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+PIPE_DELTA_SPLIT = 0.9  # first 90% of doc_ids = scrubbed corpus, rest = batch
+
+
+def dedup_pipeline_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus scrub — dedup_pipeline run the way production
+    actually runs it: per LANDING BATCH, not per corpus rebuild. The
+    last 10% of doc_ids play the incoming batch; every batch doc gets a
+    disposition against the EXISTING corpus + the batch itself, and the
+    existing corpus's ledger is never recomputed. Output: one row per
+    BATCH doc with the same status vocabulary as dedup_pipeline
+    (eval_split / exact_dup / near_dup / contaminated / kept) and the
+    superseding doc for the two dup drops.
+
+    Dedup rule (dedup_incremental's keep-old-ids): a batch doc's
+    replacement is the MINIMUM doc_id among its exact-hash group /
+    verified-Jaccard partners — existing ids are smaller than batch ids
+    by construction, so an existing match always wins, and in-batch
+    groups keep their own min id. (The full rebuild elects the
+    LONGEST-doc representative per CC cluster; incrementally re-electing
+    reps would re-assign docs the existing ledger already disposed —
+    keep-old-ids is precisely the rule that never touches old rows.)
+    Replacement chains are strictly decreasing in doc_id, hence acyclic
+    and terminating (property-tested).
+
+    Scale shape — what the batch pays vs the rebuild:
+      * exact: batch hashes (tiny, distinct) BROADCAST into a semi-join
+        against the existing hash stream — the corpus side is a pruned
+        map-only pass (doc_id, md5), never shuffled; the keeper groupBy
+        runs on batch-size + matched rows only.
+      * near-dup: the batch's band keys (≤ |batch|·n_bands, tiny)
+        broadcast-semi-join the corpus band stream, so only AFFECTED
+        band buckets reach pair expansion (the sim_knn_graph_delta
+        pattern); pairs are generated only where one side is a batch
+        doc. No CC: keep-old-ids needs only each batch doc's min
+        verified partner (one batch-keyed aggregate).
+      * decontamination: the batch's shingles alone cross the semi-join
+        (eval shingles broadcast as in dedup_decontaminate).
+    The stateless form re-derives corpus hashes/bands per call so DuckDB
+    can replay it exactly (the sim_knn_graph_delta convention); a
+    production deployment stores the corpus hash/band tables at rest
+    (iceberg_lite's layout, cf. sim_knn_graph_delta_indexed) and pays
+    only the batch + affected buckets. Measured batch-vs-rebuild ratio:
+    data/exp_pipeline_delta_r9.json."""
+    from ..sources.registry import table_rows
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    n_total = table_rows(sf_dir, "documents") or documents.count()
+    t = int(PIPE_DELTA_SPLIT * n_total)
+    batch = documents.filter(F.col("doc_id") >= t)
+
+    # stage 2: exact content groups — batch hashes vs existing + batch
+    fp = F.md5(F.col("text").cast("binary"))
+    bh = batch.filter(F.col("source") != "src0").select("doc_id", fp.alias("fp"))
+    batch_fps = bh.select("fp").distinct()
+    eh = (
+        documents.filter((F.col("doc_id") < t) & (F.col("source") != "src0"))
+        .select("doc_id", fp.alias("fp"))
+        .join(F.broadcast(batch_fps), "fp", "semi")
+    )
+    keepers = (
+        bh.unionByName(eh).groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    )
+    exact = bh.join(keepers, "fp").select("doc_id", "keeper")
+
+    # stage 3: near-dup — affected band buckets only, batch-touching pairs
+    train_docs = documents.filter(F.col("source") != "src0")
+    bands_all = _band_rows(train_docs, CLUSTER_BAND_SIZE)
+    batch_bands = (
+        bands_all.filter(F.col("doc_id") >= t).select("band").distinct()
+    )
+    bands = bands_all.join(F.broadcast(batch_bands), "band", "semi")
+    cand = _pairs_from_bands(bands, CLUSTER_CAP, "pipeline_delta_band_cap")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.col("a.sz") + F.col("b.sz") - inter
+    vpairs = (
+        cand.filter(F.col("b.doc_id") >= t)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .distinct()
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    near = (
+        vpairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner"))
+        .groupBy("doc_id")
+        .agg(F.min("partner").alias("rep"))
+    )
+
+    # stage 4: decontamination — batch shingles vs the full eval split
+    sh = _shingled_docs(
+        documents.filter((F.col("source") == "src0") | (F.col("doc_id") >= t))
+    )
+    contaminated = _contaminated_from_shingled(sh).select(
+        "doc_id", F.lit(True).alias("is_cont")
+    )
+
+    led = (
+        batch.select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    is_exact_dup = F.col("keeper").isNotNull() & (
+        F.col("keeper") != F.col("doc_id")
+    )
+    is_near_dup = F.col("rep").isNotNull()  # rep < doc_id by construction
+    status = (
+        F.when(F.col("source") == "src0", F.lit("eval_split"))
+        .when(is_exact_dup, F.lit("exact_dup"))
+        .when(is_near_dup, F.lit("near_dup"))
+        .when(F.col("is_cont"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    replacement = (
+        F.when(F.col("source") == "src0", F.lit(None))
+        .when(is_exact_dup, F.col("keeper"))
+        .when(is_near_dup, F.col("rep"))
+        .cast("bigint")
+    )
+    return led.select(
+        "doc_id",
+        "source",
+        status.alias("status"),
+        replacement.alias("replacement"),
+    ).orderBy("doc_id")
+
+
+DEDUP_PIPELINE_DELTA_SQL = f"""
+WITH split AS (
+  SELECT CAST(FLOOR({PIPE_DELTA_SPLIT} * COUNT(*)) AS BIGINT) AS t FROM documents
+), {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP, "WHERE source <> 'src0'").lstrip()}, pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= (SELECT t FROM split)
+    AND round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
+), near AS (
+  SELECT doc_b AS doc_id, MIN(doc_a) AS rep FROM pairs GROUP BY doc_b
+), batch_fp AS (
+  SELECT doc_id, md5(text) AS fp FROM documents
+  WHERE source <> 'src0' AND doc_id >= (SELECT t FROM split)
+), keepers AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM (
+    SELECT doc_id, md5(text) AS fp FROM documents WHERE source <> 'src0'
+  ) WHERE fp IN (SELECT fp FROM batch_fp) GROUP BY fp
+), exact AS (
+  SELECT b.doc_id, k.keeper FROM batch_fp b JOIN keepers k ON k.fp = b.fp
+), sh_docs AS (
+  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+  WHERE source = 'src0' OR doc_id >= (SELECT t FROM split)
+), sh AS (
+  SELECT doc_id, source,
+    CASE WHEN length(toks) >= {SHINGLE_N}
+      THEN list_transform(generate_series(1, length(toks) - {SHINGLE_N - 1}),
+                          i -> array_to_string(toks[i : i + {SHINGLE_N - 1}], ' '))
+      ELSE [] END AS shingles
+  FROM sh_docs
+), eval_sh AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE source = 'src0'
+), contaminated AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE source <> 'src0') t
+  WHERE EXISTS (SELECT 1 FROM eval_sh e WHERE e.s = t.s)
+)
+SELECT d.doc_id, d.source,
+  CASE WHEN d.source = 'src0' THEN 'eval_split'
+       WHEN e.keeper IS NOT NULL AND e.keeper <> d.doc_id THEN 'exact_dup'
+       WHEN n.rep IS NOT NULL THEN 'near_dup'
+       WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+       ELSE 'kept' END AS status,
+  CAST(CASE WHEN d.source = 'src0' THEN NULL
+       WHEN e.keeper IS NOT NULL AND e.keeper <> d.doc_id THEN e.keeper
+       WHEN n.rep IS NOT NULL THEN n.rep
+       END AS BIGINT) AS replacement
+FROM documents d
+LEFT JOIN exact e ON e.doc_id = d.doc_id
+LEFT JOIN near n ON n.doc_id = d.doc_id
+LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+WHERE d.doc_id >= (SELECT t FROM split)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_pipeline": dedup_pipeline,
+    "dedup_pipeline_delta": dedup_pipeline_delta,
     "dedup_semantic": dedup_semantic,
     "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1623,6 +1828,7 @@ ORACLE: dict[str, str] = {
     "dedup_decontaminate": DEDUP_DECONTAMINATE_SQL,
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_pipeline": DEDUP_PIPELINE_SQL,
+    "dedup_pipeline_delta": DEDUP_PIPELINE_DELTA_SQL,
     "dedup_pr_eval": _pr_eval_oracle(),
     "dedup_semantic": _dedup_semantic_oracle(),
     "dedup_simhash": _simhash_oracle(),

@@ -1,0 +1,102 @@
+"""dedup_pipeline_delta invariants — the incremental corpus scrub.
+
+The ledger contract: one row per BATCH doc (doc_id >= t), the same
+status vocabulary as dedup_pipeline, replacements strictly decreasing
+in doc_id (acyclic chains), and stage-level agreement with the full
+rebuild where the rules coincide (the exact stage uses the identical
+min-doc_id-per-hash keeper on both paths).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iceberg_query_engine_spark.queries.dedup_suite import (
+    PIPE_DELTA_SPLIT,
+    dedup_pipeline,
+    dedup_pipeline_delta,
+)
+from iceberg_query_engine_spark.queries.tpch import tables
+
+STATUSES = {"eval_split", "exact_dup", "near_dup", "contaminated", "kept"}
+
+
+@pytest.fixture(scope="module")
+def ledger(spark, sf_oracle):
+    return dedup_pipeline_delta(spark, sf_oracle).collect()
+
+
+@pytest.fixture(scope="module")
+def split_t(spark, sf_oracle):
+    (documents,) = tables(spark, sf_oracle, "documents")
+    return int(PIPE_DELTA_SPLIT * documents.count())
+
+
+def test_one_row_per_batch_doc(spark, sf_oracle, ledger, split_t):
+    (documents,) = tables(spark, sf_oracle, "documents")
+    n_batch = documents.filter(F.col("doc_id") >= split_t).count()
+    assert len(ledger) == n_batch
+    assert len({r.doc_id for r in ledger}) == len(ledger)
+    assert all(r.doc_id >= split_t for r in ledger)
+
+
+def test_status_vocabulary_and_replacement_rule(ledger):
+    assert {r.status for r in ledger} <= STATUSES
+    for r in ledger:
+        if r.status in ("exact_dup", "near_dup"):
+            assert r.replacement is not None, r
+            # keep-old-ids: the replacement is always a SMALLER id, so
+            # chains strictly decrease and can never cycle
+            assert r.replacement < r.doc_id, r
+        else:
+            assert r.replacement is None, r
+
+
+def test_chains_terminate_within_batch(ledger, split_t):
+    """Following replacements inside the batch always reaches either an
+    existing-corpus doc (id < t — disposed by the prior ledger) or a
+    batch doc with a non-dup status."""
+    by_id = {r.doc_id: r for r in ledger}
+    for r in ledger:
+        seen = set()
+        cur = r
+        while cur.status in ("exact_dup", "near_dup"):
+            assert cur.doc_id not in seen, "cycle"
+            seen.add(cur.doc_id)
+            nxt = cur.replacement
+            if nxt < split_t:
+                break  # lands in the existing corpus
+            cur = by_id[nxt]
+
+
+def test_exact_stage_agrees_with_full_rebuild(spark, sf_oracle, ledger):
+    """Both paths use keeper = MIN(doc_id) per content hash over all
+    train docs, so the exact_dup set over batch docs must be identical
+    — including the replacement targets."""
+    batch_ids = {r.doc_id for r in ledger}
+    full = {
+        r.doc_id: r
+        for r in dedup_pipeline(spark, sf_oracle).collect()
+        if r.doc_id in batch_ids
+    }
+    delta_exact = {
+        r.doc_id: r.replacement for r in ledger if r.status == "exact_dup"
+    }
+    full_exact = {
+        d: r.replacement for d, r in full.items() if r.status == "exact_dup"
+    }
+    assert delta_exact == full_exact
+
+
+def test_exact_dups_share_content_hash(spark, sf_oracle, ledger):
+    (documents,) = tables(spark, sf_oracle, "documents")
+    fp = {
+        r.doc_id: r.h
+        for r in documents.select(
+            "doc_id", F.md5(F.col("text").cast("binary")).alias("h")
+        ).collect()
+    }
+    for r in ledger:
+        if r.status == "exact_dup":
+            assert fp[r.doc_id] == fp[r.replacement], r
