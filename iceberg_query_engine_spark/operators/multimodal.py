@@ -126,7 +126,7 @@ def decode_image(payload: bytes):
     except ImportError as exc:  # pragma: no cover
         raise NotImplementedError(
             "compressed-image decode requires Pillow (absent in this "
-            "container, re-probed round 8 2026-08-16); BMP/PPM decode "
+            "container, re-probed round 9 2026-08-16); BMP/PPM decode "
             "codec-free above"
         ) from exc
 

@@ -1655,13 +1655,21 @@ def dedup_pipeline_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     can replay it exactly (the sim_knn_graph_delta convention); a
     production deployment stores the corpus hash/band tables at rest
     (iceberg_lite's layout, cf. sim_knn_graph_delta_indexed) and pays
-    only the batch + affected buckets. Measured batch-vs-rebuild ratio:
-    data/exp_pipeline_delta_r9.json."""
+    only the batch + affected buckets (that deployment is
+    dedup_pipeline_delta_indexed, sharing this op's oracle). Measured
+    batch-vs-rebuild ratio: data/exp_pipeline_delta_r9.json — at the
+    10% split the stateless form ≈ the rebuild (the corpus map passes
+    are its floor, the same assignment-floor the stateless kNN delta
+    measured in r8); the indexed form is where the win lives."""
+    return _pipeline_delta(spark, sf_dir, PIPE_DELTA_SPLIT)
+
+
+def _pipeline_delta(spark: SparkSession, sf_dir: str, split: float) -> DataFrame:
     from ..sources.registry import table_rows
 
     (documents,) = tables(spark, sf_dir, "documents")
     n_total = table_rows(sf_dir, "documents") or documents.count()
-    t = int(PIPE_DELTA_SPLIT * n_total)
+    t = int(split * n_total)
     batch = documents.filter(F.col("doc_id") >= t)
 
     # stage 2: exact content groups — batch hashes vs existing + batch
@@ -1743,6 +1751,226 @@ def dedup_pipeline_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_PIPE_DELTA_INDEX_CACHE: dict[str, str] = {}
+
+
+def _pipeline_delta_index_dir(
+    spark: SparkSession, sf_dir: str, t: int, index_dir: str | None = None
+) -> str:
+    """Build-once stored state for the INDEXED incremental scrub — the
+    three per-doc derivations the stateless delta recomputes every
+    batch, written at rest:
+
+      hashes/         (doc_id, fp)        16 B/doc — the exact stage
+      bands/          (doc_id, band, sz)  the LSH index WITHOUT token
+                                          arrays (storing a tokenized
+                                          corpus is the thing the
+                                          pipeline's no-fusion argument
+                                          rejects; partner tokens are
+                                          re-derived at batch time for
+                                          AFFECTED docs only)
+      eval_shingles/  (shx)               the decontamination reference
+
+    Same cache discipline as the kNN delta index (r8 ADVICE, applied
+    from birth here): keyed on a content fingerprint of the documents
+    table, superseded fingerprints reclaimed, completion gated on an
+    `_INDEX_SUCCESS` sentinel written last, and an index_dir override
+    for multi-node deployments (default tempdir is local-mode-only)."""
+    import shutil
+    import tempfile
+
+    from ..sources.registry import table_fingerprint
+
+    fpr = (table_fingerprint(sf_dir, "documents") or "nofp")[:12]
+    key = f"{sf_dir}|{t}|{fpr}|{index_dir or ''}"
+    slug = f"pipe_{sf_dir.strip('/').replace('/', '_')}_{t}"
+    base = os.path.join(index_dir or tempfile.gettempdir(), "pipeline_delta_index")
+    path = os.path.join(base, f"{slug}_{fpr}")
+    sentinel = os.path.join(path, "_INDEX_SUCCESS")
+    cached = _PIPE_DELTA_INDEX_CACHE.get(key)
+    if cached and os.path.exists(os.path.join(cached, "_INDEX_SUCCESS")):
+        return cached
+    if not os.path.exists(sentinel):
+        if os.path.isdir(base):
+            for d in os.listdir(base):
+                if d.startswith(slug + "_") and d != os.path.basename(path):
+                    shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+        shutil.rmtree(path, ignore_errors=True)
+        (documents,) = tables(spark, sf_dir, "documents")
+        existing_train = documents.filter(
+            (F.col("doc_id") < t) & (F.col("source") != "src0")
+        )
+        fp = F.md5(F.col("text").cast("binary"))
+        existing_train.select("doc_id", fp.alias("fp")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "hashes"))
+        _band_rows(existing_train, CLUSTER_BAND_SIZE).select(
+            "doc_id", "band", "sz"
+        ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
+        (
+            _shingled_docs(
+                documents.filter(
+                    (F.col("source") == "src0") & (F.col("doc_id") < t)
+                )
+            )
+            .select(F.explode("shingles").alias("shx"))
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "eval_shingles"))
+        )
+        with open(sentinel, "w") as fh:
+            fh.write("ok\n")
+    _PIPE_DELTA_INDEX_CACHE[key] = path
+    return path
+
+
+def dedup_pipeline_delta_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful twin of dedup_pipeline_delta — IDENTICAL output (it
+    shares the DuckDB oracle), production cost shape: the corpus-side
+    derivations live AT REST (_pipeline_delta_index_dir: the hash
+    table, the token-free LSH band index, the eval shingle set — built
+    once, amortized across batches), so a landing batch pays
+
+      * batch-only map work (its own hashes, bands, shingles),
+      * columnar reads of the slim stored tables — the corpus TEXT is
+        never re-hashed, re-minhashed, or re-shingled,
+      * token re-derivation for AFFECTED-bucket members only (one
+        doc_id-pruned fetch from the documents scan; a b-doc batch
+        touches ≤ b·n_bands buckets, so this is batch-proportional).
+
+    This closes the stateless form's floor (measured ≈ the rebuild at
+    the 10% split — data/exp_pipeline_delta_r9.json): with corpus map
+    passes replaced by stored-table reads, batch cost tracks batch
+    size, measured per-batch-size in the same experiment. The 10%
+    catalog split is adversarial for ANY incremental form (it touches
+    most buckets); the op exists for the streaming-sized batches a
+    daily ingest lands."""
+    return _pipeline_delta_indexed(spark, sf_dir, PIPE_DELTA_SPLIT)
+
+
+def _pipeline_delta_indexed(
+    spark: SparkSession,
+    sf_dir: str,
+    split: float,
+    index_dir: str | None = None,
+) -> DataFrame:
+    from ..sources.registry import table_rows
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    n_total = table_rows(sf_dir, "documents") or documents.count()
+    t = int(split * n_total)
+    idx = _pipeline_delta_index_dir(spark, sf_dir, t, index_dir=index_dir)
+    batch = documents.filter(F.col("doc_id") >= t)
+    batch_train = batch.filter(F.col("source") != "src0")
+
+    # stage 2: exact — stored hash table, batch fps broadcast
+    fp = F.md5(F.col("text").cast("binary"))
+    bh = batch_train.select("doc_id", fp.alias("fp"))
+    batch_fps = bh.select("fp").distinct()
+    eh = spark.read.parquet(os.path.join(idx, "hashes")).join(
+        F.broadcast(batch_fps), "fp", "semi"
+    )
+    keepers = (
+        bh.unionByName(eh).groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    )
+    exact = bh.join(keepers, "fp").select("doc_id", "keeper")
+
+    # stage 3: near-dup — stored band index pruned to the batch's bands;
+    # token arrays re-derived ONLY for affected existing members
+    batch_band_rows = _band_rows(batch_train, CLUSTER_BAND_SIZE)
+    batch_bands = batch_band_rows.select("band").distinct()
+    stored = spark.read.parquet(os.path.join(idx, "bands")).join(
+        F.broadcast(batch_bands), "band", "semi"
+    )
+    toks = F.array_distinct(_tokens())
+    # FILTER first, tokenize second: the semi-join must run BEFORE the
+    # token projection or the whole corpus pays the tokenize pass the
+    # stored index exists to avoid (measured: 5.6 s → ~2 s for a
+    # 1000-doc batch at 500k docs). The affected-id set is
+    # batch-proportional (≤ batch docs × bands × cap members), so the
+    # broadcast is the correct production shape.
+    affected_ids = stored.select("doc_id").distinct()
+    affected_toks = (
+        documents.select("doc_id", "text")
+        .join(F.broadcast(affected_ids), "doc_id", "semi")
+        .select("doc_id", toks.alias("toks"))
+    )
+    stored_with_toks = stored.join(affected_toks, "doc_id").select(
+        "doc_id", "toks", "sz", "band"
+    )
+    bands = stored_with_toks.unionByName(batch_band_rows)
+    cand = _pairs_from_bands(bands, CLUSTER_CAP, "pipeline_delta_idx_band_cap")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    union = F.col("a.sz") + F.col("b.sz") - inter
+    vpairs = (
+        cand.filter(F.col("b.doc_id") >= t)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .distinct()
+        .filter(F.col("jaccard") >= 0.6)
+    )
+    near = (
+        vpairs.select(F.col("doc_b").alias("doc_id"), F.col("doc_a").alias("partner"))
+        .groupBy("doc_id")
+        .agg(F.min("partner").alias("rep"))
+    )
+
+    # stage 4: decontamination — stored eval shingles ∪ the batch's own
+    # eval additions (the reference set grows with src0 landings)
+    batch_sh = _shingled_docs(batch)
+    # the stored side is distinct at rest and the batch side is
+    # distinct-ed here; a semi-join probe side tolerates the few
+    # cross-side duplicates, so NO outer distinct — re-distincting the
+    # stored set would shuffle the (corpus-eval-sized) shingle table
+    # on every batch
+    eval_sh = spark.read.parquet(os.path.join(idx, "eval_shingles")).unionByName(
+        batch_sh.filter(F.col("source") == "src0")
+        .select(F.explode("shingles").alias("shx"))
+        .distinct()
+    )
+    contaminated = (
+        batch_sh.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode("shingles").alias("shx"))
+        .join(F.broadcast(eval_sh), "shx", "semi")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(True).alias("is_cont"))
+    )
+
+    led = (
+        batch.select("doc_id", "source")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+    )
+    is_exact_dup = F.col("keeper").isNotNull() & (
+        F.col("keeper") != F.col("doc_id")
+    )
+    is_near_dup = F.col("rep").isNotNull()
+    status = (
+        F.when(F.col("source") == "src0", F.lit("eval_split"))
+        .when(is_exact_dup, F.lit("exact_dup"))
+        .when(is_near_dup, F.lit("near_dup"))
+        .when(F.col("is_cont"), F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    replacement = (
+        F.when(F.col("source") == "src0", F.lit(None))
+        .when(is_exact_dup, F.col("keeper"))
+        .when(is_near_dup, F.col("rep"))
+        .cast("bigint")
+    )
+    return led.select(
+        "doc_id",
+        "source",
+        status.alias("status"),
+        replacement.alias("replacement"),
+    ).orderBy("doc_id")
+
+
 DEDUP_PIPELINE_DELTA_SQL = f"""
 WITH split AS (
   SELECT CAST(FLOOR({PIPE_DELTA_SPLIT} * COUNT(*)) AS BIGINT) AS t FROM documents
@@ -1803,6 +2031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": dedup_exact,
     "dedup_pipeline": dedup_pipeline,
     "dedup_pipeline_delta": dedup_pipeline_delta,
+    "dedup_pipeline_delta_indexed": dedup_pipeline_delta_indexed,
     "dedup_semantic": dedup_semantic,
     "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -1829,6 +2058,7 @@ ORACLE: dict[str, str] = {
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_pipeline": DEDUP_PIPELINE_SQL,
     "dedup_pipeline_delta": DEDUP_PIPELINE_DELTA_SQL,
+    "dedup_pipeline_delta_indexed": DEDUP_PIPELINE_DELTA_SQL,
     "dedup_pr_eval": _pr_eval_oracle(),
     "dedup_semantic": _dedup_semantic_oracle(),
     "dedup_simhash": _simhash_oracle(),

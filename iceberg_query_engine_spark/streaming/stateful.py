@@ -100,7 +100,7 @@ def stream_stateful_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Environment gate: the transformWithState Python driver worker
     speaks protobuf to the JVM state server; this container has no
-    protobuf wheel (re-verified round 8 (2026-08-16): `import google.protobuf`
+    protobuf wheel (re-verified round 9 (2026-08-16): `import google.protobuf`
     still fails), so the op raises NotImplementedError here (same
     policy as the stubbed image codec — the code path is real, the
     missing piece is a library, and the applyInPandasWithState twin

@@ -1,12 +1,14 @@
 """Seeded deep-hash spot check → SWEEP_DEEP_r{N}.json.
 
 Complements oracle_sweep.py (r7 verdict, Next round #4): the driver's
-hard gate covers 50/284 queries and the full sweep is builder-run, so
-each round ALSO commits a 20-query random-sample deep check whose
-sample ROTATES with the round number — over rounds, the rotation
-covers the surface with hashes a judge can independently recompute.
+hard gate covers 50/~290 queries and the full sweep is builder-run, so
+each round ALSO commits a 40-query random-sample deep check (r9:
+widened from 20, r8 verdict #6, so rotation covers the surface in ~7
+rounds) whose sample ROTATES with the round number — over rounds, the
+rotation covers the surface with hashes a judge can independently
+recompute.
 
-Sample selection: the 20 oracle-backed query names with the smallest
+Sample selection: the 40 oracle-backed query names with the smallest
 sha256(f"{round}:{name}") — deterministic, rotation verifiable by
 re-running with the same round number (and provably different across
 rounds). For each query, BOTH result sets are canonicalized exactly
@@ -25,7 +27,7 @@ import sys
 import time
 
 
-def _sample(names: list[str], rnd: int, k: int = 20) -> list[str]:
+def _sample(names: list[str], rnd: int, k: int = 40) -> list[str]:
     def key(n: str) -> str:
         return hashlib.sha256(f"{rnd}:{n}".encode()).hexdigest()
 
@@ -63,7 +65,7 @@ def main() -> int:
     out: dict = {
         "round": rnd,
         "sf_dir": sf,
-        "sample_rule": "20 smallest sha256('<round>:<name>') over oracle-backed queries",
+        "sample_rule": "40 smallest sha256('<round>:<name>') over oracle-backed queries",
         "queries": {},
     }
     n_fail = 0

@@ -89,6 +89,38 @@ def test_exact_stage_agrees_with_full_rebuild(spark, sf_oracle, ledger):
     assert delta_exact == full_exact
 
 
+def test_indexed_twin_bit_parity_and_index_reuse(spark, sf_oracle, tmp_path):
+    """dedup_pipeline_delta_indexed must produce the identical ledger
+    from its stored index (it shares the stateless twin's oracle), the
+    index must land under the caller's index_dir, and a second call
+    must REUSE it (no rebuild)."""
+    import os
+
+    from iceberg_query_engine_spark.queries.dedup_suite import (
+        _PIPE_DELTA_INDEX_CACHE,
+        _pipeline_delta_indexed,
+        dedup_pipeline_delta,
+    )
+
+    idx_parent = str(tmp_path / "idx")
+    _PIPE_DELTA_INDEX_CACHE.clear()
+    indexed = _pipeline_delta_indexed(
+        spark, sf_oracle, PIPE_DELTA_SPLIT, index_dir=idx_parent
+    ).collect()
+    stateless = dedup_pipeline_delta(spark, sf_oracle).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in stateless]
+    root = os.path.join(idx_parent, "pipeline_delta_index")
+    (built,) = os.listdir(root)
+    assert os.path.exists(os.path.join(root, built, "_INDEX_SUCCESS"))
+    marker = os.path.join(root, built, "hashes")
+    mtime = os.path.getmtime(marker)
+    again = _pipeline_delta_indexed(
+        spark, sf_oracle, PIPE_DELTA_SPLIT, index_dir=idx_parent
+    ).collect()
+    assert os.path.getmtime(marker) == mtime, "index was rebuilt on reuse"
+    assert [tuple(r) for r in again] == [tuple(r) for r in stateless]
+
+
 def test_exact_dups_share_content_hash(spark, sf_oracle, ledger):
     (documents,) = tables(spark, sf_oracle, "documents")
     fp = {
