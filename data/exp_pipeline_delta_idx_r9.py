@@ -25,7 +25,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 OUT = os.path.join(HERE, "exp_pipeline_delta_idx_r9.json")
 GEN_ROOT = os.path.join(HERE, "gen")
 POINTS = [("sf10", 500_000), ("sf100", 5_000_000)]
-SPLITS = (0.9, 0.998)
+BATCH_SIZES = ("tenth", 10_000, 100)  # 10% adversarial end + streaming sizes
 
 
 def main() -> None:
@@ -52,7 +52,9 @@ def main() -> None:
     for name, n_docs in POINTS:
         sf_dir = os.path.join(GEN_ROOT, name)
         tune_for_corpus(spark, sf_dir)
-        for split in SPLITS:
+        for b in BATCH_SIZES:
+            batch_docs = n_docs // 10 if b == "tenth" else b
+            split = 1.0 - batch_docs / n_docs
             t = int(split * n_docs)
             row: dict = {
                 "corpus": name,

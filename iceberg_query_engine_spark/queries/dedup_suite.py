@@ -1931,14 +1931,34 @@ def _pipeline_delta_indexed(
         .select(F.explode("shingles").alias("shx"))
         .distinct()
     )
-    contaminated = (
-        batch_sh.filter(F.col("source") != "src0")
-        .select("doc_id", F.explode("shingles").alias("shx"))
-        .join(F.broadcast(eval_sh), "shx", "semi")
-        .select("doc_id")
-        .distinct()
-        .select("doc_id", F.lit(True).alias("is_cont"))
+    train_shx = batch_sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode("shingles").alias("shx")
     )
+    # Broadcast DIRECTION follows the smaller side. The stored eval set
+    # is corpus-eval-sized (13.7M keys / ~110 MB at 5M docs — a
+    # measured multi-second driver collect per batch); a streaming-
+    # sized batch's shingles are KBs. For small batches, broadcast the
+    # BATCH keys into a semi over the eval stream (map-only columnar
+    # scan), then broadcast the surviving eval keys (≤ batch size) back
+    # over the batch. The ~60-shingles/doc × 8 B budget keeps the
+    # flipped broadcast under ~50 MB; above it (the 10%-split
+    # adversarial end) fall back to the eval-side broadcast.
+    if (n_total - t) * 60 * 8 <= 50 * (1 << 20):
+        batch_keys = train_shx.select("shx").distinct()
+        hit_shx = eval_sh.join(F.broadcast(batch_keys), "shx", "semi")
+        contaminated = (
+            train_shx.join(F.broadcast(hit_shx), "shx", "semi")
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(True).alias("is_cont"))
+        )
+    else:
+        contaminated = (
+            train_shx.join(F.broadcast(eval_sh), "shx", "semi")
+            .select("doc_id")
+            .distinct()
+            .select("doc_id", F.lit(True).alias("is_cont"))
+        )
 
     led = (
         batch.select("doc_id", "source")

@@ -1342,6 +1342,15 @@ KNN_JOIN_K = 3
 # σ = 1/√dim, no cluster structure): recall@3 0.86 at 0.32× the exact
 # join's pairs — and the ratio shrinks as m·P/√n with the √n centroid
 # budget (0.07× at 1M). (m=1, P=4, fixed K) was the r7 point: 0.433.
+#
+# MEASURED at 1M vectors (r9, sampled exact ground truth — data/
+# exp_recall_1m_r9.json): P=24 → 0.708 (r8's √2-rule extrapolation
+# said ~0.69), P=48 → 0.858, P=64 → 0.906, P=128 → 0.977; single-probe
+# 0.052. The "grow P ~√2 per corpus doubling to hold recall" rule is
+# CONFIRMED by direct measurement: recall ≥ 0.85 needs P≈48 at 1M
+# (cost ratio vs exact stays m·P/√n ≈ 0.14 — still shrinking). P stays
+# 24 as the shipping default (the 50k-tuned point); consumers at
+# larger corpora turn the dial per the measured curve.
 KNN_IDX_PROBES = 3
 KNN_QUERY_PROBES = 24
 
