@@ -56,14 +56,25 @@ def _gen(spark, path: str, with_family: bool) -> None:
             F.pmod(F.xxhash64(F.col("doc_id") * 1000 + i), F.lit(50_000)),
         ),
     )
-    # boilerplate: ONE fixed token set, rotated by doc_id -> identical
-    # minhash signature (same set), different text (not an exact dup)
+    # boilerplate: ONE fixed token set, rotated by doc_id AND prefixed
+    # with three doc_id-keyed DUPLICATE tokens (base-60 digits), so the
+    # token SET — hence the minhash signature and every band key — is
+    # identical across the family while each TEXT is unique (60^3
+    # combos for 20k docs): the exact stage catches nothing and the
+    # LSH path is the only one that could
     boiler_base = F.transform(
         F.sequence(F.lit(1), F.lit(DOC_TOKS)),
         lambda i: F.concat(F.lit("boiler"), i),
     )
     rot = (F.col("doc_id") % DOC_TOKS).cast("int") + 1
+    d1 = ((F.col("doc_id") / DOC_TOKS).cast("long") % DOC_TOKS).cast("int") + 1
+    d2 = (
+        (F.col("doc_id") / (DOC_TOKS * DOC_TOKS)).cast("long") % DOC_TOKS
+    ).cast("int") + 1
     boiler = F.concat(
+        F.array(
+            F.element_at(boiler_base, d1), F.element_at(boiler_base, d2)
+        ),
         F.slice(boiler_base, rot, F.lit(DOC_TOKS)),
         F.slice(boiler_base, F.lit(1), rot - 1),
     )
@@ -104,8 +115,8 @@ def main() -> None:
         "corpus": {
             "n_docs": N_DOCS,
             "family_docs": N_DOCS // FAMILY_MOD,
-            "family_shape": "identical token set, rotated order (J=1.0, "
-            "not exact dups)",
+            "family_shape": "identical token set, rotated order + doc-keyed "
+            "duplicate-token prefix (J=1.0, every text unique)",
         },
         "runs": {},
     }

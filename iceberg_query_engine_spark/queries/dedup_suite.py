@@ -273,39 +273,72 @@ def _band_rows(documents: DataFrame, band_size: int) -> DataFrame:
 def _pairs_from_bands(bands: DataFrame, cap: int, observation) -> DataFrame:
     """In-bucket pair expansion over a (doc_id, toks, sz, band) stream
     — split out of _lsh_candidate_pairs so the incremental pipeline can
-    run it on a batch-affected SUBSET of the band stream."""
+    run it on a batch-affected SUBSET of the band stream.
+
+    Buckets at or under `cap` expand to all C(bn,2) pairs. Over-cap
+    buckets STAR-expand (r9, the skew-stress mitigation): every member
+    pairs with the bucket's min-doc_id HUB — O(bn) pairs instead of
+    O(bn²), so one boilerplate family of 10⁶ near-identical pages costs
+    10⁶ verified pairs, not 5·10¹¹, and is still CAUGHT (previously the
+    whole bucket was dropped — measured on the skewed 200k corpus: all
+    20k family docs sailed through as `kept`; with the star they
+    verify J=1.0 against the hub and collapse into one component).
+    The known trade: two over-cap-bucket members similar to each other
+    but NOT to the hub are missed — the standard bounded-LSH recall
+    concession, far smaller than dropping the bucket.
+
+    Plan shape preserved: the hub is a first_value(struct) window over
+    the SAME band partitioning the size count uses — no join, no extra
+    exchange (pinned in tests/test_plans.py). Memory-safe by
+    construction: over-cap buckets never reach collect_list. The star
+    expansion is observable (`rows_star_capped`), same contract as
+    _cap_buckets' drop metric."""
     from pyspark.sql import Window
 
-    # The cap drop is not silent: an observe metric (same contract as
-    # _cap_buckets') counts band rows excluded by degenerate mega-buckets
-    # so a production operator sees skipped volume. The bn<2 singleton
-    # filter is NOT counted — singletons have no candidate pair to lose.
-    capped = (
-        bands.withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("band")))
+    wb = Window.partitionBy("band")
+    wbo = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    sized = (
+        bands.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .withColumn(
+            "hub", F.first(F.struct("doc_id", "toks", "sz")).over(wbo)
+        )
         .observe(
             observation,
             F.sum(F.when(F.col("bn") > cap, 1).otherwise(0)).alias(
-                "rows_dropped_by_cap"
+                "rows_star_capped"
             ),
             F.count(F.lit(1)).alias("rows_total"),
         )
-        .filter((F.col("bn") >= 2) & (F.col("bn") <= cap))
     )
+    capped = sized.filter((F.col("bn") >= 2) & (F.col("bn") <= cap))
     buckets = capped.groupBy("band").agg(
         F.collect_list(F.struct("doc_id", "toks", "sz")).alias("docs")
     )
-    return (
+    full = (
         buckets.select(F.explode("docs").alias("a"), F.col("docs"))
         .select("a", F.explode("docs").alias("b"))
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
     )
+    star = sized.filter(
+        (F.col("bn") > cap) & (F.col("doc_id") != F.col("hub.doc_id"))
+    ).select(
+        F.col("hub").alias("a"),
+        F.struct("doc_id", "toks", "sz").alias("b"),
+    )
+    return full.unionByName(star)
 
 
 def _lsh_band_sql(band_size: int, cap: int, where: str = "") -> str:
-    """DuckDB twin of _lsh_candidate_pairs: CTEs `bands` with doc_id,
-    toks, band (cap applied) — mirror of the Spark band machinery.
-    `where`: optional SQL filter on the documents scan (the pipeline
-    restricts clustering to the train split)."""
+    """DuckDB twin of _lsh_candidate_pairs: CTEs ending in `cand`
+    (a_id, a_toks, b_id, b_toks) — full expansion for ≤cap buckets,
+    min-doc_id-hub STAR expansion for over-cap buckets, mirroring
+    _pairs_from_bands exactly. `where`: optional SQL filter on the
+    documents scan (the pipeline restricts clustering to the train
+    split)."""
     sig_exprs = ", ".join(
         "list_min(list_transform(toks, t -> substr(md5(t || '#{s}'), {p}, 8))) "
         "AS h{i}".format(s=i // 4, p=1 + 8 * (i % 4), i=i)
@@ -326,11 +359,21 @@ docs AS (
   SELECT doc_id, toks, {sig_exprs} FROM docs
 ), all_bands AS (
   SELECT doc_id, toks, unnest([{band_exprs}]) AS band FROM sigs
+), sized AS (
+  SELECT doc_id, toks, band,
+    COUNT(*) OVER (PARTITION BY band) AS bn,
+    MIN(doc_id) OVER (PARTITION BY band) AS hub_id,
+    first_value(toks) OVER (PARTITION BY band ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS hub_toks
+  FROM all_bands
 ), bands AS (
-  SELECT doc_id, toks, band FROM (
-    SELECT doc_id, toks, band, COUNT(*) OVER (PARTITION BY band) AS bn
-    FROM all_bands
-  ) WHERE bn >= 2 AND bn <= {cap}
+  SELECT doc_id, toks, band FROM sized WHERE bn >= 2 AND bn <= {cap}
+), cand AS (
+  SELECT a.doc_id AS a_id, a.toks AS a_toks, b.doc_id AS b_id, b.toks AS b_toks
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT hub_id, hub_toks, doc_id, toks FROM sized
+  WHERE bn > {cap} AND doc_id <> hub_id
 )"""
 
 
@@ -373,12 +416,12 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_CONTAINMENT_LSH_SQL = f"""
 WITH {_lsh_band_sql(CONTAIN_BAND_SIZE, CONTAIN_CAP)}
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / least(length(a.toks), length(b.toks)), 6) AS containment
-FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      / least(length(a.toks), length(b.toks)), 6) >= 0.8
+SELECT DISTINCT a_id AS doc_a, b_id AS doc_b,
+  round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
+        / least(length(a_toks), length(b_toks)), 6) AS containment
+FROM cand
+WHERE round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
+      / least(length(a_toks), length(b_toks)), 6) >= 0.8
 ORDER BY doc_a, doc_b
 """
 
@@ -627,10 +670,10 @@ def _cc_labels_local(edges: DataFrame) -> DataFrame:
 
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP).lstrip()}, pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-  WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
+  SELECT DISTINCT a_id AS doc_a, b_id AS doc_b
+  FROM cand
+  WHERE round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
+        / length(list_distinct(a_toks || b_toks)), 6) >= 0.6
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -693,10 +736,10 @@ def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_REPRESENTATIVE_SQL = f"""
 WITH RECURSIVE {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP).lstrip()}, pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-  WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
+  SELECT DISTINCT a_id AS doc_a, b_id AS doc_b
+  FROM cand
+  WHERE round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
+        / length(list_distinct(a_toks || b_toks)), 6) >= 0.6
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -962,7 +1005,12 @@ def dedup_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to dedup_minhash_lsh (one scan, one band
     shuffle, in-bucket pair expansion under the cap) plus an 8-element
-    signature array per doc; the eval summary is a 1-row aggregate."""
+    signature array per doc; the eval summary is a 1-row aggregate.
+    Over-cap buckets are DROPPED here (not star-expanded as in the
+    dedup ops): this op calibrates the MinHash estimator over the
+    banding's organic candidate distribution, and hub-star pairs are
+    not banding candidates — including them would bias the error
+    estimate toward whatever the hot bucket contains."""
     from pyspark.sql import Window
 
     (documents,) = tables(spark, sf_dir, "documents")
@@ -1069,29 +1117,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Bucket-size cap: a band bucket holding B docs yields B(B-1)/2
     # candidate pairs; degenerate mega-buckets (boilerplate-heavy
-    # corpora) blow candidate generation up quadratically. Standard
-    # LSH practice skips buckets over a cap — deterministic, so the
-    # oracle mirrors it exactly.
+    # corpora) blow candidate generation up quadratically. Buckets at
+    # or under the cap fully expand; over-cap buckets STAR-expand to
+    # the min-doc_id hub (r9 skew mitigation — O(B) pairs and the
+    # boilerplate family is still CAUGHT; see _pairs_from_bands for
+    # the trade). Deterministic either way, mirrored in the oracle.
     #
     # Plan shape (100 TB): ONE document scan (signatures are the
     # expensive map stage — a self-join would compute them twice),
-    # ONE shuffle on `band`; the window count and the per-bucket
-    # collect_list share that partitioning (no second exchange), and
-    # candidate pairs are expanded inside each ≤CAP bucket with
-    # nested explode — never a join.
+    # ONE shuffle on `band`; the size count, the hub window, and the
+    # per-bucket collect_list share that partitioning (no second
+    # exchange), and candidate pairs are expanded inside each ≤CAP
+    # bucket with nested explode — never a join.
     from pyspark.sql import Window
 
-    capped = (
-        bands.withColumn("bn", F.count(F.lit(1)).over(Window.partitionBy("band")))
+    wb = Window.partitionBy("band")
+    wbo = (
+        Window.partitionBy("band")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    sized = (
+        bands.withColumn("bn", F.count(F.lit(1)).over(wb))
+        .withColumn("hub", F.first(F.struct("doc_id", "toks")).over(wbo))
         .observe(
             "lsh_band_cap_minhash",
             F.sum(F.when(F.col("bn") > BUCKET_CAP, 1).otherwise(0)).alias(
-                "rows_dropped_by_cap"
+                "rows_star_capped"
             ),
             F.count(F.lit(1)).alias("rows_total"),
         )
-        .filter((F.col("bn") >= 2) & (F.col("bn") <= BUCKET_CAP))
     )
+    capped = sized.filter((F.col("bn") >= 2) & (F.col("bn") <= BUCKET_CAP))
     buckets = capped.groupBy("band").agg(
         F.collect_list(F.struct("doc_id", "toks")).alias("docs")
     )
@@ -1100,6 +1157,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("a", F.explode("docs").alias("b")).filter(
         F.col("a.doc_id") < F.col("b.doc_id")
     )
+    star = sized.filter(
+        (F.col("bn") > BUCKET_CAP) & (F.col("doc_id") != F.col("hub.doc_id"))
+    ).select(F.col("hub").alias("a"), F.struct("doc_id", "toks").alias("b"))
+    pairs = pairs.unionByName(star)
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     cand = pairs.select(
@@ -1129,18 +1190,28 @@ WITH docs AS (
   SELECT doc_id, toks, {sig_exprs} FROM docs
 ), all_bands AS (
   SELECT doc_id, toks, unnest([{band_exprs}]) AS band FROM sigs
+), sized AS (
+  SELECT doc_id, toks, band,
+    COUNT(*) OVER (PARTITION BY band) AS bn,
+    MIN(doc_id) OVER (PARTITION BY band) AS hub_id,
+    first_value(toks) OVER (PARTITION BY band ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS hub_toks
+  FROM all_bands
 ), bands AS (
-  SELECT doc_id, toks, band FROM (
-    SELECT doc_id, toks, band, COUNT(*) OVER (PARTITION BY band) AS bn
-    FROM all_bands
-  ) WHERE bn <= {BUCKET_CAP}
+  SELECT doc_id, toks, band FROM sized WHERE bn <= {BUCKET_CAP}
+), cand AS (
+  SELECT a.doc_id AS a_id, a.toks AS a_toks, b.doc_id AS b_id, b.toks AS b_toks
+  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT hub_id, hub_toks, doc_id, toks FROM sized
+  WHERE bn > {BUCKET_CAP} AND doc_id <> hub_id
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / length(list_distinct(a.toks || b.toks)), 6) AS jaccard
-FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      / length(list_distinct(a.toks || b.toks)), 6) >= 0.7
+SELECT DISTINCT a_id AS doc_a, b_id AS doc_b,
+  round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
+        / length(list_distinct(a_toks || b_toks)), 6) AS jaccard
+FROM cand
+WHERE round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
+      / length(list_distinct(a_toks || b_toks)), 6) >= 0.7
 ORDER BY doc_a, doc_b
 """
 
@@ -1546,10 +1617,10 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_PIPELINE_SQL = f"""
 WITH RECURSIVE {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP, "WHERE source <> 'src0'").lstrip()}, pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-  WHERE round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
+  SELECT DISTINCT a_id AS doc_a, b_id AS doc_b
+  FROM cand
+  WHERE round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
+        / length(list_distinct(a_toks || b_toks)), 6) >= 0.6
 ), edges AS (
   SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION ALL SELECT doc_b, doc_a FROM pairs
@@ -1995,11 +2066,11 @@ DEDUP_PIPELINE_DELTA_SQL = f"""
 WITH split AS (
   SELECT CAST(FLOOR({PIPE_DELTA_SPLIT} * COUNT(*)) AS BIGINT) AS t FROM documents
 ), {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP, "WHERE source <> 'src0'").lstrip()}, pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-  WHERE b.doc_id >= (SELECT t FROM split)
-    AND round(CAST(length(list_intersect(a.toks, b.toks)) AS DOUBLE)
-        / length(list_distinct(a.toks || b.toks)), 6) >= 0.6
+  SELECT DISTINCT a_id AS doc_a, b_id AS doc_b
+  FROM cand
+  WHERE b_id >= (SELECT t FROM split)
+    AND round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
+        / length(list_distinct(a_toks || b_toks)), 6) >= 0.6
 ), near AS (
   SELECT doc_b AS doc_id, MIN(doc_a) AS rep FROM pairs GROUP BY doc_b
 ), batch_fp AS (

@@ -1,17 +1,21 @@
-"""LSH banding under pathological skew: the per-bucket cap bounds task
-work, visibly (r8 verdict, Next round #5; companion of
+"""LSH banding under pathological skew: over-cap buckets STAR-expand —
+bounded task work AND the boilerplate family is caught (r8 verdict,
+Next round #5 + the r9 mitigation; companion of
 data/exp_dedup_skew_r9.py which measures the same at 200k docs).
 
 A boilerplate family — identical token SET, rotated order, so every
 member lands in the SAME band buckets but is not an exact dup — is the
-adversarial real-crawl case: without the cap one bucket of f docs is
-f(f-1)/2 verified pairs in ONE task. The contract under test:
+adversarial real-crawl case: with full expansion one bucket of f docs
+is f(f-1)/2 verified pairs in ONE task. The contract under test:
 
-  1. candidate volume and per-bucket expansion stay bounded by the cap
-     (no quadratic blowup task exists in the plan's data),
-  2. the drop is NOT silent — the observe metric reports exactly the
-     excluded band rows,
-  3. docs outside over-cap buckets are unaffected.
+  1. over-cap buckets produce exactly hub-star pairs: O(bn) per
+     bucket, never C(bn,2) — the family expands linearly,
+  2. the star expansion is NOT silent — the observe metric reports the
+     star-capped band rows,
+  3. the family IS caught: every member pairs with the hub at J=1.0,
+     so dedup_clusters-style consumers collapse it to one component
+     (previously the bucket was dropped and all f docs sailed through),
+  4. docs outside over-cap buckets are unaffected.
 """
 
 from __future__ import annotations
@@ -23,11 +27,13 @@ from pyspark.sql import functions as F
 from iceberg_query_engine_spark.queries.dedup_suite import (
     CLUSTER_BAND_SIZE,
     CLUSTER_CAP,
+    N_HASHES,
     _lsh_candidate_pairs,
 )
 
 N_FAMILY = 400  # one boilerplate family, 16x the cap
 N_NORMAL = 200
+N_BANDS = N_HASHES // CLUSTER_BAND_SIZE
 
 
 @pytest.fixture(scope="module")
@@ -56,34 +62,34 @@ def skew_docs(spark):
     ).localCheckpoint()
 
 
-def test_cap_bounds_candidates_and_reports_drops(spark, skew_docs):
+def test_star_bounds_family_and_reports(spark, skew_docs):
     obs = Observation("skew_cap_test")
     pairs = _lsh_candidate_pairs(
         skew_docs, CLUSTER_BAND_SIZE, CLUSTER_CAP, observation=obs
     )
-    n_pairs = pairs.count()
-    n_bands = 8 // CLUSTER_BAND_SIZE
-    # every surviving bucket has <= CAP members -> <= CAP^2/2 pairs per
-    # bucket and <= n_bands * CAP^2 / 2 * (corpus/CAP) total; with the
-    # family's buckets all over the cap, what's left is the normal docs'
-    # sparse collisions — orders of magnitude below the f^2/2 blowup
-    assert n_pairs < N_FAMILY * (N_FAMILY - 1) / 2, "family expanded quadratically"
-    assert n_pairs <= n_bands * (N_NORMAL + N_FAMILY) * CLUSTER_CAP
+    fam = (
+        pairs.filter(
+            (F.col("a.doc_id") < N_FAMILY) & (F.col("b.doc_id") < N_FAMILY)
+        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .distinct()
+        .collect()
+    )
     m = obs.get
     # identical token set -> identical signature -> the family fills the
-    # same n_bands buckets, all over the cap: every family band row drops
-    assert m["rows_dropped_by_cap"] >= N_FAMILY * n_bands
-    assert m["rows_total"] >= (N_FAMILY + N_NORMAL) * n_bands * 0  # present
-    # no family pair survives (the honest recall cliff the cap costs)
-    fam_pairs = pairs.filter(
-        (F.col("a.doc_id") < N_FAMILY) & (F.col("b.doc_id") < N_FAMILY)
-    ).count()
-    assert fam_pairs == 0
+    # same N_BANDS buckets, all 16x over the cap: every family band row
+    # is star-capped and visible
+    assert m["rows_star_capped"] >= N_FAMILY * N_BANDS
+    # linear, not quadratic: exactly hub->member pairs, hub = min id (0)
+    assert len(fam) == N_FAMILY - 1
+    assert all(a == 0 and 0 < b < N_FAMILY for a, b in fam)
+    # J(member, hub) = 1.0 (same token set): all pairs verify -> the
+    # family collapses into one cluster downstream instead of escaping
 
 
 def test_docs_outside_overcap_buckets_unaffected(spark, skew_docs):
     """Candidates among normal docs are identical with and without the
-    family present — the cap is local to the hot buckets."""
+    family present — the star cap is local to the hot buckets."""
     normal_only = skew_docs.filter(F.col("doc_id") >= N_FAMILY)
     with_family = _lsh_candidate_pairs(
         skew_docs, CLUSTER_BAND_SIZE, CLUSTER_CAP

@@ -1,7 +1,9 @@
 """The bucket-cap drops are observable, not silent (r4 verdict #5).
 
 Both capping paths — the pairwise PAIR_BUCKET_CAP guard and the LSH
-band-bucket caps — surface `rows_dropped_by_cap` / `rows_total`
+band-bucket caps — surface `rows_dropped_by_cap` (pairwise path) /
+`rows_star_capped` (LSH path, r9: over-cap buckets star-expand instead
+of dropping) / `rows_total`
 through Dataset.observe so an operator at corpus scale can route
 over-cap sources to the LSH path instead of discovering the gap in
 the output. Tests drive the REAL production expressions by threading
@@ -44,13 +46,24 @@ def test_pairwise_cap_metric_zero_at_test_scale(spark, sf_oracle):
 
 
 def test_lsh_band_cap_metric(spark, sf_oracle):
-    """cap=1 forces every multi-doc band bucket over the cap: the
-    observe metric must count those band rows while singletons (no
-    pair to lose) stay uncounted."""
+    """cap=1 forces every multi-doc band bucket over the cap: those
+    buckets STAR-expand (r9 — hub = min doc_id vs each member, O(bn)
+    pairs instead of C(bn,2)) and the observe metric counts the
+    star-capped band rows, while singletons (no pair to lose) stay
+    uncounted."""
+    import pyspark.sql.functions as SF
+
     docs = spark.read.parquet(f"{sf_oracle}/documents.parquet").limit(200)
     obs = Observation("lsh_cap")
     pairs = _lsh_candidate_pairs(docs, band_size=2, cap=1, observation=obs)
-    assert pairs.count() == 0  # cap=1 admits no bucket with a pair
+    rows = pairs.select(
+        SF.col("a.doc_id").alias("a_id"), SF.col("b.doc_id").alias("b_id")
+    ).collect()
     m = obs.get
     assert m["rows_total"] > 0
-    assert 0 < m["rows_dropped_by_cap"] < m["rows_total"]
+    assert 0 < m["rows_star_capped"] < m["rows_total"]
+    # every over-cap bucket contributes only hub-anchored pairs, so the
+    # pair count is bounded by the star-capped row count (O(bn), not
+    # C(bn,2)) and every pair is (hub < member)
+    assert 0 < len(rows) <= m["rows_star_capped"]
+    assert all(a < b for a, b in rows)

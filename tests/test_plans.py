@@ -71,15 +71,23 @@ def test_minhash_lsh_no_cartesian(spark, sf):
 def test_minhash_lsh_single_scan_three_shuffles(spark, sf):
     df = dedup_suite.dedup_minhash_lsh(spark, sf)
     plan = pi.formatted_plan(df)
-    # signatures (the expensive map stage) computed exactly once: a
-    # self-join shape would scan documents twice
+    # signatures (the expensive map stage) computed exactly once AT
+    # RUNTIME: the r9 star branch makes the STATIC plan a union of two
+    # subtrees over the same band exchange (2 scans on paper), but the
+    # physical planner/AQE reuses the exchange, so the scan+signature
+    # stage executes once — pinned on the executed plan below
     import re
 
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
-    assert len(scans) == 1, "documents must be scanned once"
-    # band shuffle + distinct + final sort; window and collect_list
-    # share the band partitioning
-    assert pi.shuffle_count(df) <= 3
+    assert len(scans) <= 2, "at most the two union branches"
+    # band shuffle (reused by the star branch) + distinct + final sort;
+    # size/hub windows and collect_list share the band partitioning
+    assert pi.shuffle_count(df) <= 4
+    df.collect()
+    executed = pi.executed_plan(df)
+    assert "ReusedExchange" in executed, (
+        "the star branch must reuse the band exchange, not rescan"
+    )
 
 
 def test_text_stats_map_only(spark, sf):
@@ -331,7 +339,10 @@ def test_containment_lsh_single_scan_no_self_join(spark, sf):
 
     df = dedup_suite.dedup_containment_lsh(spark, sf)
     plan = pi.formatted_plan(df)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # ≤2 static scans (the star branch); runtime reuses the band
+    # exchange (asserted in test_minhash_lsh_single_scan_three_shuffles
+    # for the shared shape)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert not pi.has_cartesian(df)
 
@@ -351,8 +362,12 @@ def test_clusters_lsh_edges_single_scan(spark, sf):
         documents, dedup_suite.CLUSTER_BAND_SIZE, dedup_suite.CLUSTER_CAP
     )
     plan = pi.formatted_plan(cand)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    # ≤2 static scans: the star branch unions over the same band
+    # exchange, which the runtime reuses (no second signature pass)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    cand.collect()  # count() would wrap the plan; collect executes THIS one
+    assert "ReusedExchange" in pi.executed_plan(cand)
 
 
 def test_embedding_cosine_single_decode_pass(spark, sf):
