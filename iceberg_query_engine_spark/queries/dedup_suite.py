@@ -260,11 +260,22 @@ def _lsh_candidate_pairs(
 
 
 def _band_rows(documents: DataFrame, band_size: int) -> DataFrame:
-    """(doc_id, toks, sz, band) rows — one per (doc, LSH band key)."""
+    """(doc_id, toks, sz, band) rows — one per (doc, LSH band key).
+
+    Band keys come from the STRING tokens (the salted-md5 minhash the
+    oracles mirror); the carried verification payload `toks` is the
+    per-token xxhash64 LONGS — same trick as _jaccard_pairs: the
+    Jaccard of hashed sets equals the string sets' (a collision needs
+    two distinct tokens of ONE pair to collide in 64 bits, ~V²/2^65),
+    while the star path's duplicated-payload windows and the
+    per-candidate intersects move 8-byte longs instead of re-hashed
+    strings (measured 2× off dedup_clusters at 5M docs where the
+    degenerate-banding corpus makes verification the dominant term)."""
     toks = F.array_distinct(_tokens())
+    toksx = F.transform(toks, lambda t: F.xxhash64(t))
     return documents.select(
         "doc_id",
-        toks.alias("toks"),
+        toksx.alias("toks"),
         F.size(toks).alias("sz"),
         F.explode(_minhash_band_expr(toks, band_size)).alias("band"),
     )
@@ -1110,9 +1121,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-Jaccard verification of candidates only (the 100 TB path)."""
     (documents,) = tables(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens())
+    # hashed-long verification payload, string-token band keys — the
+    # _band_rows representation (see there for the value argument)
+    toksx = F.transform(toks, lambda t: F.xxhash64(t))
     bands = documents.select(
         "doc_id",
-        toks.alias("toks"),
+        toksx.alias("toks"),
         F.explode(_minhash_band_expr(toks, BAND_SIZE)).alias("band"),
     )
     # Bucket-size cap: a band bucket holding B docs yields B(B-1)/2
@@ -1954,6 +1968,8 @@ def _pipeline_delta_indexed(
         F.broadcast(batch_bands), "band", "semi"
     )
     toks = F.array_distinct(_tokens())
+    # hashed-long payload, matching _band_rows' representation
+    toksx = F.transform(toks, lambda t: F.xxhash64(t))
     # FILTER first, tokenize second: the semi-join must run BEFORE the
     # token projection or the whole corpus pays the tokenize pass the
     # stored index exists to avoid (measured: 5.6 s → ~2 s for a
@@ -1964,7 +1980,7 @@ def _pipeline_delta_indexed(
     affected_toks = (
         documents.select("doc_id", "text")
         .join(F.broadcast(affected_ids), "doc_id", "semi")
-        .select("doc_id", toks.alias("toks"))
+        .select("doc_id", toksx.alias("toks"))
     )
     stored_with_toks = stored.join(affected_toks, "doc_id").select(
         "doc_id", "toks", "sz", "band"
