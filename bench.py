@@ -117,6 +117,8 @@ BENCH_EXTRAS: tuple[str, ...] = (
     # per-landing-batch form of the corpus scrub.
     "sim_knn_clusters_cheap",
     "dedup_pipeline_delta",
+    "dedup_pipeline_resolve",
+    "sim_knn_recall_sampled",
 )
 
 

@@ -1629,8 +1629,63 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-DEDUP_PIPELINE_SQL = f"""
-WITH RECURSIVE {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP, "WHERE source <> 'src0'").lstrip()}, pairs AS (
+def dedup_pipeline_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FINAL-SURVIVOR resolution of the dedup_pipeline ledger — the
+    consumer step the ledger's docstring defers ("a consumer wanting
+    final survivors follows the chains"): every doc's one-step
+    replacement chain chased to its terminal doc. The ledger's chains
+    are acyclic and terminate in ≤2 hops at a non-dup status
+    (property-tested on the pipeline), so resolution is exactly two
+    LEFT self-joins — no iteration. Output per doc: the original
+    status, the terminal doc (itself when not a dup), the terminal
+    doc's status (kept / contaminated / eval_split — a consumer learns
+    not just WHO replaces a drop but whether that replacement is
+    itself usable), and the hop count.
+
+    Scale shape: the ledger is computed once and persisted
+    (MEMORY_AND_DISK — it is 4 slim columns per doc, the artifact a
+    production run writes to a table anyway; without the persist each
+    self-join reference re-derives the whole pipeline), then two
+    doc_id-keyed equi-joins on the dup subset's replacement ids."""
+    from pyspark import StorageLevel
+
+    led = dedup_pipeline(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    slim = led.select("doc_id", "status", "replacement")
+    l1 = slim.select(
+        F.col("doc_id").alias("r1_id"),
+        F.col("status").alias("s1"),
+        F.col("replacement").alias("p1"),
+    )
+    l2 = slim.select(
+        F.col("doc_id").alias("r2_id"), F.col("status").alias("s2")
+    )
+    dup = F.col("status").isin("exact_dup", "near_dup")
+    hop1_dup = F.col("s1").isin("exact_dup", "near_dup")
+    j = led.join(l1, led.replacement == F.col("r1_id"), "left").join(
+        l2, F.col("p1") == F.col("r2_id"), "left"
+    )
+    final_doc = (
+        F.when(~dup, F.col("doc_id"))
+        .when(~hop1_dup, F.col("replacement"))
+        .otherwise(F.col("p1"))
+    )
+    final_status = (
+        F.when(~dup, F.col("status"))
+        .when(~hop1_dup, F.col("s1"))
+        .otherwise(F.col("s2"))
+    )
+    hops = F.when(~dup, 0).when(~hop1_dup, 1).otherwise(2)
+    return j.select(
+        "doc_id",
+        "source",
+        "status",
+        final_doc.cast("bigint").alias("final_doc"),
+        final_status.alias("final_status"),
+        hops.cast("bigint").alias("hops"),
+    ).orderBy("doc_id")
+
+
+_PIPELINE_CTES = f"""{_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP, "WHERE source <> 'src0'").lstrip()}, pairs AS (
   SELECT DISTINCT a_id AS doc_a, b_id AS doc_b
   FROM cand
   WHERE round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
@@ -1679,7 +1734,9 @@ WITH RECURSIVE {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP, "WHERE source <> '
   SELECT DISTINCT t.doc_id
   FROM (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE source <> 'src0') t
   WHERE EXISTS (SELECT 1 FROM eval_sh e WHERE e.s = t.s)
-)
+)"""
+
+_PIPELINE_LEDGER_SELECT = """
 SELECT d.doc_id, d.source,
   CASE WHEN d.source = 'src0' THEN 'eval_split'
        WHEN e.keeper IS NOT NULL AND e.keeper <> d.doc_id THEN 'exact_dup'
@@ -1693,8 +1750,35 @@ SELECT d.doc_id, d.source,
 FROM documents d
 LEFT JOIN exact e ON e.doc_id = d.doc_id
 LEFT JOIN near n ON n.doc_id = d.doc_id
-LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+LEFT JOIN contaminated c ON c.doc_id = d.doc_id"""
+
+DEDUP_PIPELINE_SQL = f"""
+WITH RECURSIVE {_PIPELINE_CTES}
+{_PIPELINE_LEDGER_SELECT}
 ORDER BY d.doc_id
+"""
+
+DEDUP_PIPELINE_RESOLVE_SQL = f"""
+WITH RECURSIVE {_PIPELINE_CTES}, ledger AS (
+  {_PIPELINE_LEDGER_SELECT}
+)
+SELECT l.doc_id, l.source, l.status,
+  CAST(CASE
+    WHEN l.status NOT IN ('exact_dup', 'near_dup') THEN l.doc_id
+    WHEN r1.status NOT IN ('exact_dup', 'near_dup') THEN l.replacement
+    ELSE r1.replacement END AS BIGINT) AS final_doc,
+  CASE
+    WHEN l.status NOT IN ('exact_dup', 'near_dup') THEN l.status
+    WHEN r1.status NOT IN ('exact_dup', 'near_dup') THEN r1.status
+    ELSE r2.status END AS final_status,
+  CAST(CASE
+    WHEN l.status NOT IN ('exact_dup', 'near_dup') THEN 0
+    WHEN r1.status NOT IN ('exact_dup', 'near_dup') THEN 1
+    ELSE 2 END AS BIGINT) AS hops
+FROM ledger l
+LEFT JOIN ledger r1 ON r1.doc_id = l.replacement
+LEFT JOIN ledger r2 ON r2.doc_id = r1.replacement
+ORDER BY l.doc_id
 """
 
 
@@ -2139,6 +2223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_pipeline": dedup_pipeline,
     "dedup_pipeline_delta": dedup_pipeline_delta,
     "dedup_pipeline_delta_indexed": dedup_pipeline_delta_indexed,
+    "dedup_pipeline_resolve": dedup_pipeline_resolve,
     "dedup_semantic": dedup_semantic,
     "dedup_incremental": dedup_incremental,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2166,6 +2251,7 @@ ORACLE: dict[str, str] = {
     "dedup_pipeline": DEDUP_PIPELINE_SQL,
     "dedup_pipeline_delta": DEDUP_PIPELINE_DELTA_SQL,
     "dedup_pipeline_delta_indexed": DEDUP_PIPELINE_DELTA_SQL,
+    "dedup_pipeline_resolve": DEDUP_PIPELINE_RESOLVE_SQL,
     "dedup_pr_eval": _pr_eval_oracle(),
     "dedup_semantic": _dedup_semantic_oracle(),
     "dedup_simhash": _simhash_oracle(),

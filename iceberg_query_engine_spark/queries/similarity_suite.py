@@ -2033,6 +2033,7 @@ def _knn_graph_multiprobe(
     k: int = KNN_JOIN_K,
     m: int = KNN_IDX_PROBES,
     p: int = KNN_QUERY_PROBES,
+    left_filter=None,
 ) -> DataFrame:
     import numpy as np
 
@@ -2046,7 +2047,13 @@ def _knn_graph_multiprobe(
         np.array([r.cv for r in rows]), np.array([r.c_id for r in rows]), max(m, p)
     ).asNondeterministic()
     probed = e.withColumn("probes", probe_kernel(F.col("v"))).localCheckpoint()
-    left = probed.select(
+    # left_filter restricts the QUERY side only (the index side stays
+    # the full corpus): the per-cell kernel computes each left row's
+    # top-k independently, so filtered rows' neighbor lists are
+    # bit-identical to the full build's — the sampled-recall trick
+    # proven in data/exp_recall_1m_r9.py
+    lhs = probed.filter(left_filter) if left_filter is not None else probed
+    left = lhs.select(
         F.col("vec_id").alias("l_id"),
         F.col("v").alias("lv"),
         F.explode(F.slice("probes", 1, p)).alias("cluster"),
@@ -2308,6 +2315,100 @@ GROUP BY e.label ORDER BY e.label
 """
 
 
+SAMPLED_RECALL_QUERIES = 200  # target sample size (stride-seeded)
+
+
+def sim_knn_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLED-ground-truth recall gate for the multi-probe kNN graph —
+    the corpus-size-independent version of sim_knn_graph_recall, and
+    the institutionalized form of the r9 measurement that closed the
+    "1M recall is extrapolated" gap (data/exp_recall_1m_r9.json:
+    measured 0.708 at 1M / 0.632 at 5M for P=24 in minutes, where the
+    full exact join is hours).
+
+    Method: a stride-seeded ~SAMPLED_RECALL_QUERIES-query sample gets
+    exact top-k from the blocked-grid kernel with the sample as the
+    LEFT frame (cost |sample|·n, linear), and the graph answer from
+    the multi-probe machinery with the left side restricted to the
+    sample — the per-cell kernel computes each left row's top-k
+    independently against the full m-indexed corpus, so the sampled
+    neighbor lists are BIT-IDENTICAL to the full build's at
+    ~|sample|/n of the pairwise cost. Recall@k = |graph ∩ exact| /
+    |exact| over the sampled queries — an unbiased estimate of the
+    full graph's edge recall, computable at ANY corpus size on a
+    schedule (the production QA job ANN deployments run)."""
+    from ..sources.registry import table_rows
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    n = table_rows(sf_dir, "embeddings") or e.count()
+    stride = max(1, n // SAMPLED_RECALL_QUERIES)
+    is_sampled = F.col("vec_id") % stride == 7 % stride
+    sample = e.filter(is_sampled)
+    exact = _knn_join_frames(
+        sample, e, 1, _grid_blocks(n), k=KNN_JOIN_K, ordered=False
+    ).select("l_id", "n_id")
+    graph = _knn_graph_multiprobe(spark, sf_dir, left_filter=is_sampled).select(
+        "l_id", "n_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(graph, ["l_id", "n_id"], "left")
+    return joined.agg(
+        F.count_distinct("l_id").cast("bigint").alias("n_queries"),
+        F.count(F.lit(1)).cast("bigint").alias("exact_edges"),
+        F.count("hit").cast("bigint").alias("hit_edges"),
+        F.round(F.count("hit") / F.count(F.lit(1)), 6).alias("recall"),
+    )
+
+
+_SAMPLE_STRIDE_SQL = f"""GREATEST(1, CAST(
+    (SELECT COUNT(*) FROM vecs) / {SAMPLED_RECALL_QUERIES} AS BIGINT))"""
+
+SIM_KNN_RECALL_SAMPLED_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), sample AS (
+  SELECT vec_id, v FROM vecs
+  WHERE vec_id % {_SAMPLE_STRIDE_SQL} = 7 % {_SAMPLE_STRIDE_SQL}
+), exact AS (
+  SELECT l_id, n_id FROM (
+    SELECT a.vec_id AS l_id, b.vec_id AS n_id,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY {_COS_AB_SQL} DESC,
+                         b.vec_id) AS rk
+    FROM sample a JOIN vecs b ON a.vec_id <> b.vec_id
+  ) WHERE rk <= {KNN_JOIN_K}
+), centroids AS (
+  SELECT vec_id AS c_id, v AS cv FROM vecs
+  WHERE vec_id % {_SQRT_STRIDE_SQL} = 0
+), probed AS (
+  SELECT vec_id, v, c_id AS cluster, prb FROM (
+    SELECT e.vec_id, e.v, c.c_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {_COS_EB_SQL} DESC, c.c_id) AS prb
+    FROM vecs e CROSS JOIN centroids c
+  ) WHERE prb <= {KNN_QUERY_PROBES}
+), scored AS (
+  SELECT DISTINCT a.vec_id AS l_id, b.vec_id AS n_id, {_COS_AB_SQL} AS cosine
+  FROM probed a JOIN probed b
+    ON a.cluster = b.cluster AND b.prb <= {KNN_IDX_PROBES}
+   AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % {_SAMPLE_STRIDE_SQL} = 7 % {_SAMPLE_STRIDE_SQL}
+), graph AS (
+  SELECT l_id, n_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY l_id ORDER BY cosine DESC, n_id) AS rk
+    FROM scored
+  ) WHERE rk <= {KNN_JOIN_K}
+)
+SELECT CAST(COUNT(DISTINCT e.l_id) AS BIGINT) AS n_queries,
+  CAST(COUNT(*) AS BIGINT) AS exact_edges,
+  CAST(COUNT(g.n_id) AS BIGINT) AS hit_edges,
+  round(CAST(COUNT(g.n_id) AS DOUBLE) / COUNT(*), 6) AS recall
+FROM exact e
+LEFT JOIN graph g ON g.l_id = e.l_id AND g.n_id = e.n_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_join": sim_knn_join,
     "sim_knn_join_ab": sim_knn_join_ab,
@@ -2319,6 +2420,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_graph_delta": sim_knn_graph_delta,
     "sim_knn_graph_delta_indexed": sim_knn_graph_delta_indexed,
     "sim_knn_graph_recall": sim_knn_graph_recall,
+    "sim_knn_recall_sampled": sim_knn_recall_sampled,
     "sim_filtered_topk": sim_filtered_topk,
     "sim_range_search": sim_range_search,
     "sim_brute_topk": sim_brute_topk,
@@ -2345,6 +2447,7 @@ ORACLE: dict[str, str] = {
     "sim_knn_graph_delta": SIM_KNN_GRAPH_DELTA_SQL,
     "sim_knn_graph_delta_indexed": SIM_KNN_GRAPH_DELTA_SQL,
     "sim_knn_graph_recall": SIM_KNN_GRAPH_RECALL_SQL,
+    "sim_knn_recall_sampled": SIM_KNN_RECALL_SAMPLED_SQL,
     "sim_filtered_topk": SIM_FILTERED_TOPK_SQL,
     "sim_range_search": SIM_RANGE_SEARCH_SQL,
     "sim_brute_topk": SIM_BRUTE_TOPK_SQL,

@@ -121,6 +121,32 @@ def test_indexed_twin_bit_parity_and_index_reuse(spark, sf_oracle, tmp_path):
     assert [tuple(r) for r in again] == [tuple(r) for r in stateless]
 
 
+def test_pipeline_resolve_invariants(spark, sf_oracle):
+    """dedup_pipeline_resolve: final_status is never a dup status, the
+    final_doc's own ledger status equals final_status, non-dup rows
+    resolve to themselves at 0 hops, and hops ≤ 2."""
+    from iceberg_query_engine_spark.queries.dedup_suite import (
+        dedup_pipeline,
+        dedup_pipeline_resolve,
+    )
+
+    led = {r.doc_id: r for r in dedup_pipeline(spark, sf_oracle).collect()}
+    res = dedup_pipeline_resolve(spark, sf_oracle).collect()
+    assert len(res) == len(led)
+    for r in res:
+        assert r.final_status not in ("exact_dup", "near_dup"), r
+        assert 0 <= r.hops <= 2, r
+        assert led[r.final_doc].status == r.final_status, r
+        if r.status not in ("exact_dup", "near_dup"):
+            assert r.final_doc == r.doc_id and r.hops == 0, r
+        else:
+            # the pipeline elects the LONGEST doc as near-dup rep, so
+            # the final doc can be a larger id — only self-resolution
+            # is excluded for dup rows (chains still terminate: the
+            # ledger's ≤2-hop property is asserted via hops above)
+            assert r.final_doc != r.doc_id, r
+
+
 def test_exact_dups_share_content_hash(spark, sf_oracle, ledger):
     (documents,) = tables(spark, sf_oracle, "documents")
     fp = {
