@@ -298,9 +298,19 @@ def _pairs_from_bands(bands: DataFrame, cap: int, observation) -> DataFrame:
     but NOT to the hub are missed — the standard bounded-LSH recall
     concession, far smaller than dropping the bucket.
 
-    Plan shape preserved: the hub is a first_value(struct) window over
-    the SAME band partitioning the size count uses — no join, no extra
-    exchange (pinned in tests/test_plans.py). Memory-safe by
+    TWO-LEVEL star (r9): besides the bucket hub, every over-cap-bucket
+    member ALSO pairs with the min-doc_id member of its identical-
+    token-SET subgroup (partition key: the sorted token array). A
+    subfamily whose members share a token set but are dissimilar to
+    the bucket hub (two boilerplate templates colliding in one bucket)
+    would otherwise verify J<threshold against the hub and escape;
+    the sub-hub pairs verify at J=1.0 and stitch the subfamily into
+    one component. Still O(bn) pairs per bucket (≤2 per member).
+
+    Plan shape preserved: the hub/sub-hub are first_value windows over
+    the SAME band partitioning the size count uses (hash(band)
+    satisfies the (band, setkey) clustering — no join, no extra
+    exchange; pinned in tests/test_plans.py). Memory-safe by
     construction: over-cap buckets never reach collect_list. The star
     expansion is observable (`rows_star_capped`), same contract as
     _cap_buckets' drop metric."""
@@ -312,10 +322,19 @@ def _pairs_from_bands(bands: DataFrame, cap: int, observation) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    wso = (
+        Window.partitionBy("band", "setkey")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     sized = (
-        bands.withColumn("bn", F.count(F.lit(1)).over(wb))
+        bands.withColumn("setkey", F.array_sort("toks"))
+        .withColumn("bn", F.count(F.lit(1)).over(wb))
         .withColumn(
             "hub", F.first(F.struct("doc_id", "toks", "sz")).over(wbo)
+        )
+        .withColumn(
+            "subhub", F.first(F.struct("doc_id", "toks", "sz")).over(wso)
         )
         .observe(
             observation,
@@ -340,7 +359,15 @@ def _pairs_from_bands(bands: DataFrame, cap: int, observation) -> DataFrame:
         F.col("hub").alias("a"),
         F.struct("doc_id", "toks", "sz").alias("b"),
     )
-    return full.unionByName(star)
+    star2 = sized.filter(
+        (F.col("bn") > cap)
+        & (F.col("doc_id") != F.col("subhub.doc_id"))
+        & (F.col("subhub.doc_id") != F.col("hub.doc_id"))
+    ).select(
+        F.col("subhub").alias("a"),
+        F.struct("doc_id", "toks", "sz").alias("b"),
+    )
+    return full.unionByName(star).unionByName(star2)
 
 
 def _lsh_band_sql(band_size: int, cap: int, where: str = "") -> str:
@@ -375,7 +402,11 @@ docs AS (
     COUNT(*) OVER (PARTITION BY band) AS bn,
     MIN(doc_id) OVER (PARTITION BY band) AS hub_id,
     first_value(toks) OVER (PARTITION BY band ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS hub_toks
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS hub_toks,
+    MIN(doc_id) OVER (PARTITION BY band, list_sort(toks)) AS sub_hub_id,
+    first_value(toks) OVER (PARTITION BY band, list_sort(toks)
+      ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sub_hub_toks
   FROM all_bands
 ), bands AS (
   SELECT doc_id, toks, band FROM sized WHERE bn >= 2 AND bn <= {cap}
@@ -385,6 +416,9 @@ docs AS (
   UNION ALL
   SELECT hub_id, hub_toks, doc_id, toks FROM sized
   WHERE bn > {cap} AND doc_id <> hub_id
+  UNION ALL
+  SELECT sub_hub_id, sub_hub_toks, doc_id, toks FROM sized
+  WHERE bn > {cap} AND doc_id <> sub_hub_id AND sub_hub_id <> hub_id
 )"""
 
 
@@ -1151,9 +1185,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    wso = (
+        Window.partitionBy("band", "setkey")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     sized = (
-        bands.withColumn("bn", F.count(F.lit(1)).over(wb))
+        bands.withColumn("setkey", F.array_sort("toks"))
+        .withColumn("bn", F.count(F.lit(1)).over(wb))
         .withColumn("hub", F.first(F.struct("doc_id", "toks")).over(wbo))
+        .withColumn("subhub", F.first(F.struct("doc_id", "toks")).over(wso))
         .observe(
             "lsh_band_cap_minhash",
             F.sum(F.when(F.col("bn") > BUCKET_CAP, 1).otherwise(0)).alias(
@@ -1174,7 +1215,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     star = sized.filter(
         (F.col("bn") > BUCKET_CAP) & (F.col("doc_id") != F.col("hub.doc_id"))
     ).select(F.col("hub").alias("a"), F.struct("doc_id", "toks").alias("b"))
-    pairs = pairs.unionByName(star)
+    star2 = sized.filter(
+        (F.col("bn") > BUCKET_CAP)
+        & (F.col("doc_id") != F.col("subhub.doc_id"))
+        & (F.col("subhub.doc_id") != F.col("hub.doc_id"))
+    ).select(F.col("subhub").alias("a"), F.struct("doc_id", "toks").alias("b"))
+    pairs = pairs.unionByName(star).unionByName(star2)
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
     cand = pairs.select(
@@ -1209,7 +1255,11 @@ WITH docs AS (
     COUNT(*) OVER (PARTITION BY band) AS bn,
     MIN(doc_id) OVER (PARTITION BY band) AS hub_id,
     first_value(toks) OVER (PARTITION BY band ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS hub_toks
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS hub_toks,
+    MIN(doc_id) OVER (PARTITION BY band, list_sort(toks)) AS sub_hub_id,
+    first_value(toks) OVER (PARTITION BY band, list_sort(toks)
+      ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sub_hub_toks
   FROM all_bands
 ), bands AS (
   SELECT doc_id, toks, band FROM sized WHERE bn <= {BUCKET_CAP}
@@ -1219,6 +1269,9 @@ WITH docs AS (
   UNION ALL
   SELECT hub_id, hub_toks, doc_id, toks FROM sized
   WHERE bn > {BUCKET_CAP} AND doc_id <> hub_id
+  UNION ALL
+  SELECT sub_hub_id, sub_hub_toks, doc_id, toks FROM sized
+  WHERE bn > {BUCKET_CAP} AND doc_id <> sub_hub_id AND sub_hub_id <> hub_id
 )
 SELECT DISTINCT a_id AS doc_a, b_id AS doc_b,
   round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)

@@ -87,6 +87,68 @@ def test_star_bounds_family_and_reports(spark, skew_docs):
     # family collapses into one cluster downstream instead of escaping
 
 
+def _minhash_sig(tokens):
+    """Python twin of the salted-md5 minhash signature (8 values)."""
+    import hashlib
+
+    sig = []
+    for i in range(8):
+        salt, piece = divmod(i, 4)
+        sig.append(
+            min(
+                hashlib.md5(f"{t}#{salt}".encode()).hexdigest()[
+                    8 * piece : 8 * piece + 8
+                ]
+                for t in tokens
+            )
+        )
+    return sig
+
+
+def test_two_level_star_catches_hub_dissimilar_subfamily(spark):
+    """One over-cap bucket holding TWO subfamilies: A (base token set)
+    and B (A ∪ 25 extras whose salted-md5 slices never undercut A's
+    minima, so B's minhash signature — hence every band key — equals
+    A's). J(A,B) = 30/55 ≈ 0.545 < 0.6: B members FAIL verification
+    against the bucket hub (an A doc). The second star level pairs
+    each B member with its identical-set SUB-hub at J=1.0 — the
+    subfamily is caught instead of escaping through the hub's
+    dissimilarity."""
+    base = [f"base{i}" for i in range(30)]
+    base_sig = _minhash_sig(base)
+    extras, i = [], 0
+    while len(extras) < 25:
+        t = f"x{i}"
+        i += 1
+        sig = _minhash_sig([t])
+        if all(s > b for s, b in zip(sig, base_sig)):
+            extras.append(t)
+    assert _minhash_sig(base + extras) == base_sig  # same band keys
+
+    n_a, n_b = 300, 100
+    rows = []
+    for d in range(n_a):  # family A: permutations of base
+        rot = d % 30
+        rows.append((d, "srcX", " ".join(base[rot:] + base[:rot])))
+    for j in range(n_b):  # family B: base + extras, permuted
+        toks = base + extras
+        rot = j % 55
+        rows.append((n_a + j, "srcX", " ".join(toks[rot:] + toks[:rot])))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    pairs = _lsh_candidate_pairs(docs, CLUSTER_BAND_SIZE, CLUSTER_CAP)
+    got = pairs.select(
+        F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
+    ).distinct().collect()
+    # sub-hub pairs: every B member pairs with B's min doc (n_a) —
+    # these verify at J=1.0 downstream; hub pairs (a_id=0) verify at
+    # 0.545 and fail, so WITHOUT the second level B would escape
+    b_sub = {(a, b) for a, b in ((r.a_id, r.b_id) for r in got) if a == n_a}
+    assert b_sub == {(n_a, n_a + j) for j in range(1, n_b)}
+    # linearity: candidates stay O(members), never C(400, 2)
+    assert len(got) < 2 * (n_a + n_b)
+
+
 def test_docs_outside_overcap_buckets_unaffected(spark, skew_docs):
     """Candidates among normal docs are identical with and without the
     family present — the star cap is local to the hot buckets."""

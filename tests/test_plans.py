@@ -79,10 +79,13 @@ def test_minhash_lsh_single_scan_three_shuffles(spark, sf):
     import re
 
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
-    assert len(scans) <= 2, "at most the two union branches"
-    # band shuffle (reused by the star branch) + distinct + final sort;
-    # size/hub windows and collect_list share the band partitioning
-    assert pi.shuffle_count(df) <= 4
+    assert len(scans) <= 3, "at most the three union branches"
+    # STATIC count: 3 branch exchanges (all hash(band) — merged into
+    # ONE by runtime ReusedExchange) + distinct + final sort. The
+    # sub-hub window's (band, setkey) clustering is satisfied by the
+    # band hash partitioning (subset rule), so it adds a Sort, never
+    # an Exchange — verified in the formatted plan.
+    assert pi.shuffle_count(df) <= 5
     df.collect()
     executed = pi.executed_plan(df)
     assert "ReusedExchange" in executed, (
@@ -339,10 +342,10 @@ def test_containment_lsh_single_scan_no_self_join(spark, sf):
 
     df = dedup_suite.dedup_containment_lsh(spark, sf)
     plan = pi.formatted_plan(df)
-    # ≤2 static scans (the star branch); runtime reuses the band
+    # ≤3 static scans (the two star branches); runtime reuses the band
     # exchange (asserted in test_minhash_lsh_single_scan_three_shuffles
     # for the shared shape)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert not pi.has_cartesian(df)
 
@@ -362,9 +365,9 @@ def test_clusters_lsh_edges_single_scan(spark, sf):
         documents, dedup_suite.CLUSTER_BAND_SIZE, dedup_suite.CLUSTER_CAP
     )
     plan = pi.formatted_plan(cand)
-    # ≤2 static scans: the star branch unions over the same band
+    # ≤3 static scans: the star branches union over the same band
     # exchange, which the runtime reuses (no second signature pass)
-    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 3
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     cand.collect()  # count() would wrap the plan; collect executes THIS one
     assert "ReusedExchange" in pi.executed_plan(cand)
