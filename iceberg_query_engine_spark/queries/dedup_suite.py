@@ -322,20 +322,22 @@ def _pairs_from_bands(bands: DataFrame, cap: int, observation) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    wso = (
-        Window.partitionBy("band", "setkey")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    # the sub-hub needs only its ID: within an identical-set subgroup
+    # the sub-hub's token SET equals every member's own, so star2 uses
+    # the MEMBER's toks/sz for the a-side (same Jaccard/containment by
+    # construction) and the window carries one LONG per row instead of
+    # a struct with a second token-array copy — the width that OOMed
+    # the 24M-row degenerate band partition at 10M docs. setkey is the
+    # hashed sorted set (a 64-bit collision would merge two subgroups —
+    # the same negligible-collision acceptance as the token hashing).
+    wso = Window.partitionBy("band", "setkey")
     sized = (
-        bands.withColumn("setkey", F.array_sort("toks"))
+        bands.withColumn("setkey", F.xxhash64(F.array_sort("toks")))
         .withColumn("bn", F.count(F.lit(1)).over(wb))
         .withColumn(
             "hub", F.first(F.struct("doc_id", "toks", "sz")).over(wbo)
         )
-        .withColumn(
-            "subhub", F.first(F.struct("doc_id", "toks", "sz")).over(wso)
-        )
+        .withColumn("subhub_id", F.min("doc_id").over(wso))
         .observe(
             observation,
             F.sum(F.when(F.col("bn") > cap, 1).otherwise(0)).alias(
@@ -361,10 +363,12 @@ def _pairs_from_bands(bands: DataFrame, cap: int, observation) -> DataFrame:
     )
     star2 = sized.filter(
         (F.col("bn") > cap)
-        & (F.col("doc_id") != F.col("subhub.doc_id"))
-        & (F.col("subhub.doc_id") != F.col("hub.doc_id"))
+        & (F.col("doc_id") != F.col("subhub_id"))
+        & (F.col("subhub_id") != F.col("hub.doc_id"))
     ).select(
-        F.col("subhub").alias("a"),
+        F.struct(
+            F.col("subhub_id").alias("doc_id"), "toks", "sz"
+        ).alias("a"),
         F.struct("doc_id", "toks", "sz").alias("b"),
     )
     return full.unionByName(star).unionByName(star2)
@@ -403,10 +407,7 @@ docs AS (
     MIN(doc_id) OVER (PARTITION BY band) AS hub_id,
     first_value(toks) OVER (PARTITION BY band ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS hub_toks,
-    MIN(doc_id) OVER (PARTITION BY band, list_sort(toks)) AS sub_hub_id,
-    first_value(toks) OVER (PARTITION BY band, list_sort(toks)
-      ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sub_hub_toks
+    MIN(doc_id) OVER (PARTITION BY band, list_sort(toks)) AS sub_hub_id
   FROM all_bands
 ), bands AS (
   SELECT doc_id, toks, band FROM sized WHERE bn >= 2 AND bn <= {cap}
@@ -417,7 +418,7 @@ docs AS (
   SELECT hub_id, hub_toks, doc_id, toks FROM sized
   WHERE bn > {cap} AND doc_id <> hub_id
   UNION ALL
-  SELECT sub_hub_id, sub_hub_toks, doc_id, toks FROM sized
+  SELECT sub_hub_id, toks, doc_id, toks FROM sized
   WHERE bn > {cap} AND doc_id <> sub_hub_id AND sub_hub_id <> hub_id
 )"""
 
@@ -1185,16 +1186,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    wso = (
-        Window.partitionBy("band", "setkey")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
+    wso = Window.partitionBy("band", "setkey")
     sized = (
-        bands.withColumn("setkey", F.array_sort("toks"))
+        bands.withColumn("setkey", F.xxhash64(F.array_sort("toks")))
         .withColumn("bn", F.count(F.lit(1)).over(wb))
         .withColumn("hub", F.first(F.struct("doc_id", "toks")).over(wbo))
-        .withColumn("subhub", F.first(F.struct("doc_id", "toks")).over(wso))
+        .withColumn("subhub_id", F.min("doc_id").over(wso))
         .observe(
             "lsh_band_cap_minhash",
             F.sum(F.when(F.col("bn") > BUCKET_CAP, 1).otherwise(0)).alias(
@@ -1217,9 +1214,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("hub").alias("a"), F.struct("doc_id", "toks").alias("b"))
     star2 = sized.filter(
         (F.col("bn") > BUCKET_CAP)
-        & (F.col("doc_id") != F.col("subhub.doc_id"))
-        & (F.col("subhub.doc_id") != F.col("hub.doc_id"))
-    ).select(F.col("subhub").alias("a"), F.struct("doc_id", "toks").alias("b"))
+        & (F.col("doc_id") != F.col("subhub_id"))
+        & (F.col("subhub_id") != F.col("hub.doc_id"))
+    ).select(
+        F.struct(F.col("subhub_id").alias("doc_id"), "toks").alias("a"),
+        F.struct("doc_id", "toks").alias("b"),
+    )
     pairs = pairs.unionByName(star).unionByName(star2)
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.size(F.array_union(F.col("a.toks"), F.col("b.toks")))
@@ -1256,10 +1256,7 @@ WITH docs AS (
     MIN(doc_id) OVER (PARTITION BY band) AS hub_id,
     first_value(toks) OVER (PARTITION BY band ORDER BY doc_id
       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS hub_toks,
-    MIN(doc_id) OVER (PARTITION BY band, list_sort(toks)) AS sub_hub_id,
-    first_value(toks) OVER (PARTITION BY band, list_sort(toks)
-      ORDER BY doc_id
-      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS sub_hub_toks
+    MIN(doc_id) OVER (PARTITION BY band, list_sort(toks)) AS sub_hub_id
   FROM all_bands
 ), bands AS (
   SELECT doc_id, toks, band FROM sized WHERE bn <= {BUCKET_CAP}
@@ -1270,7 +1267,7 @@ WITH docs AS (
   SELECT hub_id, hub_toks, doc_id, toks FROM sized
   WHERE bn > {BUCKET_CAP} AND doc_id <> hub_id
   UNION ALL
-  SELECT sub_hub_id, sub_hub_toks, doc_id, toks FROM sized
+  SELECT sub_hub_id, toks, doc_id, toks FROM sized
   WHERE bn > {BUCKET_CAP} AND doc_id <> sub_hub_id AND sub_hub_id <> hub_id
 )
 SELECT DISTINCT a_id AS doc_a, b_id AS doc_b,
