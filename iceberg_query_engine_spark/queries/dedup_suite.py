@@ -307,21 +307,22 @@ def _pairs_from_bands(bands: DataFrame, cap: int, observation) -> DataFrame:
     the sub-hub pairs verify at J=1.0 and stitch the subfamily into
     one component. Still O(bn) pairs per bucket (≤2 per member).
 
-    Plan shape preserved: the hub/sub-hub are first_value windows over
-    the SAME band partitioning the size count uses (hash(band)
-    satisfies the (band, setkey) clustering — no join, no extra
-    exchange; pinned in tests/test_plans.py). Memory-safe by
-    construction: over-cap buckets never reach collect_list. The star
-    expansion is observable (`rows_star_capped`), same contract as
-    _cap_buckets' drop metric."""
+    Plan shape: ONE exchange and ONE sort carry all three windows
+    (pinned in tests/test_plans.py). hash(band) satisfies both window
+    clusterings (band ⊆ (band, setkey)), the explicit (band, setkey)
+    sort prefix-satisfies the band-partitioned windows, and the hub is
+    min_by over the UNORDERED band window — identical to first_value
+    ordered by doc_id (doc_id is unique within a band), so no
+    (band, doc_id) sort is ever needed. The naive stack costs three
+    successive sorts of the same partition per pass — on the
+    degenerate mega-band (60% of docs in one bucket at 5M) each is a
+    single-threaded multi-million-row sort, measured ~2× off the
+    clusters wall at 5M docs. Memory-safe by construction: over-cap
+    buckets never reach collect_list. The star expansion is observable
+    (`rows_star_capped`), same contract as _cap_buckets' drop metric."""
     from pyspark.sql import Window
 
     wb = Window.partitionBy("band")
-    wbo = (
-        Window.partitionBy("band")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
     # the sub-hub needs only its ID: within an identical-set subgroup
     # the sub-hub's token SET equals every member's own, so star2 uses
     # the MEMBER's toks/sz for the a-side (same Jaccard/containment by
@@ -333,11 +334,14 @@ def _pairs_from_bands(bands: DataFrame, cap: int, observation) -> DataFrame:
     wso = Window.partitionBy("band", "setkey")
     sized = (
         bands.withColumn("setkey", F.xxhash64(F.array_sort("toks")))
+        .repartition("band")
+        .sortWithinPartitions("band", "setkey")
+        .withColumn("subhub_id", F.min("doc_id").over(wso))
         .withColumn("bn", F.count(F.lit(1)).over(wb))
         .withColumn(
-            "hub", F.first(F.struct("doc_id", "toks", "sz")).over(wbo)
+            "hub",
+            F.min_by(F.struct("doc_id", "toks", "sz"), "doc_id").over(wb),
         )
-        .withColumn("subhub_id", F.min("doc_id").over(wso))
         .observe(
             observation,
             F.sum(F.when(F.col("bn") > cap, 1).otherwise(0)).alias(
@@ -1939,6 +1943,19 @@ def _pipeline_delta(spark: SparkSession, sf_dir: str, split: float) -> DataFrame
         "doc_id", F.lit(True).alias("is_cont")
     )
 
+    return _delta_ledger(batch, exact, near, contaminated)
+
+
+def _delta_ledger(
+    batch: DataFrame,
+    exact: DataFrame,
+    near: DataFrame,
+    contaminated: DataFrame,
+) -> DataFrame:
+    """Shared ledger assembly for the stateless and indexed delta forms
+    — the stage-frame → disposition-row step both produce verbatim
+    (exact: (doc_id, keeper), near: (doc_id, rep), contaminated:
+    (doc_id, is_cont))."""
     led = (
         batch.select("doc_id", "source")
         .join(exact, "doc_id", "left")
@@ -1972,6 +1989,20 @@ def _pipeline_delta(spark: SparkSession, sf_dir: str, split: float) -> DataFrame
 
 _PIPE_DELTA_INDEX_CACHE: dict[str, str] = {}
 
+PIPE_IDX_MAX_BUCKETS = 1024
+
+
+def _pipe_idx_buckets(t: int) -> int:
+    """Directory-partition count for the stored probe tables (hashes,
+    bands) — scale-aware so large corpora get fine-grained static
+    pruning (a 100-doc batch at 5M docs probes ~100 of ~900 hash-bucket
+    directories instead of scanning the whole stored table) while
+    test-sized corpora don't pay thousands of tiny files. Derived from
+    t alone, so the build and every later probe agree without storing
+    layout metadata (a formula change is a layout change — bump the
+    version tag in _pipeline_delta_index_dir's dir name with it)."""
+    return max(16, min(PIPE_IDX_MAX_BUCKETS, t // 5000))
+
 
 def _pipeline_delta_index_dir(
     spark: SparkSession, sf_dir: str, t: int, index_dir: str | None = None
@@ -1980,15 +2011,32 @@ def _pipeline_delta_index_dir(
     three per-doc derivations the stateless delta recomputes every
     batch, written at rest:
 
-      hashes/         (doc_id, fp)        16 B/doc — the exact stage
+      hashes/         (doc_id, fp)        16 B/doc — the exact stage;
+                                          directory-partitioned by
+                                          pb = pmod(xxhash64(fp), B)
       bands/          (doc_id, band, sz)  the LSH index WITHOUT token
                                           arrays (storing a tokenized
                                           corpus is the thing the
                                           pipeline's no-fusion argument
                                           rejects; partner tokens are
                                           re-derived at batch time for
-                                          AFFECTED docs only)
+                                          AFFECTED docs only);
+                                          directory-partitioned by
+                                          bb = pmod(xxhash64(band), B)
       eval_shingles/  (shx)               the decontamination reference
+                                          (NOT partitioned: a 100-doc
+                                          batch already carries ~6k
+                                          distinct shingles, so any
+                                          practical bucket count is
+                                          fully touched; the table is
+                                          slim 8 B keys and its probe
+                                          is a map-only semi)
+
+    The key-bucket partitioning (B = _pipe_idx_buckets(t)) is what
+    makes probes batch-proportional: the batch's bucket set is tiny and
+    known before the read, so the stored-table scans prune at the
+    DIRECTORY listing (static PartitionFilters — the
+    sim_knn_graph_delta_indexed posture applied to the scrub's stores).
 
     Same cache discipline as the kNN delta index (r8 ADVICE, applied
     from birth here): keyed on a content fingerprint of the documents
@@ -2004,7 +2052,10 @@ def _pipeline_delta_index_dir(
     key = f"{sf_dir}|{t}|{fpr}|{index_dir or ''}"
     slug = f"pipe_{sf_dir.strip('/').replace('/', '_')}_{t}"
     base = os.path.join(index_dir or tempfile.gettempdir(), "pipeline_delta_index")
-    path = os.path.join(base, f"{slug}_{fpr}")
+    # _v3: key-bucket-partitioned layout + setkey at rest; the
+    # stale-dir reclaim below removes superseded fingerprints AND
+    # superseded layouts alike
+    path = os.path.join(base, f"{slug}_{fpr}_v3")
     sentinel = os.path.join(path, "_INDEX_SUCCESS")
     cached = _PIPE_DELTA_INDEX_CACHE.get(key)
     if cached and os.path.exists(os.path.join(cached, "_INDEX_SUCCESS")):
@@ -2019,13 +2070,29 @@ def _pipeline_delta_index_dir(
         existing_train = documents.filter(
             (F.col("doc_id") < t) & (F.col("source") != "src0")
         )
+        nb = _pipe_idx_buckets(t)
         fp = F.md5(F.col("text").cast("binary"))
-        existing_train.select("doc_id", fp.alias("fp")).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(path, "hashes"))
+        # repartition ON the bucket column before partitionBy so each
+        # task writes a handful of directories, not B files apiece
+        existing_train.select("doc_id", fp.alias("fp")).withColumn(
+            "pb", F.pmod(F.xxhash64("fp"), F.lit(nb))
+        ).repartition("pb").write.mode("overwrite").partitionBy("pb").parquet(
+            os.path.join(path, "hashes")
+        )
+        # setkey at rest (the hashed sorted token set, 8 B) lets the
+        # probe run the star windows (size, hub, sub-hub) over an
+        # id-only stream — existing members' token ARRAYS are fetched
+        # only for docs that can appear in a batch-sided pair
         _band_rows(existing_train, CLUSTER_BAND_SIZE).select(
-            "doc_id", "band", "sz"
-        ).write.mode("overwrite").parquet(os.path.join(path, "bands"))
+            "doc_id",
+            "band",
+            "sz",
+            F.xxhash64(F.array_sort("toks")).alias("setkey"),
+        ).withColumn(
+            "bb", F.pmod(F.xxhash64("band"), F.lit(nb))
+        ).repartition("bb").write.mode("overwrite").partitionBy("bb").parquet(
+            os.path.join(path, "bands")
+        )
         (
             _shingled_docs(
                 documents.filter(
@@ -2073,6 +2140,21 @@ def _pipeline_delta_indexed(
     split: float,
     index_dir: str | None = None,
 ) -> DataFrame:
+    batch, exact, near, contaminated = _pipeline_delta_indexed_stages(
+        spark, sf_dir, split, index_dir=index_dir
+    )
+    return _delta_ledger(batch, exact, near, contaminated)
+
+
+def _pipeline_delta_indexed_stages(
+    spark: SparkSession,
+    sf_dir: str,
+    split: float,
+    index_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The indexed delta's stage frames (batch, exact, near,
+    contaminated) — split out so experiments can time each probe
+    in isolation (data/exp_pipeline_delta_idx2_r9.py)."""
     from ..sources.registry import table_rows
 
     (documents,) = tables(spark, sf_dir, "documents")
@@ -2082,45 +2164,198 @@ def _pipeline_delta_indexed(
     batch = documents.filter(F.col("doc_id") >= t)
     batch_train = batch.filter(F.col("source") != "src0")
 
-    # stage 2: exact — stored hash table, batch fps broadcast
+    nb = _pipe_idx_buckets(t)
+    batch_docs = n_total - t
+    n_bands = N_HASHES // CLUSTER_BAND_SIZE
+
+    # Pruning gate — decided STATICALLY from footer row counts, zero
+    # jobs: collecting a bucket set costs one extra batch map pass
+    # (md5 / minhash over the batch), worth paying only when the
+    # batch's probe keys are few enough to actually skip directories
+    # (k keys over nb buckets touch ~nb·(1-e^(-k/nb)); at k ≥ nb/2
+    # nearly everything is touched and the old full-scan plan is the
+    # cheaper one — measured: the ungated 10%-split batch at 500k docs
+    # was 32 s vs 12 s gated, data/exp_pipeline_delta_idx2_r9.json).
+    prune_hashes = batch_docs <= nb // 2
+    prune_bands = batch_docs * n_bands <= nb // 2
+
+    # stage 2: exact — stored hash table, batch fps broadcast. For
+    # small batches the key-bucket set is collected first (a batch-only
+    # md5 map job, tiny) so the stored read prunes to those directories
+    # at the listing — static PartitionFilters, batch-proportional I/O.
     fp = F.md5(F.col("text").cast("binary"))
     bh = batch_train.select("doc_id", fp.alias("fp"))
     batch_fps = bh.select("fp").distinct()
-    eh = spark.read.parquet(os.path.join(idx, "hashes")).join(
-        F.broadcast(batch_fps), "fp", "semi"
-    )
+    eh = spark.read.parquet(os.path.join(idx, "hashes"))
+    if prune_hashes:
+        pbs = [
+            r[0]
+            for r in batch_fps.select(
+                F.pmod(F.xxhash64("fp"), F.lit(nb)).alias("pb")
+            )
+            .distinct()
+            .collect()
+        ]
+        eh = eh.filter(F.col("pb").isin(pbs))
+    eh = eh.join(F.broadcast(batch_fps), "fp", "semi").select("doc_id", "fp")
     keepers = (
         bh.unionByName(eh).groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     )
     exact = bh.join(keepers, "fp").select("doc_id", "keeper")
 
-    # stage 3: near-dup — stored band index pruned to the batch's bands;
+    # stage 3: near-dup — stored band index pruned to the batch's band
+    # BUCKETS at the directory listing (small batches only, same gate
+    # rationale), then to its exact band keys by the broadcast semi;
     # token arrays re-derived ONLY for affected existing members
     batch_band_rows = _band_rows(batch_train, CLUSTER_BAND_SIZE)
     batch_bands = batch_band_rows.select("band").distinct()
-    stored = spark.read.parquet(os.path.join(idx, "bands")).join(
-        F.broadcast(batch_bands), "band", "semi"
+    stored = spark.read.parquet(os.path.join(idx, "bands"))
+    if prune_bands:
+        bbs = [
+            r[0]
+            for r in batch_bands.select(
+                F.pmod(F.xxhash64("band"), F.lit(nb)).alias("bb")
+            )
+            .distinct()
+            .collect()
+        ]
+        stored = stored.filter(F.col("bb").isin(bbs))
+    stored = stored.join(F.broadcast(batch_bands), "band", "semi").select(
+        "doc_id", "band", "sz", "setkey"
     )
+
+    # The delta only ever KEEPS batch-sided pairs (b.doc_id >= t), so
+    # the pair generation is specialized to emit ONLY those — the
+    # rebuild's _pairs_from_bands over affected members would generate
+    # a star pair per EXISTING member of an over-cap bucket and then
+    # discard 99.99% of them at the filter (measured: a 100-doc batch
+    # touching the degenerate mega-band paid token refetch + verify for
+    # ~2.7M members, a flat ~60 s floor at 5M docs;
+    # data/exp_pipeline_delta_idx2_r9.json). The star windows (size,
+    # hub, sub-hub) run over the NARROW id/setkey stream; token arrays
+    # are fetched only for docs that can appear in a kept pair:
+    #   * members of affected ≤cap buckets (≤ cap per bucket),
+    #   * hubs of affected over-cap buckets (1 per bucket),
+    #   * the batch docs themselves (their own map work).
+    # Bucket stats stay EXACTLY the rebuild's: bn/hub/sub-hub are
+    # computed over the full affected membership, so cap semantics and
+    # hub election are bit-identical to dedup_pipeline's.
+    from pyspark.sql import Window
+
+    batch_rows = batch_band_rows.withColumn(
+        "setkey", F.xxhash64(F.array_sort("toks"))
+    )
+    members = stored.unionByName(
+        batch_rows.select("doc_id", "band", "sz", "setkey")
+    )
+    wb = Window.partitionBy("band")
+    wso = Window.partitionBy("band", "setkey")
+    # one exchange + one sort for all three windows (the
+    # _pairs_from_bands shape, see there)
+    sized = (
+        members.repartition("band")
+        .sortWithinPartitions("band", "setkey")
+        .withColumn("subhub_id", F.min("doc_id").over(wso))
+        .withColumn("bn", F.count(F.lit(1)).over(wb))
+        .withColumn(
+            "hub", F.min_by(F.struct("doc_id", "sz"), "doc_id").over(wb)
+        )
+        .observe(
+            "pipeline_delta_idx_band_cap",
+            F.sum(
+                F.when(F.col("bn") > CLUSTER_CAP, 1).otherwise(0)
+            ).alias("rows_star_capped"),
+            F.count(F.lit(1)).alias("rows_total"),
+        )
+    )
+
     toks = F.array_distinct(_tokens())
     # hashed-long payload, matching _band_rows' representation
     toksx = F.transform(toks, lambda t: F.xxhash64(t))
     # FILTER first, tokenize second: the semi-join must run BEFORE the
     # token projection or the whole corpus pays the tokenize pass the
-    # stored index exists to avoid (measured: 5.6 s → ~2 s for a
-    # 1000-doc batch at 500k docs). The affected-id set is
-    # batch-proportional (≤ batch docs × bands × cap members), so the
-    # broadcast is the correct production shape.
-    affected_ids = stored.select("doc_id").distinct()
-    affected_toks = (
+    # stored index exists to avoid. need_ids is batch-proportional
+    # even on a degenerate corpus (an over-cap bucket contributes ONE
+    # hub id, not its membership), so the broadcast is safe.
+    need_ids = (
+        sized.filter(
+            (
+                (F.col("bn") >= 2) & (F.col("bn") <= CLUSTER_CAP)
+            )
+            | (
+                (F.col("bn") > CLUSTER_CAP)
+                & (F.col("doc_id") == F.col("hub.doc_id"))
+            )
+        )
+        .filter(F.col("doc_id") < t)
+        .select("doc_id")
+        .distinct()
+    )
+    fetched_toks = (
         documents.select("doc_id", "text")
-        .join(F.broadcast(affected_ids), "doc_id", "semi")
+        .join(F.broadcast(need_ids), "doc_id", "semi")
         .select("doc_id", toksx.alias("toks"))
     )
-    stored_with_toks = stored.join(affected_toks, "doc_id").select(
-        "doc_id", "toks", "sz", "band"
+    # batch docs' arrays: re-derived from the batch text (their map
+    # work); disjoint from fetched_toks by doc_id < t
+    toks_map = fetched_toks.unionByName(
+        batch_train.select("doc_id", toksx.alias("toks"))
     )
-    bands = stored_with_toks.unionByName(batch_band_rows)
-    cand = _pairs_from_bands(bands, CLUSTER_CAP, "pipeline_delta_idx_band_cap")
+
+    # full expansion for ≤cap buckets — membership joined with its
+    # arrays first (bounded: ≤ cap rows per bucket); join strategy
+    # left to AQE: tiny toks_map (small batch) broadcasts at runtime,
+    # the 10%-split adversarial end falls back to a shuffle join
+    small = (
+        sized.filter((F.col("bn") >= 2) & (F.col("bn") <= CLUSTER_CAP))
+        .join(toks_map, "doc_id")
+        .select("band", "doc_id", "toks", "sz")
+    )
+    buckets = small.groupBy("band").agg(
+        F.collect_list(F.struct("doc_id", "toks", "sz")).alias("docs")
+    )
+    full = (
+        buckets.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.doc_id") >= t)
+        )
+    )
+    # star: ONLY batch members pair with the hub; hub arrays joined
+    # from toks_map (hubs are in need_ids; an all-batch bucket's hub
+    # is a batch doc, covered by the batch side of toks_map)
+    hub_toks = toks_map.select(
+        F.col("doc_id").alias("hub_doc_id"), F.col("toks").alias("hub_toks")
+    )
+    star_b = sized.filter(
+        (F.col("bn") > CLUSTER_CAP)
+        & (F.col("doc_id") >= t)
+        & (F.col("doc_id") != F.col("hub.doc_id"))
+    ).join(toks_map, "doc_id")
+    star = star_b.join(
+        hub_toks, F.col("hub.doc_id") == F.col("hub_doc_id")
+    ).select(
+        F.struct(
+            F.col("hub.doc_id").alias("doc_id"),
+            F.col("hub_toks").alias("toks"),
+            F.col("hub.sz").alias("sz"),
+        ).alias("a"),
+        F.struct("doc_id", "toks", "sz").alias("b"),
+    )
+    # two-level star: the batch member's identical-set sub-hub; the
+    # a-side reuses the member's own toks/sz (identical token set by
+    # construction — the _pairs_from_bands convention)
+    star2 = star_b.filter(
+        (F.col("doc_id") != F.col("subhub_id"))
+        & (F.col("subhub_id") != F.col("hub.doc_id"))
+    ).select(
+        F.struct(
+            F.col("subhub_id").alias("doc_id"), "toks", "sz"
+        ).alias("a"),
+        F.struct("doc_id", "toks", "sz").alias("b"),
+    )
+    cand = full.unionByName(star).unionByName(star2)
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.col("a.sz") + F.col("b.sz") - inter
     vpairs = (
@@ -2181,35 +2416,7 @@ def _pipeline_delta_indexed(
             .select("doc_id", F.lit(True).alias("is_cont"))
         )
 
-    led = (
-        batch.select("doc_id", "source")
-        .join(exact, "doc_id", "left")
-        .join(near, "doc_id", "left")
-        .join(contaminated, "doc_id", "left")
-    )
-    is_exact_dup = F.col("keeper").isNotNull() & (
-        F.col("keeper") != F.col("doc_id")
-    )
-    is_near_dup = F.col("rep").isNotNull()
-    status = (
-        F.when(F.col("source") == "src0", F.lit("eval_split"))
-        .when(is_exact_dup, F.lit("exact_dup"))
-        .when(is_near_dup, F.lit("near_dup"))
-        .when(F.col("is_cont"), F.lit("contaminated"))
-        .otherwise(F.lit("kept"))
-    )
-    replacement = (
-        F.when(F.col("source") == "src0", F.lit(None))
-        .when(is_exact_dup, F.col("keeper"))
-        .when(is_near_dup, F.col("rep"))
-        .cast("bigint")
-    )
-    return led.select(
-        "doc_id",
-        "source",
-        status.alias("status"),
-        replacement.alias("replacement"),
-    ).orderBy("doc_id")
+    return batch, exact, near, contaminated
 
 
 DEDUP_PIPELINE_DELTA_SQL = f"""

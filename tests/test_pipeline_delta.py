@@ -89,6 +89,106 @@ def test_exact_stage_agrees_with_full_rebuild(spark, sf_oracle, ledger):
     assert delta_exact == full_exact
 
 
+def test_indexed_star_branches_parity_on_overcap_corpus(spark, tmp_path):
+    """The indexed delta's batch-sided pair generation (r9: star pairs
+    are emitted ONLY for batch members — an over-cap bucket's existing
+    membership never pays token refetch or verification) must agree
+    bit-for-bit with the stateless form (whose pairs come from the
+    rebuild's _pairs_from_bands) on a corpus where the star branches
+    actually fire ACROSS the split:
+
+      * family A (identical token set, 330 docs, 30 in the batch) —
+        over-cap bucket, batch members pair with the hub (star),
+      * family B (A's token set + minima-preserving extras → same band
+        keys, J(A,B)≈0.545 < 0.6; 70 docs, 20 in the batch) — batch
+        members fail the hub pair and are caught ONLY by their
+        identical-set sub-hub (star2),
+      * an exact duplicate crossing the split (full-expansion branch),
+      * normal docs (kept).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from iceberg_query_engine_spark.queries.dedup_suite import (
+        _pipeline_delta,
+        _pipeline_delta_indexed,
+        _PIPE_DELTA_INDEX_CACHE,
+    )
+    from tests.test_lsh_skew_bound import _minhash_sig
+
+    base = [f"base{i}" for i in range(30)]
+    base_sig = _minhash_sig(base)
+    extras, i = [], 0
+    while len(extras) < 25:
+        tok = f"x{i}"
+        i += 1
+        if all(s > b for s, b in zip(_minhash_sig([tok]), base_sig)):
+            extras.append(tok)
+    assert _minhash_sig(base + extras) == base_sig
+
+    import random
+
+    def perm(lst, seed):
+        # unique text per doc (30!/55! orderings), identical token SET
+        out = list(lst)
+        random.Random(seed).shuffle(out)
+        return out
+
+    n, t = 600, 540  # split 0.9
+    rows = []
+    for d in range(300):  # family A, existing
+        rows.append((d, "srcA", " ".join(perm(base, d))))
+    for d in range(300, 350):  # family B, existing (sub-hub = 300)
+        rows.append((d, "srcA", " ".join(perm(base + extras, d))))
+    for d in range(350, 536):  # normal existing
+        rows.append((d, "srcA", " ".join(f"w{d}_{j}" for j in range(30))))
+    for d in range(536, 540):  # existing eval docs → non-empty eval store
+        rows.append((d, "src0", " ".join(f"e{d}_{j}" for j in range(30))))
+    for d in range(540, 570):  # family A, batch → near_dup rep 0 (star)
+        rows.append((d, "srcA", " ".join(perm(base, d))))
+    for d in range(570, 590):  # family B, batch → near_dup rep 300 (star2)
+        rows.append((d, "srcA", " ".join(perm(base + extras, d))))
+    rows.append((590, "srcA", rows[350][2]))  # exact dup of doc 350
+    for d in range(591, 595):  # normal batch → kept
+        rows.append((d, "srcA", " ".join(f"w{d}_{j}" for j in range(30))))
+    for d in range(595, 600):  # eval split
+        rows.append((d, "src0", " ".join(f"e{d}_{j}" for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs.coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(tmp_path, "documents.parquet")
+    )
+
+    _PIPE_DELTA_INDEX_CACHE.clear()
+    idx_dir = str(tmp_path / "idx")
+    indexed = _pipeline_delta_indexed(
+        spark, str(tmp_path), 0.9, index_dir=idx_dir
+    ).collect()
+    stateless = _pipeline_delta(spark, str(tmp_path), 0.9).collect()
+    assert [tuple(r) for r in indexed] == [tuple(r) for r in stateless]
+
+    by_id = {r.doc_id: r for r in indexed}
+    for d in range(540, 570):  # star: hub = doc 0
+        assert (by_id[d].status, by_id[d].replacement) == ("near_dup", 0), d
+    for d in range(570, 590):  # star2: sub-hub = doc 300 (hub pair fails)
+        assert (by_id[d].status, by_id[d].replacement) == ("near_dup", 300), d
+    assert (by_id[590].status, by_id[590].replacement) == ("exact_dup", 350)
+    for d in range(591, 595):
+        assert by_id[d].status == "kept", by_id[d]
+    for d in range(595, 600):
+        assert by_id[d].status == "eval_split"
+
+    # pruned-path parity: a 2-doc batch engages the static pruning gate
+    # (batch_docs * n_bands <= nb // 2 at nb = 16) — same ledger from
+    # pruned directory reads
+    _PIPE_DELTA_INDEX_CACHE.clear()
+    pruned = _pipeline_delta_indexed(
+        spark, str(tmp_path), 1.0 - 2 / n, index_dir=str(tmp_path / "idx2")
+    ).collect()
+    control = _pipeline_delta(spark, str(tmp_path), 1.0 - 2 / n).collect()
+    assert [tuple(r) for r in pruned] == [tuple(r) for r in control]
+
+
 def test_indexed_twin_bit_parity_and_index_reuse(spark, sf_oracle, tmp_path):
     """dedup_pipeline_delta_indexed must produce the identical ledger
     from its stored index (it shares the stateless twin's oracle), the

@@ -80,17 +80,44 @@ def test_minhash_lsh_single_scan_three_shuffles(spark, sf):
 
     scans = re.findall(r"\(\d+\) Scan parquet", plan)
     assert len(scans) <= 3, "at most the three union branches"
-    # STATIC count: 3 branch exchanges (all hash(band) — merged into
-    # ONE by runtime ReusedExchange) + distinct + final sort. The
-    # sub-hub window's (band, setkey) clustering is satisfied by the
-    # band hash partitioning (subset rule), so it adds a Sort, never
-    # an Exchange — verified in the formatted plan.
+    # STATIC count: 3 branch exchanges (all the explicit hash(band)
+    # repartition — merged into ONE by runtime ReusedExchange) +
+    # distinct + final sort. All three star windows (size count, hub
+    # min_by, sub-hub min) ride that ONE exchange and its ONE explicit
+    # (band, setkey) sort: band ⊆ (band, setkey) satisfies the band
+    # windows' clustering, and the sort order prefix-satisfies them —
+    # no per-window re-sort of the mega-band partition.
     assert pi.shuffle_count(df) <= 5
     df.collect()
     executed = pi.executed_plan(df)
     assert "ReusedExchange" in executed, (
         "the star branch must reuse the band exchange, not rescan"
     )
+
+
+def test_pairs_from_bands_one_sort_per_branch(spark, sf):
+    """The star window stack (size count, hub min_by, sub-hub min)
+    rides ONE explicit band exchange and ONE (band, setkey) sort per
+    union branch — each extra window sort would be a single-threaded
+    re-sort of the degenerate mega-band partition (60% of docs in one
+    bucket at 5M docs), measured ~2× off the clusters wall when the
+    stack carried three sorts."""
+    import re
+
+    from iceberg_query_engine_spark.queries.tpch import tables
+
+    (documents,) = tables(spark, sf, "documents")
+    bands = dedup_suite._band_rows(documents, dedup_suite.CLUSTER_BAND_SIZE)
+    cand = dedup_suite._pairs_from_bands(
+        bands, dedup_suite.CLUSTER_CAP, "pin_one_sort"
+    )
+    plan = pi.formatted_plan(cand)
+    sorts = len(re.findall(r"\(\d+\) Sort\b", plan))
+    windows = len(re.findall(r"\(\d+\) Window\b", plan))
+    assert windows >= 3, plan[:800]
+    # static plan: 3 union branches × 1 sort each (runtime merges the
+    # branches' identical exchange+sort subtrees via ReusedExchange)
+    assert sorts <= 3, f"expected ≤1 sort per union branch, saw {sorts}"
 
 
 def test_text_stats_map_only(spark, sf):
@@ -292,6 +319,37 @@ def test_sim_knn_graph_delta_indexed_pruned_scan(spark, sf):
     assert m and "cluster" in m.group(1), plan[:500]
     assert " IN " in m.group(1) or " INSET " in m.group(1), m.group(1)[:200]
     assert not pi.has_cartesian(df)
+
+
+def test_dedup_pipeline_delta_indexed_pruned_stores(spark, sf):
+    """The indexed scrub's stored hash and band tables are key-bucket
+    partitioned; for a small batch (below the static pruning gate) both
+    probes must prune at the directory listing (static PartitionFilters
+    on pb / bb), and for a large batch (gate off — collecting bucket
+    sets would cost more than it saves) the stored reads must carry NO
+    partition filter, i.e. the pre-r9 full-scan plan."""
+    import re
+
+    from iceberg_query_engine_spark.queries import dedup_suite
+
+    # split chosen so batch_docs * n_bands <= nb // 2 at the 500-doc
+    # test corpus (nb = 16): 2 batch docs
+    df = dedup_suite._pipeline_delta_indexed(spark, sf, split=0.996)
+    plan = pi.executed_plan(df)
+    groups = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    for col in ("pb", "bb"):
+        hits = [g for g in groups if col in g]
+        assert hits, (col, plan[:500])
+        assert any(" IN " in g or " INSET " in g for g in hits), hits
+    assert not pi.has_cartesian(df)
+
+    # the catalog op's 10% split is ABOVE the gate: same stores, no
+    # listing-time filter (and no bucket-set collect jobs paid)
+    df_big = dedup_suite.dedup_pipeline_delta_indexed(spark, sf)
+    plan_big = pi.executed_plan(df_big)
+    for g in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan_big):
+        assert "pb" not in g and "bb" not in g, g[:200]
+    assert not pi.has_cartesian(df_big)
 
 
 def test_sim_quantize_map_only(spark, sf):
