@@ -2146,6 +2146,34 @@ def _pipeline_delta_indexed(
     return _delta_ledger(batch, exact, near, contaminated)
 
 
+def _read_store_pruned(
+    spark: SparkSession,
+    path: str,
+    part_col: str,
+    nb: int,
+    keys: DataFrame,
+    key_col: str,
+    enabled: bool,
+) -> DataFrame:
+    """Read a key-bucket-partitioned stored table, optionally pruned to
+    the directories the probe keys can touch. The bucket set is
+    collected from the (tiny) key frame first so the filter lands as a
+    static PartitionFilter at the directory LISTING — the reason the
+    stores are partitioned at all."""
+    df = spark.read.parquet(path)
+    if enabled:
+        vals = [
+            r[0]
+            for r in keys.select(
+                F.pmod(F.xxhash64(key_col), F.lit(nb)).alias(part_col)
+            )
+            .distinct()
+            .collect()
+        ]
+        df = df.filter(F.col(part_col).isin(vals))
+    return df
+
+
 def _pipeline_delta_indexed_stages(
     spark: SparkSession,
     sf_dir: str,
@@ -2162,7 +2190,6 @@ def _pipeline_delta_indexed_stages(
     t = int(split * n_total)
     idx = _pipeline_delta_index_dir(spark, sf_dir, t, index_dir=index_dir)
     batch = documents.filter(F.col("doc_id") >= t)
-    batch_train = batch.filter(F.col("source") != "src0")
 
     nb = _pipe_idx_buckets(t)
     batch_docs = n_total - t
@@ -2179,49 +2206,88 @@ def _pipeline_delta_indexed_stages(
     prune_hashes = batch_docs <= nb // 2
     prune_bands = batch_docs * n_bands <= nb // 2
 
+    def hashes_for(batch_fps: DataFrame) -> DataFrame:
+        return _read_store_pruned(
+            spark,
+            os.path.join(idx, "hashes"),
+            "pb",
+            nb,
+            batch_fps,
+            "fp",
+            prune_hashes,
+        )
+
+    def bands_for(batch_bands: DataFrame) -> DataFrame:
+        return _read_store_pruned(
+            spark,
+            os.path.join(idx, "bands"),
+            "bb",
+            nb,
+            batch_bands,
+            "band",
+            prune_bands,
+        )
+
+    eval_shingles = spark.read.parquet(os.path.join(idx, "eval_shingles"))
+    return _delta_stages_from_stores(
+        spark, documents, batch, t, batch_docs, hashes_for, bands_for, eval_shingles
+    )
+
+
+def _delta_stages_from_stores(
+    spark: SparkSession,
+    documents: DataFrame,
+    batch: DataFrame,
+    lo: int,
+    batch_docs: int,
+    hashes_for: Callable[[DataFrame], DataFrame],
+    bands_for: Callable[[DataFrame], DataFrame],
+    eval_shingles: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Store-agnostic core of the indexed incremental scrub.
+
+    `batch` is the landing chunk (all ids >= lo); every doc with id <
+    `lo` counts as EXISTING (the scrubbed corpus plus any previously
+    landed-and-absorbed batches — the streaming deployment's state).
+    The stored-side frames come through caller closures so each
+    deployment brings its own storage posture:
+
+      hashes_for(batch_fps)   -> (doc_id, fp) for existing train docs
+      bands_for(batch_bands)  -> (doc_id, band, sz, setkey) likewise
+      eval_shingles           -> (shx) — the decontamination reference
+
+    dedup_pipeline_delta_indexed passes directory-gated reads of the
+    build-once index; streaming/scrub.py passes base-index ∪ overlay
+    unions (the absorb-as-you-land deployment). `documents` must
+    contain every doc id either side can reference (token refetch for
+    affected existing members reads it pruned by a broadcast semi)."""
+    batch_train = batch.filter(F.col("source") != "src0")
+
     # stage 2: exact — stored hash table, batch fps broadcast. For
-    # small batches the key-bucket set is collected first (a batch-only
-    # md5 map job, tiny) so the stored read prunes to those directories
-    # at the listing — static PartitionFilters, batch-proportional I/O.
+    # small batches the caller's closure prunes the stored read to the
+    # batch's key-bucket directories at the listing.
     fp = F.md5(F.col("text").cast("binary"))
     bh = batch_train.select("doc_id", fp.alias("fp"))
     batch_fps = bh.select("fp").distinct()
-    eh = spark.read.parquet(os.path.join(idx, "hashes"))
-    if prune_hashes:
-        pbs = [
-            r[0]
-            for r in batch_fps.select(
-                F.pmod(F.xxhash64("fp"), F.lit(nb)).alias("pb")
-            )
-            .distinct()
-            .collect()
-        ]
-        eh = eh.filter(F.col("pb").isin(pbs))
-    eh = eh.join(F.broadcast(batch_fps), "fp", "semi").select("doc_id", "fp")
+    eh = (
+        hashes_for(batch_fps)
+        .join(F.broadcast(batch_fps), "fp", "semi")
+        .select("doc_id", "fp")
+    )
     keepers = (
         bh.unionByName(eh).groupBy("fp").agg(F.min("doc_id").alias("keeper"))
     )
     exact = bh.join(keepers, "fp").select("doc_id", "keeper")
 
     # stage 3: near-dup — stored band index pruned to the batch's band
-    # BUCKETS at the directory listing (small batches only, same gate
-    # rationale), then to its exact band keys by the broadcast semi;
-    # token arrays re-derived ONLY for affected existing members
+    # BUCKETS by the caller, then to its exact band keys by the
+    # broadcast semi; token arrays re-derived ONLY for affected members
     batch_band_rows = _band_rows(batch_train, CLUSTER_BAND_SIZE)
     batch_bands = batch_band_rows.select("band").distinct()
-    stored = spark.read.parquet(os.path.join(idx, "bands"))
-    if prune_bands:
-        bbs = [
-            r[0]
-            for r in batch_bands.select(
-                F.pmod(F.xxhash64("band"), F.lit(nb)).alias("bb")
-            )
-            .distinct()
-            .collect()
-        ]
-        stored = stored.filter(F.col("bb").isin(bbs))
-    stored = stored.join(F.broadcast(batch_bands), "band", "semi").select(
-        "doc_id", "band", "sz", "setkey"
+    stored = (
+        bands_for(batch_bands)
+        .join(F.broadcast(batch_bands), "band", "semi")
+        .select("doc_id", "band", "sz", "setkey")
     )
 
     # The delta only ever KEEPS batch-sided pairs (b.doc_id >= t), so
@@ -2287,7 +2353,7 @@ def _pipeline_delta_indexed_stages(
                 & (F.col("doc_id") == F.col("hub.doc_id"))
             )
         )
-        .filter(F.col("doc_id") < t)
+        .filter(F.col("doc_id") < lo)
         .select("doc_id")
         .distinct()
     )
@@ -2297,7 +2363,7 @@ def _pipeline_delta_indexed_stages(
         .select("doc_id", toksx.alias("toks"))
     )
     # batch docs' arrays: re-derived from the batch text (their map
-    # work); disjoint from fetched_toks by doc_id < t
+    # work); disjoint from fetched_toks by doc_id < lo
     toks_map = fetched_toks.unionByName(
         batch_train.select("doc_id", toksx.alias("toks"))
     )
@@ -2319,7 +2385,7 @@ def _pipeline_delta_indexed_stages(
         .select("a", F.explode("docs").alias("b"))
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.doc_id") >= t)
+            & (F.col("b.doc_id") >= lo)
         )
     )
     # star: ONLY batch members pair with the hub; hub arrays joined
@@ -2330,7 +2396,7 @@ def _pipeline_delta_indexed_stages(
     )
     star_b = sized.filter(
         (F.col("bn") > CLUSTER_CAP)
-        & (F.col("doc_id") >= t)
+        & (F.col("doc_id") >= lo)
         & (F.col("doc_id") != F.col("hub.doc_id"))
     ).join(toks_map, "doc_id")
     star = star_b.join(
@@ -2359,7 +2425,7 @@ def _pipeline_delta_indexed_stages(
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
     union = F.col("a.sz") + F.col("b.sz") - inter
     vpairs = (
-        cand.filter(F.col("b.doc_id") >= t)
+        cand.filter(F.col("b.doc_id") >= lo)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -2382,7 +2448,7 @@ def _pipeline_delta_indexed_stages(
     # cross-side duplicates, so NO outer distinct — re-distincting the
     # stored set would shuffle the (corpus-eval-sized) shingle table
     # on every batch
-    eval_sh = spark.read.parquet(os.path.join(idx, "eval_shingles")).unionByName(
+    eval_sh = eval_shingles.unionByName(
         batch_sh.filter(F.col("source") == "src0")
         .select(F.explode("shingles").alias("shx"))
         .distinct()
@@ -2399,7 +2465,7 @@ def _pipeline_delta_indexed_stages(
     # over the batch. The ~60-shingles/doc × 8 B budget keeps the
     # flipped broadcast under ~50 MB; above it (the 10%-split
     # adversarial end) fall back to the eval-side broadcast.
-    if (n_total - t) * 60 * 8 <= 50 * (1 << 20):
+    if batch_docs * 60 * 8 <= 50 * (1 << 20):
         batch_keys = train_shx.select("shx").distinct()
         hit_shx = eval_sh.join(F.broadcast(batch_keys), "shx", "semi")
         contaminated = (
@@ -2419,29 +2485,43 @@ def _pipeline_delta_indexed_stages(
     return batch, exact, near, contaminated
 
 
-DEDUP_PIPELINE_DELTA_SQL = f"""
+def _delta_range_sql(lo_sql: str, hi_sql: str) -> str:
+    """One landing chunk's delta-ledger SQL, parameterized by the
+    chunk's id range [lo, hi) — expressions over the `split` CTE's
+    t (corpus cut) and n (total rows). Visibility is everything landed
+    strictly before the chunk plus the chunk itself (doc_id < hi): the
+    sequential-landing semantics the streaming scrub implements with
+    index absorption. The full delta op is the single chunk [t, n+1)
+    (hi bound a no-op), so one generator serves both oracles."""
+    vis = "doc_id < (SELECT hi FROM bounds)"
+    return f"""
 WITH split AS (
-  SELECT CAST(FLOOR({PIPE_DELTA_SPLIT} * COUNT(*)) AS BIGINT) AS t FROM documents
-), {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP, "WHERE source <> 'src0'").lstrip()}, pairs AS (
+  SELECT CAST(FLOOR({PIPE_DELTA_SPLIT} * COUNT(*)) AS BIGINT) AS t,
+         COUNT(*) AS n FROM documents
+), bounds AS (
+  SELECT {lo_sql} AS lo, {hi_sql} AS hi FROM split
+), {_lsh_band_sql(CLUSTER_BAND_SIZE, CLUSTER_CAP,
+                  "WHERE source <> 'src0' AND " + vis).lstrip()}, pairs AS (
   SELECT DISTINCT a_id AS doc_a, b_id AS doc_b
   FROM cand
-  WHERE b_id >= (SELECT t FROM split)
+  WHERE b_id >= (SELECT lo FROM bounds)
     AND round(CAST(length(list_intersect(a_toks, b_toks)) AS DOUBLE)
         / length(list_distinct(a_toks || b_toks)), 6) >= 0.6
 ), near AS (
   SELECT doc_b AS doc_id, MIN(doc_a) AS rep FROM pairs GROUP BY doc_b
 ), batch_fp AS (
   SELECT doc_id, md5(text) AS fp FROM documents
-  WHERE source <> 'src0' AND doc_id >= (SELECT t FROM split)
+  WHERE source <> 'src0' AND doc_id >= (SELECT lo FROM bounds) AND {vis}
 ), keepers AS (
   SELECT fp, MIN(doc_id) AS keeper FROM (
-    SELECT doc_id, md5(text) AS fp FROM documents WHERE source <> 'src0'
+    SELECT doc_id, md5(text) AS fp FROM documents
+    WHERE source <> 'src0' AND {vis}
   ) WHERE fp IN (SELECT fp FROM batch_fp) GROUP BY fp
 ), exact AS (
   SELECT b.doc_id, k.keeper FROM batch_fp b JOIN keepers k ON k.fp = b.fp
 ), sh_docs AS (
   SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
-  WHERE source = 'src0' OR doc_id >= (SELECT t FROM split)
+  WHERE (source = 'src0' OR doc_id >= (SELECT lo FROM bounds)) AND {vis}
 ), sh AS (
   SELECT doc_id, source,
     CASE WHEN length(toks) >= {SHINGLE_N}
@@ -2470,9 +2550,37 @@ FROM documents d
 LEFT JOIN exact e ON e.doc_id = d.doc_id
 LEFT JOIN near n ON n.doc_id = d.doc_id
 LEFT JOIN contaminated c ON c.doc_id = d.doc_id
-WHERE d.doc_id >= (SELECT t FROM split)
-ORDER BY d.doc_id
-"""
+WHERE d.doc_id >= (SELECT lo FROM bounds) AND d.{vis}"""
+
+
+DEDUP_PIPELINE_DELTA_SQL = _delta_range_sql("t", "n + 1") + "\nORDER BY d.doc_id"
+
+# The streaming scrub replays the batch span as this many sequential
+# landing chunks (equal id ranges); the oracle unrolls one delta-range
+# SQL per chunk, so chunk boundaries are part of the CONTRACT the
+# engine's micro-batching must reproduce (maxFilesPerTrigger=1 over the
+# staged chunk files).
+STREAM_SCRUB_CHUNKS = 3
+
+
+def _stream_scrub_sql(chunks: int = STREAM_SCRUB_CHUNKS) -> str:
+    """Sequential-visibility oracle for the streaming landing scrub:
+    one delta-range ledger per chunk, unioned. Chunk k covers
+    [t + (n-t)·k/K, t + (n-t)·(k+1)/K) in integer arithmetic —
+    mirrored exactly by streaming/scrub.py's Python cuts."""
+    parts = []
+    for k in range(chunks):
+        lo = f"t + ((n - t) * {k}) // {chunks}"
+        hi = f"t + ((n - t) * {k + 1}) // {chunks}"
+        parts.append("(" + _delta_range_sql(lo, hi) + "\n)")
+    return (
+        "SELECT * FROM (\n"
+        + "\nUNION ALL\n".join(parts)
+        + "\n)\nORDER BY doc_id"
+    )
+
+
+STREAM_SCRUB_SQL = _stream_scrub_sql()
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

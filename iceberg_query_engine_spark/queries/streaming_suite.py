@@ -12,9 +12,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..queries.dedup_suite import STREAM_SCRUB_SQL as _STREAM_SCRUB_SQL
 from ..queries.events_suite import EV_ANOMALY_SQL as _EV_ANOMALY_SQL
 from ..queries.events_suite import EV_EWMA_SQL as _EV_EWMA_SQL
-from ..streaming import jobs, stateful
+from ..streaming import jobs, scrub, stateful
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tumbling": jobs.stream_tumbling,
@@ -27,6 +28,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_dedup": jobs.stream_dedup,
     "stream_upsert_iceberg": jobs.stream_upsert_iceberg,
     "stream_stateful_counts": stateful.stream_stateful_counts,
+    "stream_dedup_pipeline": scrub.stream_dedup_pipeline,
 }
 
 ORACLE: dict[str, str] = {
@@ -40,4 +42,5 @@ ORACLE: dict[str, str] = {
     "stream_dedup": jobs.STREAM_DEDUP_SQL,
     "stream_upsert_iceberg": jobs.STREAM_UPSERT_ICEBERG_SQL,
     "stream_stateful_counts": stateful.STREAM_STATEFUL_SQL,
+    "stream_dedup_pipeline": _STREAM_SCRUB_SQL,
 }
