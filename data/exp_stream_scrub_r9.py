@@ -47,12 +47,10 @@ def main() -> int:
     rows_out = []
     for name, n_docs in POINTS:
         sf_dir = os.path.join(HERE, "gen", name)
-        if not os.path.isdir(os.path.join(sf_dir, "documents")) and not os.path.isfile(
-            os.path.join(sf_dir, "documents.parquet")
-        ):
+        if not os.path.exists(os.path.join(sf_dir, "documents.parquet")):
             print(f"{name}: corpus missing, skipping", flush=True)
             continue
-        tune_for_corpus(spark, n_docs)
+        tune_for_corpus(spark, sf_dir)
         t = int(PIPE_DELTA_SPLIT * n_docs)
         t0 = time.time()
         _pipeline_delta_index_dir(spark, sf_dir, t)

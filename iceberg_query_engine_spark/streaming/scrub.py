@@ -55,13 +55,23 @@ def stream_dedup_pipeline(
     sf_dir: str,
     chunks: int | None = None,
     timings: list | None = None,
+    run_dir: str | None = None,
 ) -> DataFrame:
     """`chunks`/`timings` are experiment knobs (data/exp_stream_scrub_
     r9.py): the CATALOG entry always runs the default chunk count —
     the oracle unrolls exactly STREAM_SCRUB_CHUNKS ranges, so a
     different count is a different (but equally well-defined)
     landing schedule, not the catalog query. `timings`, if given,
-    receives one {batch, rows, secs} dict per micro-batch."""
+    receives one {batch, rows, secs} dict per micro-batch.
+
+    `run_dir` pins the run's state root (staging/overlay/ledger/
+    checkpoint). Passing the SAME run_dir after a mid-stream crash
+    RESUMES from the checkpoint: committed epochs are not replayed,
+    the overlay already holds every absorbed batch, and the staged
+    chunk files are reused as-is (they are only written when absent —
+    rewriting them would give them new names the source would treat
+    as fresh arrivals). Crash-recovery is exercised by
+    tests/test_stream_scrub.py::test_checkpoint_resume."""
     from ..queries.dedup_suite import (
         CLUSTER_BAND_SIZE,
         N_HASHES,
@@ -89,7 +99,9 @@ def stream_dedup_pipeline(
     nb = _pipe_idx_buckets(t)
     n_bands = N_HASHES // CLUSTER_BAND_SIZE
 
-    run = os.path.join(tempfile.gettempdir(), "sg_stream_scrub", uuid.uuid4().hex)
+    run = run_dir or os.path.join(
+        tempfile.gettempdir(), "sg_stream_scrub", uuid.uuid4().hex
+    )
     staging = os.path.join(run, "staging")
     overlay = os.path.join(run, "overlay")
     ledger = os.path.join(run, "ledger")
@@ -98,24 +110,28 @@ def stream_dedup_pipeline(
     # Stage the landing chunks: one parquet file per chunk. The file
     # source orders by modification time, so stamp strictly increasing
     # mtimes — chunk k must land in micro-batch k for the oracle's
-    # visibility bounds to be the engine's.
-    for k in range(chunks):
-        lo, hi = cuts[k], cuts[k + 1]
-        if lo >= hi:
-            continue
-        (
-            documents.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(staging, f"chunk_{k}"))
-        )
+    # visibility bounds to be the engine's. A resumed run reuses the
+    # existing files untouched (the checkpoint tracks them by name).
+    if not os.path.isdir(staging):
+        for k in range(chunks):
+            lo, hi = cuts[k], cuts[k + 1]
+            if lo >= hi:
+                continue
+            (
+                documents.filter(
+                    (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+                )
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(staging, f"chunk_{k}"))
+            )
+        now = time.time()
+        for i, d in enumerate(sorted(os.listdir(staging))):
+            cd = os.path.join(staging, d)
+            for f in os.listdir(cd):
+                if f.endswith(".parquet"):
+                    os.utime(os.path.join(cd, f), (now + 10 * i, now + 10 * i))
     chunk_dirs = sorted(os.listdir(staging)) if os.path.isdir(staging) else []
-    now = time.time()
-    for i, d in enumerate(chunk_dirs):
-        cd = os.path.join(staging, d)
-        for f in os.listdir(cd):
-            if f.endswith(".parquet"):
-                os.utime(os.path.join(cd, f), (now + 10 * i, now + 10 * i))
     if not chunk_dirs:
         return spark.createDataFrame(
             [], "doc_id bigint, source string, status string, replacement bigint"

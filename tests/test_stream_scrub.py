@@ -122,6 +122,47 @@ def test_sequential_visibility_differs_from_full(spark, synth_dir, ledger):
         assert full[d].status == ledger[d].status, d
 
 
+def test_checkpoint_resume(spark, synth_dir, tmp_path, monkeypatch, ledger):
+    """Crash after the first committed micro-batch, resume with the
+    same run_dir: the checkpoint skips the committed epoch, the
+    overlay already holds chunk 0's absorbed state, and the final
+    ledger is identical to an uninterrupted run's. The injected crash
+    fires BEFORE the batch's dispositions are staged, so nothing from
+    the failed epoch reaches the ledger (the at-least-once window the
+    docstring concedes is only between ledger append and epoch
+    commit)."""
+    from iceberg_query_engine_spark.queries import dedup_suite as ds
+
+    run_dir = str(tmp_path / "resume_run")
+    real = ds._delta_stages_from_stores
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash in micro-batch 1")
+        return real(*a, **k)
+
+    monkeypatch.setattr(ds, "_delta_stages_from_stores", flaky)
+    with pytest.raises(Exception, match="injected crash|Writing job aborted|terminated"):
+        stream_dedup_pipeline(spark, synth_dir, run_dir=run_dir)
+    monkeypatch.setattr(ds, "_delta_stages_from_stores", real)
+
+    timings: list = []
+    resumed = {
+        r.doc_id: r
+        for r in stream_dedup_pipeline(
+            spark, synth_dir, run_dir=run_dir, timings=timings
+        ).collect()
+    }
+    # only the two uncommitted chunks replayed (epoch 0 stays committed)
+    assert [b["batch"] for b in timings] == [1, 2]
+    assert sum(b["rows"] for b in timings) == 4
+    assert {d: (r.status, r.replacement) for d, r in resumed.items()} == {
+        d: (r.status, r.replacement) for d, r in ledger.items()
+    }
+
+
 def test_base_index_never_mutated(spark, synth_dir):
     """Absorption writes to the per-run overlay only: the shared
     build-once index (also used by dedup_pipeline_delta_indexed) must
