@@ -10,6 +10,12 @@ OOMed at this corpus size, so the run doubles as the 10M regression
 for that fix. Same telemetry as the original script (per-stage walls,
 CC round count/walls). Writes exp_pipeline_10m_b_r9.json.
 
+NOT RUN in r9: the sf200 corpus had been reclaimed and the host
+entered its measured unstable phase at round close (see NOTES_r9
+"Second closing chain"), so a fresh wall would not have been
+comparable. This script is the ready-to-run recipe for the next
+round's box; BENCH_SCALE carries the honest estimate meanwhile.
+
 Usage: python data/exp_pipeline_10m_b_r9.py
 """
 
