@@ -713,9 +713,26 @@ def _cc_labels_local(edges: DataFrame) -> DataFrame:
     out = [(n, find(n)) for n in parent]
     # min-id union keeps every root the smallest id of its component,
     # so find(n) IS the min reachable id — the distributed contract
-    return edges.sparkSession.createDataFrame(
-        out, schema="node long, label long"
-    )
+    spark = edges.sparkSession
+    if out:
+        # Arrow path (r9 optimization round): createDataFrame over a
+        # plain Python list pickles one slice per core and spins up a
+        # Python worker PER TASK to unpickle it — measured ~10 s of
+        # executor time (32 x ~300 ms) per local-gate invocation for a
+        # few thousand rows. A pandas frame rides ArrowConverters:
+        # driver-side Arrow batches, JVM-only tasks, no Python workers.
+        # (Falls back to the pickle path automatically in sessions
+        # without spark.sql.execution.arrow.pyspark.enabled.)
+        try:
+            import pandas as pd
+
+            return spark.createDataFrame(
+                pd.DataFrame(out, columns=["node", "label"]),
+                schema="node long, label long",
+            )
+        except ImportError:  # pragma: no cover - pandas ships with pyspark
+            pass
+    return spark.createDataFrame(out, schema="node long, label long")
 
 
 DEDUP_CLUSTERS_SQL = f"""

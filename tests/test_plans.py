@@ -27,8 +27,10 @@ def test_q6_pushdown_and_single_shuffle(spark, sf):
     # range + quantity predicates reach the parquet reader
     assert pi.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
     assert pi.has_pushed_filter(df, "LessThan(l_quantity")
-    # global agg = exactly one (single-partition) exchange
-    assert pi.shuffle_count(df) == 1
+    # global agg = exactly one (single-partition) exchange beyond the
+    # corpus-shaped round-robin respread (registry fires it on this
+    # single-row-group testdata; zero on well-laid-out inputs)
+    assert pi.shuffle_count(df) - pi.respread_count(df) == 1
     assert not pi.has_cartesian(df)
 
 
@@ -39,8 +41,9 @@ def test_q6_column_pruning(spark, sf):
 
 def test_q1_two_shuffles_max(spark, sf):
     df = tpch.q1(spark, sf)
-    # partial+final agg (1 exchange) + orderBy (1 range exchange)
-    assert pi.shuffle_count(df) <= 2
+    # partial+final agg (1 exchange) + orderBy (1 range exchange),
+    # net of the corpus-shaped respread exchange (see q6 test)
+    assert pi.shuffle_count(df) - pi.respread_count(df) <= 2
     assert pi.has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
 
 
