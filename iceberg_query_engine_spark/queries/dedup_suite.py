@@ -1636,6 +1636,15 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     each pass prunes to just (doc_id, source, text). The ledger joins
     are doc_id-keyed (the exact/near/contaminated sides are each ≤
     corpus-sized, shuffle-partitioned on the same key)."""
+    return _pipeline_ledger(spark, sf_dir).orderBy("doc_id")
+
+
+def _pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_pipeline's ledger WITHOUT the final presentation sort —
+    the form consumers that re-shuffle it anyway (dedup_pipeline_resolve's
+    self-joins) persist, so they never materialize a throwaway global
+    sort (r9 optimization round, guide §2.4: an orderBy used only to
+    make output deterministic is not an intermediate)."""
     (documents,) = tables(spark, sf_dir, "documents")
     train_docs = documents.filter(F.col("source") != "src0")
     base = documents.select("doc_id", "source")
@@ -1697,7 +1706,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         status.alias("status"),
         replacement.alias("replacement"),
-    ).orderBy("doc_id")
+    )
 
 
 def dedup_pipeline_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1717,10 +1726,15 @@ def dedup_pipeline_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (MEMORY_AND_DISK — it is 4 slim columns per doc, the artifact a
     production run writes to a table anyway; without the persist each
     self-join reference re-derives the whole pipeline), then two
-    doc_id-keyed equi-joins on the dup subset's replacement ids."""
+    doc_id-keyed equi-joins on the dup subset's replacement ids. The
+    persisted form is the UNSORTED ledger (r9 optimization round): the
+    pipeline's own orderBy(doc_id) is presentation-only, and both
+    self-joins re-shuffle by replacement ids anyway, so materializing
+    the range-exchange + global sort into the cache was pure waste
+    (guide §2.4); this op's own output sort is unchanged."""
     from pyspark import StorageLevel
 
-    led = dedup_pipeline(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    led = _pipeline_ledger(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
     slim = led.select("doc_id", "status", "replacement")
     l1 = slim.select(
         F.col("doc_id").alias("r1_id"),

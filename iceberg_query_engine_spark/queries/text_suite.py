@@ -852,7 +852,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc: acc["best"],
     )
     g3 = grams(3)
-    d = documents.filter(F.col("doc_id") < 300).select(
+    # Spread the 300-doc slice across cores BEFORE the gram folds (r9
+    # optimization round, guide §2.5): the slice is compute-dense
+    # (sorted-gram aggregate folds ~ O(len²) per doc) but byte-light,
+    # so on a scan layout that yields few splits (the single-row-group
+    # driver corpus) the whole fold ran ONE task wide — measured 3.0 s
+    # vs 0.9 s with the spread at sf0.1. Scale-safe by construction:
+    # the filter bounds the exchange at 300 rows REGARDLESS of corpus
+    # size, so at 100 TB this shuffles KBs after a pruned scan (a
+    # corpus-wide respread of the unfiltered scan was measured and
+    # REVERTED this round — see OPTIMIZATION_r09.md Finding 5).
+    spread = documents.filter(F.col("doc_id") < 300).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    d = spread.select(
         "doc_id",
         F.round(
             F.when(F.size(grams(2)) > 0, top2_cnt / F.size(grams(2))).otherwise(0.0),

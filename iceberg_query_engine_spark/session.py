@@ -70,18 +70,6 @@ def get_spark(
             "SPARK_GRAFT_WAREHOUSE", "/tmp/sg_warehouse"))
         .config("spark.sql.sources.bucketing.enabled", "true")
         .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
-        # AQE coalescing floor (r9 optimization round): with the stock
-        # 1 MB floor and parallelismFirst, any stage whose shuffle input
-        # is under ~1 MB/partition collapses to ONE task — correct for
-        # byte-bound stages, serializing for compute-dense ones whose
-        # bytes are a poor proxy for work (signature self-joins, vote
-        # aggregates, per-pair Jaccard verification: KBs of hashes, ms
-        # of CPU per row). 64 KB keeps those stages core-wide. The knob
-        # is scale-neutral by construction: coalescing targets
-        # max(shuffle_bytes / parallelism, THIS), so any shuffle past
-        # ~64 KB x cores behaves exactly as before — at 100 TB the
-        # bytes term dominates and the floor never binds.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.driver.extraJavaOptions", "-Djava.net.preferIPv4Stack=true")
     )
     for k, v in (extra_conf or {}).items():
@@ -158,23 +146,6 @@ def tune_for_corpus(
     )
     conf: dict[str, str] = {}
     n_cpus = int(cpus or DEFAULT_CPUS)
-    if (4 << 20) <= total < (1 << 28):
-        # Small-corpus scan splitting (r9 optimization round): under the
-        # 256 MB gate below, the stock 128 MB maxPartitionBytes + 4 MB
-        # openCostInBytes make every table a single split — and Spark's
-        # packing formula floors the split size at openCostInBytes, so
-        # lowering maxPartitionBytes alone cannot help. Target ~total/16
-        # per split (clamped [256 KB, 4 MB], both knobs together): the
-        # sf0.1 full corpus's 1.2 MB row groups become one task each
-        # (10-way scans instead of 3-way). Row-group-starved files
-        # (single-row-group testdata) are beyond any conf's reach —
-        # registry._respread_if_unsplittable handles those. Above
-        # 256 MB the existing clause takes over and converges on the
-        # stock values at 100 TB; under 4 MB (sf0.01/sf0.001) splitting
-        # buys nothing and the stock confs stay.
-        split = max(256 << 10, min(4 << 20, total // 16))
-        conf["spark.sql.files.maxPartitionBytes"] = str(split)
-        conf["spark.sql.files.openCostInBytes"] = str(split)
     if total >= 1 << 28:
         # Scan parallelism: the stock 128 MB maxPartitionBytes gives a
         # 1.9 GB sf10 lineitem only ~15 scan tasks on 32 cores — half

@@ -153,40 +153,21 @@ def _parse_bytes(v: str) -> int:
     return int(s) * mult
 
 
-# Respread floors: a table only pays the redistribution shuffle when it
-# is big enough that a serialized map stage costs more than the shuffle
-# (bytes floor) and dense enough that the added tasks see real work
-# (rows-per-core floor). Everything under the floors is dimension-sized
-# — scanned in one cheap task or broadcast anyway.
-RESPREAD_MIN_BYTES = 256 << 10
-RESPREAD_MIN_ROWS_PER_CORE = 32
-
-
 def _respread_if_unsplittable(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
     """Redistribute inputs whose parquet layout defeats scan parallelism.
 
     Spark splits parquet scans at ROW-GROUP boundaries; a file written
     as one giant row group (pyarrow's default row_group_size is 1Mi
     rows) is scanned by ONE task regardless of cores, serializing every
-    downstream map-side stage (tokenize/hash/decode). Two triggers, one
-    remedy (a single round-robin repartition that moves only the pruned
-    columns once, vs every per-row operator running 1-wide):
-
-    - a row group materially larger than the session's own target split
-      size (`spark.sql.files.maxPartitionBytes`) — the r5 find, a
-      single-row-group sf10 corpus outrun 10x by the sf100 layout;
-    - the layout's ACHIEVABLE split count (row groups are the atomic
-      scan unit — byte-range splits beyond them scan nothing) is far
-      below the session's cores while the table clears the work floors
-      (r9 optimization round: the driver's sf0.1 corpus is ten
-      single-row-group files, so every scan stage — parquet decode,
-      tokenize/minhash, partial aggregation — ran ONE task wide on a
-      32-core box; guide §2.5 "one huge unsplittable file →
-      repartition immediately after the read").
-
+    downstream map-side stage (tokenize/hash/decode). When the footer
+    shows a row group materially larger than the session's own target
+    split size (`spark.sql.files.maxPartitionBytes`), one round-robin
+    repartition restores parallelism — the shuffle moves only the
+    pruned columns once, vs every per-row operator running 1-wide.
     Well-laid-out inputs (many files or bounded row groups — anything a
-    100 TB ingest would produce) never trigger either arm; at scale the
-    achievable split count exceeds core count by construction."""
+    100 TB ingest would produce) never trigger this; it is a guard for
+    pathological layouts, found when the r5 sf100 sweep outran the
+    single-row-group sf10 corpus 10x its size."""
     try:
         import pyarrow.parquet as pq
 
@@ -197,33 +178,21 @@ def _respread_if_unsplittable(spark: SparkSession, df: DataFrame, path: str) -> 
         )
         if not files:
             return df
-        cores = spark.sparkContext.defaultParallelism
-        if len(files) >= cores:
-            return df  # one task per file is already core-wide
+        worst = 0  # largest bytes-per-row-group over a sample of files
+        for f in files[:16]:
+            n_rg = pq.ParquetFile(f).metadata.num_row_groups
+            worst = max(worst, os.path.getsize(f) // max(1, n_rg))
         target = _parse_bytes(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
-        worst = 0  # largest bytes-per-row-group over a sample of files
-        splits = 0  # achievable parallel splits (row-group-bounded)
-        rows = 0
-        for f in files[:64]:
-            md = pq.ParquetFile(f).metadata
-            sz = os.path.getsize(f)
-            worst = max(worst, sz // max(1, md.num_row_groups))
-            splits += min(md.num_row_groups, -(-sz // max(1, target)))
-            rows += md.num_rows
+        if worst <= target * 3 // 2:
+            return df
         total = sum(os.path.getsize(f) for f in files)
-        if worst > target * 3 // 2:
-            return df.repartition(
-                max(2 * cores, -(-total // target))  # ceil
-            )
-        if (
-            splits <= cores // 4
-            and total >= RESPREAD_MIN_BYTES
-            and rows >= RESPREAD_MIN_ROWS_PER_CORE * cores
-        ):
-            return df.repartition(cores)
-        return df
+        n = max(
+            2 * spark.sparkContext.defaultParallelism,
+            -(-total // target),  # ceil
+        )
+        return df.repartition(n)
     except Exception:
         return df
 

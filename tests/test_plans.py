@@ -27,10 +27,8 @@ def test_q6_pushdown_and_single_shuffle(spark, sf):
     # range + quantity predicates reach the parquet reader
     assert pi.has_pushed_filter(df, "GreaterThanOrEqual(l_shipdate")
     assert pi.has_pushed_filter(df, "LessThan(l_quantity")
-    # global agg = exactly one (single-partition) exchange beyond the
-    # corpus-shaped round-robin respread (registry fires it on this
-    # single-row-group testdata; zero on well-laid-out inputs)
-    assert pi.shuffle_count(df) - pi.respread_count(df) == 1
+    # global agg = exactly one (single-partition) exchange
+    assert pi.shuffle_count(df) == 1
     assert not pi.has_cartesian(df)
 
 
@@ -41,9 +39,8 @@ def test_q6_column_pruning(spark, sf):
 
 def test_q1_two_shuffles_max(spark, sf):
     df = tpch.q1(spark, sf)
-    # partial+final agg (1 exchange) + orderBy (1 range exchange),
-    # net of the corpus-shaped respread exchange (see q6 test)
-    assert pi.shuffle_count(df) - pi.respread_count(df) <= 2
+    # partial+final agg (1 exchange) + orderBy (1 range exchange)
+    assert pi.shuffle_count(df) <= 2
     assert pi.has_pushed_filter(df, "LessThanOrEqual(l_shipdate")
 
 
@@ -472,10 +469,14 @@ def test_dedup_latest_partial_aggregates(spark, sf):
 
 def test_text_repetition_map_only(spark, sf):
     """Gopher repetition gates run without exploding grams into a
-    shuffle: sorted-array run-length fold per row; the only exchange is
-    the final sort."""
+    shuffle: sorted-array run-length fold per row. Exchanges: the final
+    sort plus the bounded compute-spread — a round-robin repartition of
+    the ≤300-row doc_id slice (filter-bounded at ANY corpus size) that
+    un-serializes the O(len²) gram folds on split-starved scan layouts
+    (r9 optimization round; the corpus-wide registry respread was
+    measured a net regression and reverted — OPTIMIZATION_r09.md)."""
     df = text_suite.text_repetition(spark, sf)
-    assert pi.shuffle_count(df) <= 1
+    assert pi.shuffle_count(df) <= 2
     assert pi.count_op(df, "Scan parquet") == 1
 
 

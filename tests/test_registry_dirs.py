@@ -44,35 +44,16 @@ def test_respread_guard_restores_scan_parallelism(spark, tmp_path):
             df._jdf.queryExecution(), "formatted"
         ) or df.rdd.getNumPartitions() > 1
 
-        # bounded row groups but SMALL file: achievable byte-range
-        # splits (ceil(size/target)) still far below cores, and the
-        # table clears the work floors → arm 2 (r9 opt round) respreads
-        # to core width instead of leaving a ~2-wide scan on 32 cores
+        # bounded row groups → no respread, scan splits natively
         good = str(tmp_path / "good.parquet")
         pq.write_table(
             pa.table({"k": list(range(n)), "s": ["x" * 40] * n}), good,
             row_group_size=8192,
         )
         df2 = load_table(spark, good)
-        cores = spark.sparkContext.defaultParallelism
-        assert df2.rdd.getNumPartitions() == cores  # arm-2 respread
-
-        # under the work floors (dimension-sized) → untouched plain scan
-        tiny = str(tmp_path / "tiny.parquet")
-        pq.write_table(pa.table({"k": list(range(500))}), tiny)
-        df3 = load_table(spark, tiny)
-        plan = df3._sc._jvm.PythonSQLUtils.explainString(
-            df3._jdf.queryExecution(), "formatted"
+        plan = df2._sc._jvm.PythonSQLUtils.explainString(
+            df2._jdf.queryExecution(), "formatted"
         )
-        assert "Exchange" not in plan
-
-        # enough achievable splits (target smaller than the row groups
-        # can serve) → neither arm fires; parallelism comes natively
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 << 10))
-        df4 = load_table(spark, good)
-        plan4 = df4._sc._jvm.PythonSQLUtils.explainString(
-            df4._jdf.queryExecution(), "formatted"
-        )
-        assert "Exchange" not in plan4
+        assert "Exchange" not in plan  # untouched: plain scan
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", old)
