@@ -1645,33 +1645,52 @@ def _pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joins) persist, so they never materialize a throwaway global
     sort (r9 optimization round, guide §2.4: an orderBy used only to
     make output deterministic is not an intermediate)."""
+    from pyspark.sql import Window
+
     (documents,) = tables(spark, sf_dir, "documents")
     train_docs = documents.filter(F.col("source") != "src0")
     base = documents.select("doc_id", "source")
 
-    # stage 2: exact content groups over the train split
+    # stage 2: exact content groups over the train split. The keeper
+    # (min doc_id of the md5 group) is attached per-DOC with ONE window
+    # over the fp exchange (r9 optimization round, guide §2.4): the
+    # previous groupBy(fp)+join-back referenced the hashed subtree
+    # twice, so the plan scanned documents and ran the full-corpus md5
+    # TWICE, then paid a second fp-keyed shuffle (or a corpus-sized
+    # broadcast build) for the join — md5 groups are mostly unique, so
+    # partial aggregation cannot shrink that shuffle at any scale. The
+    # fp-not-null filter replicates the inner join's NULL-key drop
+    # bit-for-bit (md5(NULL text) rows never matched themselves).
     fp = F.md5(F.col("text").cast("binary"))
-    hashed = train_docs.select("doc_id", fp.alias("fp"))
-    keepers = hashed.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
-    exact = hashed.join(keepers, "fp").select("doc_id", "keeper")
+    exact = (
+        train_docs.select("doc_id", fp.alias("fp"))
+        .filter(F.col("fp").isNotNull())
+        .select(
+            "doc_id",
+            F.min("doc_id").over(Window.partitionBy("fp")).alias("keeper"),
+        )
+    )
 
     # stage 3: near-dup clusters + representative election (train only)
     labels = _cluster_labels(train_docs)
     n_tok = train_docs.select(
         "doc_id", F.size(_tokens()).cast("bigint").alias("n_tok")
     )
+    # The representative (argmax of (n_tok, -doc_id) per cluster) is
+    # attached per-DOC with one window over the label exchange instead
+    # of groupBy(label)+join-back (r9 optimization round, guide §2.4):
+    # the join re-shuffled the corpus-sized labels frame by label a
+    # second time just to re-attach a value already computable on the
+    # first label exchange. dedup_representative keeps the pure groupBy
+    # — its output is per-CLUSTER, so partial aggregation is the right
+    # shape there; here the output is per-doc.
     scored = labels.join(n_tok, labels.node == n_tok.doc_id)
-    reps = (
-        scored.groupBy("label")
-        .agg(
-            F.max(
-                F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("ni"))
-            ).alias("best")
-        )
-        .select("label", (-F.col("best.ni")).cast("bigint").alias("rep"))
-    )
-    near = labels.join(reps, "label").select(
-        F.col("node").alias("doc_id"), "rep"
+    best = F.max(
+        F.struct(F.col("n_tok"), (-F.col("doc_id")).alias("ni"))
+    ).over(Window.partitionBy("label"))
+    near = scored.select(
+        F.col("node").alias("doc_id"),
+        (-best["ni"]).cast("bigint").alias("rep"),
     )
 
     # stage 4: eval-set contamination (shared shingle machinery)
