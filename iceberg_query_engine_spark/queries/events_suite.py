@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.rank import ntile_by_range
-from .tpch import tables
+from .tpch import persist_if_large, tables
 
 SESSION_GAP_MIN = 30
 
@@ -1718,35 +1718,50 @@ def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     via a broadcast-sized join of per-user step times — user-count
     rows, not event rows). No windows, no collect of event streams.
     Output: users at each completed level (0..3).
+
+    t1 and t2 are each referenced twice (the next level's gate AND
+    the final levels attach) and Catalyst re-runs the whole lineage
+    per reference — 7 events scans instead of the 4 distinct passes
+    the funnel needs (the three step-filtered scans + distinct
+    users). Above the persist_if_large gate they are lazily persisted
+    once (user-count-sized frames); below it recomputation is cheaper
+    than the barrier (r9-opt measurement). The per-user frames keep
+    their broadcast joins via explicit hints (a persisted frame's
+    RDD-backed stats would otherwise fall back to sort-merge).
     """
     (events,) = tables(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp").cast("double")
     ev = events.select("user_id", "event_type", ts.alias("t"))
-    t1 = ev.filter(F.col("event_type") == WF_STEPS[0]).groupBy("user_id").agg(
-        F.min("t").alias("t1")
+    t1 = persist_if_large(
+        ev.filter(F.col("event_type") == WF_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1")),
+        sf_dir,
+        "events",
     )
     win = WF_WINDOW_H * 3600.0
     t2 = (
         ev.filter(F.col("event_type") == WF_STEPS[1])
-        .join(t1, "user_id")
+        .join(F.broadcast(t1), "user_id")
         .filter((F.col("t") >= F.col("t1")) & (F.col("t") <= F.col("t1") + win))
         .groupBy("user_id")
         # t1 is constant per user — carrying it through saves t3 a
         # redundant user-sized re-join on t1
         .agg(F.min("t").alias("t2"), F.min("t1").alias("t1"))
     )
+    t2 = persist_if_large(t2, sf_dir, "events")
     t3 = (
         ev.filter(F.col("event_type") == WF_STEPS[2])
-        .join(t2, "user_id")
+        .join(F.broadcast(t2), "user_id")
         .filter((F.col("t") >= F.col("t2")) & (F.col("t") <= F.col("t1") + win))
         .groupBy("user_id")
         .agg(F.min("t").alias("t3"))
     )
     all_users = ev.select("user_id").distinct()
     levels = (
-        all_users.join(t1, "user_id", "left")
-        .join(t2.select("user_id", "t2"), "user_id", "left")
-        .join(t3.select("user_id", "t3"), "user_id", "left")
+        all_users.join(F.broadcast(t1), "user_id", "left")
+        .join(F.broadcast(t2.select("user_id", "t2")), "user_id", "left")
+        .join(F.broadcast(t3.select("user_id", "t3")), "user_id", "left")
         .select(
             "user_id",
             F.when(F.col("t3").isNotNull(), 3)
@@ -1948,20 +1963,34 @@ def ev_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/rank.cumsum_by_range — INTEGER deltas, so the
     distributed partial sums replay the serial oracle exactly. No
     interval self-join at any scale.
+
+    r9-opt: `intervals` (session-count-sized, downstream of the
+    per-user sessionize window over the corpus) is referenced by the
+    boundary stream and the day grid; both ±1 boundaries now come from
+    ONE explode instead of a two-branch union (2 references → 1 for
+    the boundary side), and above the persist_if_large gate the frame
+    is lazily persisted so the sessionize pass runs once.
     """
     from ..operators.rank import cumsum_by_range
 
     (events,) = tables(spark, sf_dir, "events")
     sess = sessionized(events)
-    intervals = sess.groupBy("user_id", "sess_id").agg(
-        F.unix_timestamp(F.min("ts").cast("timestamp")).alias("t_start"),
-        (F.unix_timestamp(F.max("ts").cast("timestamp")) + 1).alias("t_end"),
+    intervals = persist_if_large(
+        sess.groupBy("user_id", "sess_id").agg(
+            F.unix_timestamp(F.min("ts").cast("timestamp")).alias("t_start"),
+            (F.unix_timestamp(F.max("ts").cast("timestamp")) + 1).alias("t_end"),
+        ),
+        sf_dir,
+        "events",
     )
     boundaries = intervals.select(
-        F.col("t_start").alias("t"), F.lit(1).alias("d")
-    ).unionByName(
-        intervals.select(F.col("t_end").alias("t"), F.lit(-1).alias("d"))
-    )
+        F.explode(
+            F.array(
+                F.struct(F.col("t_start").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("t_end").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("b")
+    ).select("b.t", "b.d")
     day_grid = (
         intervals.agg(F.min("t_start").alias("t0"), F.max("t_end").alias("t1"))
         .select(
@@ -2037,11 +2066,28 @@ def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric counts distinct users per anchor — cost is pairs×30 map-side
     rows (pairs = users×active-days, already dedup'd), never a range
     join or a per-day scan.
+
+    `pairs` is referenced five times (dau, the two trailing
+    expansions, active_days) and Catalyst does not de-duplicate
+    subtrees — so on a large corpus the events scan + distinct would
+    re-run five times. Above the persist_if_large gate the frame
+    (users×active-days — orders of magnitude smaller than events) is
+    lazily persisted and computed once; below it the duplicated
+    subtrees run parallel and are cheaper than a materialization
+    barrier (measured r9-opt). The trailing joins and the final
+    dau⋈wau⋈mau joins get explicit broadcast hints: those sides are
+    day-count-sized (calendar-bounded, tiny at any corpus size), and
+    a persisted frame's RDD-backed size stats would otherwise push
+    the planner to sort-merge.
     """
     (events,) = tables(spark, sf_dir, "events")
-    pairs = events.select(
-        "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
-    ).distinct()
+    pairs = persist_if_large(
+        events.select(
+            "user_id", F.to_date(F.col("ts").cast("timestamp")).alias("day")
+        ).distinct(),
+        sf_dir,
+        "events",
+    )
     active_days = pairs.select("day").distinct()
 
     def trailing(n_days: int, name: str) -> DataFrame:
@@ -2063,8 +2109,8 @@ def ev_dau_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("dau")
     )
     out = (
-        dau.join(trailing(7, "wau"), "anchor")
-        .join(trailing(30, "mau"), "anchor")
+        dau.join(F.broadcast(trailing(7, "wau")), "anchor")
+        .join(F.broadcast(trailing(30, "mau")), "anchor")
         .select(
             F.col("anchor").cast("string").alias("day"),
             "dau",

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join, range_join_bucketed
 from ..operators.rank import ntile_by_range, ranked_by_range
-from .tpch import tables
+from .tpch import persist_if_large, tables
 
 
 def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -907,15 +907,28 @@ def op_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pooled grid, running (cumulative/total) ECDFs via prefix sums,
     forward-filled with last_value IGNORE NULLS. Cost is distinct
     values x sources after the first aggregate — independent of
-    document count."""
+    document count.
+
+    r9-opt: every downstream frame now derives from `counts` —
+    totals = sum of counts per source (identical to the old second
+    corpus aggregate), and the reference ECDF attaches via a
+    max-over-n_chars window on the SAME dense grid instead of a
+    self-join that duplicated the whole lineage — 8 documents scans
+    → 4 unconditionally, → 1 above the persist_if_large gate (counts
+    is values×sources-sized, trivially cacheable; below the gate the
+    parallel duplicated subtrees are cheaper than the barrier)."""
     (documents,) = tables(spark, sf_dir, "documents")
-    counts = documents.groupBy("source", "n_chars").agg(
-        F.count(F.lit(1)).alias("c")
+    counts = persist_if_large(
+        documents.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c")),
+        sf_dir,
+        "documents",
     )
-    totals = documents.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
     grid = counts.select("n_chars").distinct()
     sources = counts.select("source").distinct()
-    dense = grid.crossJoin(sources).join(counts, ["source", "n_chars"], "left")
+    dense = grid.crossJoin(sources).join(
+        F.broadcast(counts), ["source", "n_chars"], "left"
+    )
     w = Window.partitionBy("source").orderBy("n_chars")
     ecdf = (
         dense.withColumn(
@@ -924,17 +937,20 @@ def op_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-        .join(totals, "source")
+        .join(F.broadcast(totals), "source")
         .select(
             "source", "n_chars", (F.col("cum") / F.col("tot")).alias("F")
         )
     )
-    ref = ecdf.filter(F.col("source") == "src1").select(
-        "n_chars", F.col("F").alias("F_ref")
-    )
+    # every (n_chars, source) exists in the dense grid, so the window
+    # max picks exactly src1's F — bit-identical to the old inner join
+    wref = Window.partitionBy("n_chars")
     return (
-        ecdf.filter(F.col("source") != "src1")
-        .join(ref, "n_chars")
+        ecdf.withColumn(
+            "F_ref",
+            F.max(F.when(F.col("source") == "src1", F.col("F"))).over(wref),
+        )
+        .filter(F.col("source") != "src1")
         .groupBy("source")
         .agg(F.round(F.max(F.abs(F.col("F") - F.col("F_ref"))), 6).alias("ks_d"))
         .orderBy("source")
@@ -975,7 +991,13 @@ def op_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     violation counts and a pass verdict. Scale: a single partial+final
     aggregate pass; the uniqueness check rides the same scan via
     count_distinct. No row-level quarantine here (that's a filter on
-    the same predicates); the audit is the contract's scoreboard."""
+    the same predicates); the audit is the contract's scoreboard.
+
+    r9-opt: the one-row-per-check reshape is an explode of an inline
+    struct array over the single 1-row aggregate — the previous
+    5-branch union re-referenced the aggregate subtree per check and
+    Catalyst re-ran the FULL corpus scan + count_distinct aggregate
+    five times (5 corpus scans → 1 in the plan)."""
     (lineitem,) = tables(spark, sf_dir, "lineitem")
     agg = lineitem.agg(
         F.count(F.lit(1)).alias("n"),
@@ -999,19 +1021,22 @@ def op_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("orderkey_positive", "key_nonpos"),
         ("orderkey_linenumber_unique", "dup_keys"),
     ]
-    parts = [
-        agg.select(
-            F.lit(name).alias("check"),
-            F.col(colname).cast("bigint").alias("violations"),
-            (F.col(colname) == 0).alias("passed"),
-            F.col("n").cast("bigint").alias("n_rows"),
-        )
-        for name, colname in checks
-    ]
-    out = parts[0]
-    for pp in parts[1:]:
-        out = out.unionByName(pp)
-    return out.orderBy("check")
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("check"),
+                        F.col(colname).cast("bigint").alias("violations"),
+                        (F.col(colname) == 0).alias("passed"),
+                        F.col("n").cast("bigint").alias("n_rows"),
+                    )
+                    for name, colname in checks
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*").orderBy("check")
 
 
 OP_CONTRACT_CHECK_SQL = """
@@ -1324,6 +1349,13 @@ def op_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     (range-partitioned two-pass — never a single-partition window);
     per-segment ranks are windows PARTITIONED by segment. The final
     sums are ordinary partial+final aggregates.
+
+    r9-opt: `rev` (the per-customer aggregate — customer-count-
+    sized) is referenced by both the global and per-segment branches,
+    each re-running the orders scan + aggregate + customer join.
+    Above the persist_if_large gate it is lazily persisted once
+    (orders/customer each scanned 2x → 1x); below it recomputation
+    is cheaper than the barrier.
     """
     customer, orders = tables(spark, sf_dir, "customer", "orders")
     rev = (
@@ -1333,6 +1365,7 @@ def op_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("o_custkey") == F.col("c_custkey"))
         .select("c_custkey", "c_mktsegment", "revenue")
     )
+    rev = persist_if_large(rev, sf_dir, "orders", "customer")
     ranked, _ = ranked_by_range(rev, ["revenue", "c_custkey"], out="rn")
 
     def gini_agg():
@@ -1806,12 +1839,20 @@ def op_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost model fires, here reproducible and oracle-verified (it is
     also what plans/rewrites.py injects into q9 at sf100).
 
-    Scale shape: the bit set is ≤ BSJ_M distinct positions (grid-sized
-    exchange); testing the fact is BSJ_K broadcast hash joins on hash
-    positions — map-only over the fact, NO fact shuffle; the exact
-    semi-join runs only to measure the bloom's false-positive budget,
-    which the output reports per returnflag (no-false-negative is a
-    structural guarantee: n_pass ≥ n_true always).
+    Scale shape (r9-opt rewrite): the FACT is scanned ONCE — the exact
+    membership flag rides the probe pass as a broadcast LEFT join on
+    the (unique-keyed) dim instead of a second fact scan + leftsemi
+    (runtime executed plan: 4 FileScans → 3, the removed one being the
+    corpus-sized fact). Every probe joins the IDENTICAL bits subtree,
+    making the single broadcast build structural in the initial plan
+    rather than recovered by runtime exchange reuse (the old aliased
+    loop planned 3 separate bits lineages; AQE canonicalization
+    happened to merge them at runtime — now nothing depends on that).
+    Probing stays BSJ_K O(1)-lookup broadcast hash joins — map-only
+    over the fact, NO fact shuffle (an array_contains probe against a
+    collapsed bit array was measured 5× SLOWER here: it linear-scans
+    ≤ BSJ_M elements per probe per row). No-false-negative stays a
+    structural guarantee (n_pass ≥ n_true always).
     """
     part, lineitem = tables(spark, sf_dir, "part", "lineitem")
     dim = part.filter(F.col("p_name").like("%red%")).select("p_partkey")
@@ -1831,30 +1872,38 @@ def op_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = (
         dim.select(F.explode(F.array(*positions(F.col("p_partkey")))).alias("pos"))
         .distinct()
+        .withColumn("hit", F.lit(True))
     )
     fact = lineitem.select("l_partkey", "l_returnflag")
     probed = fact
     verdict = None
     for i, p in enumerate(positions(F.col("l_partkey"))):
-        bi = bits.select(F.col("pos").alias(f"p{i}"))
-        probed = probed.withColumn(f"p{i}", p).join(
-            F.broadcast(bi.withColumn(f"hit{i}", F.lit(True))), f"p{i}", "left"
+        # same broadcast subtree every iteration → one build, reused
+        probed = (
+            probed.withColumn("pos", p)
+            .join(F.broadcast(bits), "pos", "left")
+            .withColumnRenamed("hit", f"hit{i}")
+            .drop("pos")
         )
         hit = F.coalesce(F.col(f"hit{i}"), F.lit(False))
         verdict = hit if verdict is None else (verdict & hit)
-    probed = probed.withColumn("passed", verdict)
-    true_m = fact.join(
-        dim, F.col("l_partkey") == F.col("p_partkey"), "leftsemi"
-    ).groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n_true"))
-    stats = probed.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_fact"),
-        F.sum(F.col("passed").cast("int")).cast("bigint").alias("n_pass"),
+    # p_partkey is unique (part PK), so the LEFT join attaches an
+    # is-true flag without duplicating fact rows — replaces the old
+    # second lineitem scan + leftsemi with the same broadcast build
+    flagged = probed.withColumn("passed", verdict).join(
+        F.broadcast(dim.withColumn("_true", F.lit(1))),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left",
     )
     return (
-        # LEFT join: a returnflag whose parts never match the dim must
-        # still report (n_true = 0) — the oracle covers every key
-        stats.join(true_m, "l_returnflag", "left")
-        .withColumn("n_true", F.coalesce(F.col("n_true"), F.lit(0)))
+        flagged.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_fact"),
+            F.sum(F.col("passed").cast("int")).cast("bigint").alias("n_pass"),
+            F.sum(F.coalesce(F.col("_true"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_true"),
+        )
         .select(
             "l_returnflag",
             "n_fact",
@@ -1921,9 +1970,19 @@ def op_freq_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate; the support floor prunes BEFORE the lift join (the
     A-Priori downward-closure trick), so the join input is
     frequent-pairs-sized. Top-N is TakeOrderedAndProject.
+
+    r9-opt: the deduplicated basket table `li` is referenced five
+    times (both self-join sides, both item supports, the order
+    denominator) and Catalyst re-runs the lineitem scan + distinct
+    exchange for each. Above the persist_if_large gate it is lazily
+    persisted once (5 corpus scans + 5 corpus-sized distinct shuffles
+    → 1 + 1, the dedup_simhash self-join precedent); below it the
+    parallel re-runs are cheaper than the materialization barrier.
     """
     (lineitem,) = tables(spark, sf_dir, "lineitem")
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    li = persist_if_large(
+        lineitem.select("l_orderkey", "l_partkey").distinct(), sf_dir, "lineitem"
+    )
     # 1-row denominator stays IN the plan (crossJoin(broadcast) below),
     # matching the repo-wide pattern — no separate driver-side job
     n_orders = li.select(

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.rank import ranked_by_range
-from .tpch import tables
+from .tpch import persist_if_large, tables
 
 # Fixed per-language marker-token lists for the heuristic classifier.
 # (Deterministic scoring function — the point is the operator shape;
@@ -365,10 +365,20 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate crossJoin-broadcast (never collected to the driver). The
     report filter prunes AFTER the corpus statistics so idf reflects
     the whole corpus — the filter cuts the final window, not the scan.
+
+    r9-opt: `tf` is referenced twice (dfreq and the scored numerator)
+    and Catalyst re-runs the corpus token explode + count per
+    reference; above the persist_if_large gate it is lazily persisted
+    once ((doc,term)-distinct-sized — far below the raw token stream),
+    below it the parallel duplicate is cheaper than the barrier.
     """
     (documents,) = tables(spark, sf_dir, "documents")
     toks = documents.select("doc_id", F.explode(_tokens()).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = persist_if_large(
+        toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")),
+        sf_dir,
+        "documents",
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -1225,20 +1235,35 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a second aggregation of that same table (no corpus re-scan);
     the join keying token is vocabulary-sized. Σ p·ln(p/q) is one
     partial+final aggregate per source.
+
+    r9-opt: `st` is referenced four times (src_tot, tok_tot,
+    corpus_tot, the joined numerator) and Catalyst re-runs the corpus
+    token explode + count per reference — exactly the corpus re-scan
+    the paragraph above promises not to do. Above the
+    persist_if_large gate it is lazily persisted once (it is
+    sources×vocabulary-sized, far below the corpus token stream; 4
+    documents scans → 1); below it the parallel re-runs are cheaper
+    than the materialization barrier. The totals joins keep their
+    broadcast builds via explicit hints (per-source and
+    vocabulary-sized — the shapes the planner already chose from
+    estimates, which a persisted frame's RDD-backed stats would
+    hide).
     """
     (documents,) = tables(spark, sf_dir, "documents")
-    st = (
+    st = persist_if_large(
         documents.select("source", F.explode(_tokens()).alias("t"))
         .filter(F.col("t") != "")
         .groupBy("source", "t")
-        .agg(F.count(F.lit(1)).alias("n_st"))
+        .agg(F.count(F.lit(1)).alias("n_st")),
+        sf_dir,
+        "documents",
     )
     src_tot = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
     tok_tot = st.groupBy("t").agg(F.sum("n_st").alias("n_t"))
     corpus_tot = st.agg(F.sum("n_st").alias("n_all"))
     joined = (
-        st.join(src_tot, "source")
-        .join(tok_tot, "t")
+        st.join(F.broadcast(src_tot), "source")
+        .join(F.broadcast(tok_tot), "t")
         .crossJoin(F.broadcast(corpus_tot))
     )
     p = F.col("n_st") / F.col("n_s")

@@ -85,6 +85,47 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
     return out
 
 
+# Materialize-vs-recompute gate for MULTIPLY-REFERENCED derived frames.
+# Catalyst does not de-duplicate subtrees: a frame referenced N times
+# re-runs its whole lineage — source scan included — N times. Above
+# this source size, one lazy persist (computed inside the consuming
+# action, shared by every reference; bench/driver sessions clearCache()
+# between queries) replaces N-1 corpus scans. Below it, recomputation
+# is CHEAPER: the duplicated sub-second subtrees run fully parallel,
+# while the materialization barrier serializes the stage graph and
+# pays cache write/read (measured r9-opt at sf0.1: persist cost
+# 1.2-3x on ev_dau_wau_mau/op_ks_test/op_freq_itemsets — the same
+# lesson as the reverted corpus-wide respread). Parameterised via env;
+# the local default keeps the driver bench comparable and the
+# production value is argued in OPTIMIZATION_r09.md.
+MATERIALIZE_MIN_BYTES = 256 << 20
+
+
+def persist_if_large(df: DataFrame, sf_dir: str, *source_tables: str) -> DataFrame:
+    """Lazily persist `df` when its source tables are big enough that
+    re-running its lineage per reference would dominate (see
+    MATERIALIZE_MIN_BYTES). Unknown sizes persist (the scale-safe
+    side — a missed persist costs corpus re-scans, a spurious one
+    costs a bounded cache write)."""
+    from ..sources.registry import table_bytes
+
+    threshold = int(
+        os.environ.get("SPARK_GRAFT_MATERIALIZE_MIN_BYTES", MATERIALIZE_MIN_BYTES)
+    )
+    total = 0
+    for t in source_tables:
+        b = table_bytes(sf_dir, t)
+        if b is None:
+            total = threshold  # unknown source: take the scale-safe side
+            break
+        total += b
+    if total >= threshold:
+        from pyspark import StorageLevel
+
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+    return df
+
+
 def _rev() -> F.Column:
     return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
 

@@ -63,6 +63,26 @@ def table_rows(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def table_bytes(sf_dir: str, name: str) -> int | None:
+    """On-disk byte size of a canonical table's parquet files — no
+    Spark job, no data read. Scale gates read this to decide whether
+    re-computing a derived frame (scan included) is cheaper than
+    materializing it once (queries.tpch.persist_if_large); None when
+    the table is absent or unreadable so callers can pick their safe
+    side."""
+    try:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dirs, files in os.walk(path)
+                for f in files
+            )
+        return os.path.getsize(path)
+    except Exception:
+        return None
+
+
 def table_fingerprint(sf_dir: str, name: str) -> str | None:
     """Content fingerprint of a canonical table's parquet files: sha256
     over the sorted (filename, size, mtime_ns) triples — no data read.

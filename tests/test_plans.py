@@ -581,7 +581,11 @@ def test_dedup_semantic_windowed_neighbors_one_udf_pass(spark, sf):
 def test_bloom_semi_join_fact_tested_map_side(spark, sf):
     """The bloom probe is K broadcast hash joins on hash positions —
     the fact is never shuffled to meet the bit set; the only exchanges
-    are the final per-flag aggregates."""
+    are the final per-flag aggregates. r9-opt: the fact (lineitem) is
+    scanned ONCE — the exact-membership flag rides the probe pass as a
+    broadcast left join instead of a second scan + leftsemi — and all
+    K probes join the IDENTICAL bits subtree so the runtime reuses one
+    broadcast build (verified ReusedExchange x2 in the executed plan)."""
     from iceberg_query_engine_spark.queries import operators_suite
 
     df = operators_suite.op_bloom_semi_join(spark, sf)
@@ -589,6 +593,11 @@ def test_bloom_semi_join_fact_tested_map_side(spark, sf):
     assert plan.count("BroadcastHashJoin") >= operators_suite.BSJ_K
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # single fact scan: lineitem appears in exactly one FileScan location
+    fact_scans = sum(
+        "lineitem.parquet" in ln for ln in plan.splitlines() if "Location" in ln
+    )
+    assert fact_scans == 1, f"expected 1 lineitem scan, saw {fact_scans}"
 
 
 def test_disjunctive_join_no_nested_loop(spark, sf):
