@@ -1623,9 +1623,16 @@ def op_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     length band and edit distance run as residual filters inside the
     join. At 100 TB the dictionary is the distinct-value count and the
     block histogram (op_key_skew) tells you if a prefix needs salting.
+
+    r9-opt: `names` feeds both self-join sides; above the
+    persist_if_large gate the dictionary (distinct-value-sized) is
+    lazily persisted so the corpus scan + distinct runs once — runtime
+    exchange reuse merges the two sides under collect-style actions,
+    but that merge is action- and pruning-dependent (measured: it does
+    NOT fire under a noop write), so the persist makes it structural.
     """
     (part,) = tables(spark, sf_dir, "part")
-    names = part.select("p_name").distinct()
+    names = persist_if_large(part.select("p_name").distinct(), sf_dir, "part")
     a = names.select(
         F.col("p_name").alias("name_a"),
         F.substring("p_name", 1, FUZZY_PREFIX).alias("blk_a"),

@@ -35,6 +35,7 @@ GATED_OPS = [
     events_suite.ev_window_funnel,
     operators_suite.op_ks_test,
     operators_suite.op_freq_itemsets,
+    operators_suite.op_fuzzy_join,
     operators_suite.op_gini,
     text_suite.text_kl_divergence,
     text_suite.text_tfidf,
