@@ -39,22 +39,6 @@ def shuffle_count(df: DataFrame) -> int:
     return count_op(df, "Exchange")
 
 
-def respread_count(df: DataFrame) -> int:
-    """Round-robin Exchanges from registry._respread_if_unsplittable.
-
-    The r9 optimization round redistributes inputs whose parquet layout
-    yields far fewer achievable scan splits than cores (the driver's
-    single-row-group testdata). That adds one RoundRobinPartitioning
-    exchange per base table on such corpora — deliberate, corpus-shaped,
-    absent on well-laid-out 100 TB inputs. Plan-budget tests subtract it
-    so their query-shape contracts stay corpus-independent."""
-    return sum(
-        1
-        for line in formatted_plan(df).splitlines()
-        if line.startswith("Arguments: ") and "RoundRobinPartitioning" in line
-    )
-
-
 def broadcast_count(df: DataFrame) -> int:
     return count_op(df, "BroadcastExchange")
 

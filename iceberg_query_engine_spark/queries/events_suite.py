@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.rank import ntile_by_range
-from .tpch import persist_if_large, tables
+from .tpch import broadcast_if_small, persist_if_large, tables
 
 SESSION_GAP_MIN = 30
 
@@ -1726,8 +1726,10 @@ def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     users). Above the persist_if_large gate they are lazily persisted
     once (user-count-sized frames); below it recomputation is cheaper
     than the barrier (r9-opt measurement). The per-user frames keep
-    their broadcast joins via explicit hints (a persisted frame's
-    RDD-backed stats would otherwise fall back to sort-merge).
+    their broadcast joins via SIZE-GATED hints (broadcast_if_small —
+    a persisted frame's RDD-backed stats would otherwise fall back to
+    sort-merge at this scale, while a hard hint would OOM the build
+    side at corpus scale where distinct users outgrow a broadcast).
     """
     (events,) = tables(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp").cast("double")
@@ -1742,7 +1744,7 @@ def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = WF_WINDOW_H * 3600.0
     t2 = (
         ev.filter(F.col("event_type") == WF_STEPS[1])
-        .join(F.broadcast(t1), "user_id")
+        .join(broadcast_if_small(t1, sf_dir, "events"), "user_id")
         .filter((F.col("t") >= F.col("t1")) & (F.col("t") <= F.col("t1") + win))
         .groupBy("user_id")
         # t1 is constant per user — carrying it through saves t3 a
@@ -1752,16 +1754,24 @@ def ev_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = persist_if_large(t2, sf_dir, "events")
     t3 = (
         ev.filter(F.col("event_type") == WF_STEPS[2])
-        .join(F.broadcast(t2), "user_id")
+        .join(broadcast_if_small(t2, sf_dir, "events"), "user_id")
         .filter((F.col("t") >= F.col("t2")) & (F.col("t") <= F.col("t1") + win))
         .groupBy("user_id")
         .agg(F.min("t").alias("t3"))
     )
     all_users = ev.select("user_id").distinct()
     levels = (
-        all_users.join(F.broadcast(t1), "user_id", "left")
-        .join(F.broadcast(t2.select("user_id", "t2")), "user_id", "left")
-        .join(F.broadcast(t3.select("user_id", "t3")), "user_id", "left")
+        all_users.join(broadcast_if_small(t1, sf_dir, "events"), "user_id", "left")
+        .join(
+            broadcast_if_small(t2.select("user_id", "t2"), sf_dir, "events"),
+            "user_id",
+            "left",
+        )
+        .join(
+            broadcast_if_small(t3.select("user_id", "t3"), sf_dir, "events"),
+            "user_id",
+            "left",
+        )
         .select(
             "user_id",
             F.when(F.col("t3").isNotNull(), 3)

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.joins import asof_join, range_join_bucketed
 from ..operators.rank import ntile_by_range, ranked_by_range
-from .tpch import persist_if_large, tables
+from .tpch import broadcast_if_small, persist_if_large, tables
 
 
 def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1898,7 +1898,7 @@ def op_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is-true flag without duplicating fact rows — replaces the old
     # second lineitem scan + leftsemi with the same broadcast build
     flagged = probed.withColumn("passed", verdict).join(
-        F.broadcast(dim.withColumn("_true", F.lit(1))),
+        broadcast_if_small(dim.withColumn("_true", F.lit(1)), sf_dir, "part"),
         F.col("l_partkey") == F.col("p_partkey"),
         "left",
     )

@@ -1521,13 +1521,21 @@ def sim_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _knn_graph_ivf(
-    spark: SparkSession, sf_dir: str, k: int = KNN_JOIN_K
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_JOIN_K,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
+    """`assigned` (vec_id, v, cluster) lets a composite op (the recall
+    gate) share ONE probe/assignment pass across constituents instead
+    of re-running the centroid build + corpus Arrow pass per op (r10,
+    guide §2.4); standalone calls keep their own single-pass build."""
     import pandas as pd
 
     from ..functions.vector import knn_join_fn
 
-    assigned, _cent = _sqrt_assignment(spark, sf_dir)
+    if assigned is None:
+        assigned, _cent = _sqrt_assignment(spark, sf_dir)
     run = knn_join_fn(k)
 
     def per_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1781,12 +1789,24 @@ def sim_knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     each extra probe buys (the nprobe dial, measured not assumed).
 
     Scale: the operands are the ops under test; the comparison itself
-    is two (l_id, n_id) equi-joins + a 1-row aggregate."""
+    is two (l_id, n_id) equi-joins + a 1-row aggregate.
+
+    r10 (guide §2.4): the single- and multi-probe constituents share
+    ONE probe pass — probes[0] is bit-identical to the nearest-centroid
+    assignment (same rounding and tie contract, see _probed_frame), so
+    the second centroid build + second corpus Arrow pass the standalone
+    ops would each run are gone; recall values are unchanged."""
+    probed = _probed_frame(
+        spark, sf_dir, max(KNN_IDX_PROBES, KNN_QUERY_PROBES)
+    )
+    assigned = probed.select(
+        "vec_id", "v", F.col("probes")[0].alias("cluster")
+    )
     exact = _knn_join(spark, sf_dir, ordered=False).select("l_id", "n_id")
-    single = _knn_graph_ivf(spark, sf_dir).select(
+    single = _knn_graph_ivf(spark, sf_dir, assigned=assigned).select(
         "l_id", "n_id", F.lit(1).alias("hit1")
     )
-    multi = _knn_graph_multiprobe(spark, sf_dir).select(
+    multi = _knn_graph_multiprobe(spark, sf_dir, probed=probed).select(
         "l_id", "n_id", F.lit(1).alias("hitp")
     )
     joined = exact.join(single, ["l_id", "n_id"], "left").join(
@@ -2027,6 +2047,27 @@ def sim_knn_graph_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _knn_graph_multiprobe(spark, sf_dir)
 
 
+def _probed_frame(spark: SparkSession, sf_dir: str, n_probes: int) -> DataFrame:
+    """(vec_id, v, probes[n_probes]) for the whole corpus, materialized
+    once (localCheckpoint): the √n centroid build + ONE Arrow pass of
+    the top-probe kernel. probes is ordered rounded-cosine DESC then
+    c_id ASC, so probes[0] IS the nearest-centroid assignment
+    (top_probe_centroids_udf generalizes nearest_centroid_udf's
+    element [0] — same rounding, same tie rule)."""
+    import numpy as np
+
+    from ..functions.vector import top_probe_centroids_udf
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    centroids = _sqrt_centroids(e)
+    rows = centroids.collect()  # K≈√n centroids: MBs even at 100M vectors
+    probe_kernel = top_probe_centroids_udf(
+        np.array([r.cv for r in rows]), np.array([r.c_id for r in rows]), n_probes
+    ).asNondeterministic()
+    return e.withColumn("probes", probe_kernel(F.col("v"))).localCheckpoint()
+
+
 def _knn_graph_multiprobe(
     spark: SparkSession,
     sf_dir: str,
@@ -2034,19 +2075,12 @@ def _knn_graph_multiprobe(
     m: int = KNN_IDX_PROBES,
     p: int = KNN_QUERY_PROBES,
     left_filter=None,
+    probed: DataFrame | None = None,
 ) -> DataFrame:
-    import numpy as np
+    from ..functions.vector import knn_join_fn
 
-    from ..functions.vector import knn_join_fn, top_probe_centroids_udf
-
-    (embeddings,) = tables(spark, sf_dir, "embeddings")
-    e = embeddings.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    centroids = _sqrt_centroids(e)
-    rows = centroids.collect()  # K≈√n centroids: MBs even at 100M vectors
-    probe_kernel = top_probe_centroids_udf(
-        np.array([r.cv for r in rows]), np.array([r.c_id for r in rows]), max(m, p)
-    ).asNondeterministic()
-    probed = e.withColumn("probes", probe_kernel(F.col("v"))).localCheckpoint()
+    if probed is None:
+        probed = _probed_frame(spark, sf_dir, max(m, p))
     # left_filter restricts the QUERY side only (the index side stays
     # the full corpus): the per-cell kernel computes each left row's
     # top-k independently, so filtered rows' neighbor lists are

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.rank import ranked_by_range
-from .tpch import persist_if_large, tables
+from .tpch import broadcast_if_small, persist_if_large, tables
 
 # Fixed per-language marker-token lists for the heuristic classifier.
 # (Deterministic scoring function — the point is the operator shape;
@@ -1244,10 +1244,12 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     sources×vocabulary-sized, far below the corpus token stream; 4
     documents scans → 1); below it the parallel re-runs are cheaper
     than the materialization barrier. The totals joins keep their
-    broadcast builds via explicit hints (per-source and
-    vocabulary-sized — the shapes the planner already chose from
-    estimates, which a persisted frame's RDD-backed stats would
-    hide).
+    broadcast builds via hints (the shapes the planner already chose
+    from estimates, which a persisted frame's RDD-backed stats would
+    hide): src_tot (per-source — bounded) and corpus_tot (1 row) are
+    hinted unconditionally; tok_tot is VOCABULARY-sized (unbounded
+    token strings at corpus scale) so its hint is size-gated
+    (broadcast_if_small).
     """
     (documents,) = tables(spark, sf_dir, "documents")
     st = persist_if_large(
@@ -1263,7 +1265,7 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_tot = st.agg(F.sum("n_st").alias("n_all"))
     joined = (
         st.join(F.broadcast(src_tot), "source")
-        .join(F.broadcast(tok_tot), "t")
+        .join(broadcast_if_small(tok_tot, sf_dir, "documents"), "t")
         .crossJoin(F.broadcast(corpus_tot))
     )
     p = F.col("n_st") / F.col("n_s")

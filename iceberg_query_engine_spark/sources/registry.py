@@ -73,10 +73,13 @@ def table_bytes(sf_dir: str, name: str) -> int | None:
     try:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.isdir(path):
+            # *.parquet only: sidecars (_SUCCESS, .crc) are not data and
+            # would nudge the gate near its threshold (r9 ADVICE, low)
             return sum(
                 os.path.getsize(os.path.join(dp, f))
                 for dp, _dirs, files in os.walk(path)
                 for f in files
+                if f.endswith(".parquet")
             )
         return os.path.getsize(path)
     except Exception:
