@@ -1305,26 +1305,24 @@ ORDER BY doc_a, doc_b
 SIMHASH_BITS = 16
 
 
-def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, source, simhash) for the capped corpus — dedup_simhash's
-    signature table BEFORE its localCheckpoint (split out so the plan
-    test can pin the respread, which the checkpoint otherwise hides
-    behind Scan ExistingRDD)."""
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash: per-token md5-derived 32-bit hash; signed bit-vote sum
+    per bit position → 16-bit signature; near-dups = hamming ≤ 3
+    within source buckets.
+
+    Signature computation is 100% JVM (r3 verdict fix — the previous
+    Arrow UDF md5-hashed every token occurrence in Python, CPU-binding
+    the corpus's full token stream at scale): explode tokens, hash each
+    occurrence with codegen'd `md5`+`conv`, then a partial-aggregated
+    groupBy(doc_id) computes the 16 bit-vote sums. The exchange carries
+    ONE 16-long partial vote row per doc per task (map-side combine),
+    not the token stream; zero Python evaluation nodes (pinned).
+    """
     (documents,) = tables(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens())
     d0 = _cap_buckets(
         documents.select("doc_id", "source", toks.alias("toks")), "source"
     )
-    # Bounded post-cap respread (r10, guide §2.5 — the text_repetition
-    # pattern): _cap_buckets' per-source window leaves the frame
-    # #sources wide, so the token explode + md5 vote aggregation — the
-    # op's whole CPU cost — otherwise runs on a handful of tasks
-    # (measured 1.8 s single-task at sf0.1). The frame here is BOUNDED
-    # (≤ PAIR_BUCKET_CAP docs per source — the cap the pair join needs
-    # anyway), so one round-robin exchange of capped doc rows spreads
-    # the hash work across the cluster at any corpus size; this is NOT
-    # the reverted r9 corpus-wide registration respread.
-    d0 = d0.repartition(spark.sparkContext.defaultParallelism)
     # 32-bit token hash from md5 hex — bit-identical to the oracle's
     # CAST('0x' || substr(md5(t),1,8) AS BIGINT)
     th = F.conv(
@@ -1352,23 +1350,7 @@ def _simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         start=F.lit(0),
     ).cast("long")
-    return votes.select("doc_id", "source", sig.alias("simhash"))
-
-
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash: per-token md5-derived 32-bit hash; signed bit-vote sum
-    per bit position → 16-bit signature; near-dups = hamming ≤ 3
-    within source buckets.
-
-    Signature computation is 100% JVM (r3 verdict fix — the previous
-    Arrow UDF md5-hashed every token occurrence in Python, CPU-binding
-    the corpus's full token stream at scale): explode tokens, hash each
-    occurrence with codegen'd `md5`+`conv`, then a partial-aggregated
-    groupBy(doc_id) computes the 16 bit-vote sums. The exchange carries
-    ONE 16-long partial vote row per doc per task (map-side combine),
-    not the token stream; zero Python evaluation nodes (pinned).
-    """
-    d = _simhash_signatures(spark, sf_dir)
+    d = votes.select("doc_id", "source", sig.alias("simhash"))
     # Materialize the signature table ONCE (executor-local checkpoint):
     # a plain self-join would rerun the explode+aggregate on BOTH
     # shuffle sides. After the checkpoint both join sides scan the

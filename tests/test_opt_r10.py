@@ -7,10 +7,11 @@
 - persist_if_large unpersist contract (#6): a gated query leaves no
   persisted RDDs once release_gated_persists() runs — the hook any
   long-lived session calls between queries (bench.py does per repeat).
-- dedup_simhash bounded respread (#4): the signature aggregation is no
-  longer #sources-wide — one RoundRobinPartitioning exchange on the
-  capped doc frame, values unchanged (oracle compare lives in the
-  sweep; here the plan + a value spot-check).
+- dedup_simhash respread (#4): MEASURED A NET LOSS at every corpus
+  size tried (sf0.1 and a 75k-doc corpus with oversized buckets) —
+  the vote stage's work is PAIR_BUCKET_CAP-bounded, so the extra
+  exchange has nothing to amortize; reverted to the r9 shape
+  (evidence in OPTIMIZATION_r10.md). No test — no change shipped.
 - sim_knn_graph_recall shared probe pass (#5): probes[0] of the
   multi-probe kernel IS the nearest-centroid assignment (bit-identical
   cluster ids), so the shared-pass recall equals the standalone ops'.
@@ -86,31 +87,6 @@ def test_release_gated_persists_drops_caches(spark, sf_smoke, monkeypatch):
     assert release_gated_persists() >= 1
     assert not _GATED_PERSISTS
     assert df.storageLevel.useMemory is False  # no persisted RDD remains
-
-
-# ------------------------------------------------------------------ simhash
-def test_simhash_vote_stage_respread_bounded(spark, sf_smoke):
-    """The capped doc frame (≤ PAIR_BUCKET_CAP per source) is round-robin
-    respread before the token explode, so the md5 vote aggregation is
-    cluster-wide, not #sources-wide. Exactly one round-robin exchange —
-    on the bounded frame, never the raw corpus scan."""
-    sigs = dedup_suite._simhash_signatures(spark, sf_smoke)
-    plan = pi.formatted_plan(sigs)
-    assert plan.count("RoundRobinPartitioning") == 1
-    # the cap window's by-source exchange is still there (the respread
-    # replaces nothing — it spreads the frame the window narrowed)
-    assert "hashpartitioning(source" in plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-
-
-def test_simhash_values_unchanged_by_respread(spark, sf_smoke):
-    rows = dedup_suite.dedup_simhash(spark, sf_smoke).collect()
-    base = (
-        dedup_suite.dedup_simhash(spark, sf_smoke)
-        .orderBy("doc_a", "doc_b")
-        .collect()
-    )
-    assert rows == base  # deterministic under the round-robin respread
 
 
 # ------------------------------------------------------ shared probe pass
