@@ -62,6 +62,15 @@ def main() -> int:
             n_fail += 1
             print(f"FAIL {name}: {row.get('detail', '')}", file=sys.stderr)
         out[name] = row
+        # honor persist_if_large's ownership contract (r10): release
+        # gated persists between queries so a large-sf sweep doesn't
+        # accumulate MEMORY_AND_DISK caches across 293 entries
+        from iceberg_query_engine_spark.queries.tpch import (
+            release_gated_persists,
+        )
+
+        release_gated_persists()
+        spark.catalog.clearCache()
 
     artifact = {
         "round": rnd,
