@@ -1120,7 +1120,17 @@ def text_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_all").desc(), "t")
         .limit(10)
         .join(
-            F.broadcast(src_tok.withColumn("in_src1", F.lit(True))), "t", "left"
+            # src1's distinct tokens are VOCABULARY-sized (same
+            # unbounded class as text_kl_divergence's tok_tot) — the
+            # hint is size-gated (r10); above the gate the planner's
+            # sort-merge fallback takes over for the 10-row left side
+            broadcast_if_small(
+                src_tok.withColumn("in_src1", F.lit(True)),
+                sf_dir,
+                "documents",
+            ),
+            "t",
+            "left",
         )
         .withColumn("in_src1", F.coalesce(F.col("in_src1"), F.lit(False)))
     )
