@@ -33,15 +33,15 @@ from iceberg_query_engine_spark.queries import (  # noqa: E402
     text_suite,
 )
 
+_ = dedup_suite  # dedup_simhash reverted to the r9 shape — no dump pair
+
 QUERIES = {
-    "dedup_simhash": dedup_suite.dedup_simhash,
     "sim_knn_graph_recall": similarity_suite.sim_knn_graph_recall,
     "ev_window_funnel": events_suite.ev_window_funnel,
     "text_kl_divergence": text_suite.text_kl_divergence,
     "op_bloom_semi_join": operators_suite.op_bloom_semi_join,
+    "text_bloom_filter": text_suite.text_bloom_filter,
 }
-if hasattr(dedup_suite, "_simhash_signatures"):
-    QUERIES["dedup_simhash_signatures"] = dedup_suite._simhash_signatures
 
 os.makedirs(OUT, exist_ok=True)
 for name, fn in QUERIES.items():
