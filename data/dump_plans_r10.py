@@ -36,6 +36,8 @@ from iceberg_query_engine_spark.queries import (  # noqa: E402
 _ = dedup_suite  # dedup_simhash reverted to the r9 shape — no dump pair
 
 QUERIES = {
+    "sim_knn_clusters": similarity_suite.sim_knn_clusters,
+    "sim_knn_clusters_cheap": similarity_suite.sim_knn_clusters_cheap,
     "sim_knn_graph_recall": similarity_suite.sim_knn_graph_recall,
     "ev_window_funnel": events_suite.ev_window_funnel,
     "text_kl_divergence": text_suite.text_kl_divergence,

@@ -1941,13 +1941,18 @@ def _clusters_from_graph(graph: DataFrame) -> DataFrame:
     # its one purpose; release it now rather than holding corpus-sized
     # blocks for the session lifetime (bench sweeps call this 3×).
     g.unpersist()
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # cluster_size per ROW via one label-keyed window instead of
+    # groupBy(label)+join-back (r10, guide §2.4 — the same rewrite as
+    # dedup_pipeline's r9 stages): the join shape referenced the
+    # materialized labels twice and attached a cluster-count-sized
+    # frame (unbounded at corpus scale) through a second join; the
+    # window computes the count on the single label exchange.
+    size_w = F.count(F.lit(1)).over(Window.partitionBy("label"))
     return (
-        labels.join(sizes, "label")
-        .select(
+        labels.select(
             F.col("node").alias("vec_id"),
             F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            size_w.cast("bigint").alias("cluster_size"),
             (F.col("node") == F.col("label")).alias("is_canonical"),
         )
         .orderBy("vec_id")

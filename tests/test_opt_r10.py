@@ -111,6 +111,21 @@ def test_probe_top1_is_nearest_assignment(spark, sf_smoke):
     assert top1 == ref
 
 
+def test_clusters_size_via_window_single_labels_pass(spark, sf_smoke):
+    """cluster_size is attached with one label-keyed window, not a
+    groupBy(label)+join-back: the materialized labels frame is consumed
+    ONCE and no cluster-count-sized frame rides a second join (r10,
+    guide §2.4 — measured 1.14x at sf0.1, plan pinned here)."""
+    df = similarity_suite.sim_knn_clusters_cheap(spark, sf_smoke)
+    plan = pi.formatted_plan(df)
+    assert plan.count(") Window") == 1
+    # the join-back shape put a size-attach join ABOVE the labels; the
+    # window form has none (at sf0.1 the labels ExistingRDD drops from
+    # 4 references to 2 — plans/r10/sim_knn_clusters_{before,after}.txt)
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert join_op not in plan
+
+
 def test_recall_single_probe_pass(spark, sf_smoke):
     """The recall gate's plan carries the probe kernel's materialized
     frame (ExistingRDD) and no second nearest-centroid Arrow pass."""
