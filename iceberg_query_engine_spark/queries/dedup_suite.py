@@ -504,16 +504,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     unreplicated executor state; a long-running production run should
     persist(MEMORY_AND_DISK_2) or use a reliable checkpoint dir.
     """
+    from pyspark.sql import Window
+
     (documents,) = tables(spark, sf_dir, "documents")
     labels = _cluster_labels(documents)
 
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # cluster_size per ROW via one label-keyed window instead of
+    # groupBy(label)+join-back (r10, guide §2.4 — the same rewrite as
+    # sim_knn_clusters'): the join consumed the materialized labels
+    # frame twice and attached a cluster-count-sized frame (unbounded
+    # at corpus scale) through a second join; the window computes the
+    # count on the single label exchange.
+    size_w = F.count(F.lit(1)).over(Window.partitionBy("label"))
     return (
-        labels.join(sizes, "label")
-        .select(
+        labels.select(
             F.col("node").alias("doc_id"),
             F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            size_w.cast("bigint").alias("cluster_size"),
             (F.col("node") == F.col("label")).alias("is_canonical"),
         )
         .orderBy("doc_id")

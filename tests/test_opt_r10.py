@@ -116,14 +116,18 @@ def test_clusters_size_via_window_single_labels_pass(spark, sf_smoke):
     groupBy(label)+join-back: the materialized labels frame is consumed
     ONCE and no cluster-count-sized frame rides a second join (r10,
     guide §2.4 — measured 1.14x at sf0.1, plan pinned here)."""
-    df = similarity_suite.sim_knn_clusters_cheap(spark, sf_smoke)
-    plan = pi.formatted_plan(df)
-    assert plan.count(") Window") == 1
-    # the join-back shape put a size-attach join ABOVE the labels; the
-    # window form has none (at sf0.1 the labels ExistingRDD drops from
-    # 4 references to 2 — plans/r10/sim_knn_clusters_{before,after}.txt)
-    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
-        assert join_op not in plan
+    for fn in (
+        similarity_suite.sim_knn_clusters_cheap,
+        dedup_suite.dedup_clusters,
+    ):
+        plan = pi.formatted_plan(fn(spark, sf_smoke))
+        assert plan.count(") Window") == 1, fn.__name__
+        # the join-back shape put a size-attach join ABOVE the labels;
+        # the window form has none (at sf0.1 the labels ExistingRDD
+        # drops 4→2 and dedup_clusters loses 2 SortMergeJoins —
+        # plans/r10/{sim_knn_clusters,dedup_clusters}_{before,after}.txt)
+        for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert join_op not in plan, (fn.__name__, join_op)
 
 
 def test_recall_single_probe_pass(spark, sf_smoke):
